@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed once to warm the JVM/code cache and once timed;
+results are consumed with a count() of the full result (no driver collect
+of wide rows — mirrors how a real pipeline would sink to parquet).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries import (
+    registry,
+)
+from harvard_artifacts_collection_data_engineering_analytics_app_spark.session import (
+    get_spark,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: scan-agg, join-agg-topk, 3-way join, sort, dedup/similarity
+# extensions when present in the registry.
+HEADLINE = [
+    "flagship_pricing_summary",
+    "rq20_join_agg_topk",
+    "rq19_three_way_join",
+    "rq17_join_sort",
+    "rq12_topk_over_agg",
+    "rq14_join_nullfilter",
+    # extension operators (registered in later milestones; skipped if absent)
+    "dd_minhash_lsh",
+    "dd_exact_stats",
+    "ss_brute_topk",
+    "tx_quality_score",
+    "tw_tumbling_hourly",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.all_specs()
+    names = [n for n in HEADLINE if n in specs]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        builder = specs[name].builder
+        builder(spark, SF_DIR).count()  # warm-up (JIT, file listing, AQE stats)
+        t0 = time.perf_counter()
+        builder(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
