@@ -11,7 +11,9 @@ local testdata and a production warehouse.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
 
 # The driver-generated star schema + extension tables (TESTDATA.md).
 TABLES = (
@@ -29,8 +31,19 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table. Parquet → vectorized reader, pushdown, pruning."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Scan one table. Parquet → vectorized reader, pushdown, pruning.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's reader rejects
+    by default; read it as int64 nanoseconds and convert with integer
+    division (a double division would lose precision on epoch-nanos).
+    DuckDB truncates ns→µs the same way, so oracle semantics match.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(

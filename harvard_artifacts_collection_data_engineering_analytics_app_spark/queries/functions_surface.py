@@ -1,1 +1,548 @@
-"""Placeholder — filled in as operators land."""
+"""Scalar-function and relational-surface extensions.
+
+The reference's SQL surface stops at `=`, `!=`, `>`, `<=`, BETWEEN, LIKE,
+IS NOT NULL, COUNT, AVG (SURVEY.md §2.2). Everything here is the surface a
+user of a general analytics engine expects on top: date/string/math/JSON/
+array scalar functions, CASE, set operators, HAVING, subqueries, semi/anti
+and outer joins, ROLLUP/CUBE. All built-in Catalyst expressions — no Python
+UDFs — so whole-stage codegen applies end-to-end.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..session import ensure_analytics_conf
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_analytics_conf(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --- date/time functions -----------------------------------------------------
+
+
+@register(
+    "fx_date_extract",
+    oracle="""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+           EXTRACT(MONTH FROM o_orderdate) AS order_month,
+           COUNT(*) AS cnt,
+           ROUND(AVG(o_totalprice), 6) AS avg_price
+    FROM orders
+    GROUP BY order_year, order_month
+    """,
+    tags=("functions", "date", "agg"),
+)
+def fx_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction feeding a grouped aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "fx_date_trunc_diff",
+    oracle="""
+    SELECT o_orderkey,
+           DATE_TRUNC('month', o_orderdate) AS order_month_start,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderkey < 100
+    """,
+    tags=("functions", "date"),
+)
+def fx_date_trunc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc + datediff scalar functions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") < 100).select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+# --- string functions ----------------------------------------------------------
+
+
+@register(
+    "fx_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+           REPLACE(c_name, 'Customer#', 'C-') AS name_short,
+           TRIM(CONCAT(c_mktsegment, ' ')) AS seg_trim
+    FROM customer
+    WHERE c_custkey < 50
+    """,
+    tags=("functions", "string"),
+)
+def fx_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substring/length/replace/trim/concat."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") < 50).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C-")).alias("name_short"),
+        F.trim(F.concat(F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+    )
+
+
+@register(
+    "fx_regexp",
+    oracle="""
+    SELECT p_partkey,
+           REGEXP_EXTRACT(p_name, '^(\\w+)', 1) AS first_word,
+           REGEXP_MATCHES(p_name, 'w.dget') AS matches_pattern,
+           REGEXP_REPLACE(p_name, '\\s+', '_', 'g') AS snake_name
+    FROM part
+    WHERE p_partkey < 100
+    """,
+    tags=("functions", "string", "regex"),
+)
+def fx_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp extract/match/replace (Spark regexp_replace is global like 'g')."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") < 100).select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.col("p_name").rlike("w.dget").alias("matches_pattern"),
+        F.regexp_replace("p_name", r"\s+", "_").alias("snake_name"),
+    )
+
+
+# --- math functions ------------------------------------------------------------
+
+
+@register(
+    "fx_math_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(ABS(o_totalprice - 100000), 6) AS abs_centered,
+           CEIL(o_totalprice / 1000) AS price_kilo_ceil,
+           FLOOR(o_totalprice / 1000) AS price_kilo_floor,
+           ROUND(SQRT(o_totalprice), 6) AS price_sqrt,
+           ROUND(LN(o_totalprice + 1), 6) AS price_ln,
+           CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
+    FROM orders
+    WHERE o_orderkey < 100 AND o_totalprice > 0
+    """,
+    tags=("functions", "math"),
+)
+def fx_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/ceil/floor/sqrt/ln/mod scalar math."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderkey") < 100) & (F.col("o_totalprice") > 0))
+        .select(
+            "o_orderkey",
+            F.round(F.abs(F.col("o_totalprice") - 100000), 6).alias("abs_centered"),
+            F.ceil(F.col("o_totalprice") / 1000).alias("price_kilo_ceil"),
+            F.floor(F.col("o_totalprice") / 1000).alias("price_kilo_floor"),
+            F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+            F.round(F.log(F.col("o_totalprice") + 1), 6).alias("price_ln"),
+            (F.col("o_orderkey") % 7).cast("long").alias("key_mod7"),
+        )
+    )
+
+
+# --- JSON ------------------------------------------------------------------------
+
+
+@register(
+    "fx_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("functions", "json", "agg"),
+)
+def fx_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (`props` is a JSON string column) + aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(
+                F.avg(F.get_json_object("props", "$.k").cast("int")), 6
+            ).alias("avg_k"),
+        )
+    )
+
+
+# --- arrays (embeddings) -----------------------------------------------------------
+
+
+@register(
+    "fx_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 6)
+               AS sq_norm,
+           ROUND(embedding[1]::DOUBLE, 6) AS first_val
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+    tags=("functions", "array"),
+)
+def fx_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions on the embedding column (no UDFs)."""
+    e = _t(spark, sf_dir, "embeddings")
+    sq_norm = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.filter(F.col("vec_id") < 50).select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(sq_norm, 6).alias("sq_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+    )
+
+
+# --- CASE WHEN ----------------------------------------------------------------------
+
+
+@register(
+    "fx_case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS price_bucket,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY price_bucket
+    """,
+    tags=("functions", "case"),
+)
+def fx_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing feeding an aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(bucket.alias("price_bucket")).agg(F.count("*").alias("cnt"))
+
+
+# --- set operators --------------------------------------------------------------------
+
+
+@register(
+    "fx_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setops",),
+)
+def fx_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of customer and supplier nation keys."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "fx_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setops",),
+)
+def fx_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of customer and supplier nation keys."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "fx_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setops",),
+)
+def fx_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): nations with customers but no suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# --- HAVING -----------------------------------------------------------------------------
+
+
+@register(
+    "fx_having",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 100
+    """,
+    tags=("agg", "having"),
+)
+def fx_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + post-aggregation filter (HAVING)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 100)
+    )
+
+
+# --- subqueries ----------------------------------------------------------------------------
+
+
+@register(
+    "fx_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("subquery", "topk"),
+)
+def fx_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders well above average price).
+
+    Expressed via spark.sql over a temp view — Catalyst plans the scalar
+    subquery as a broadcast single-row join.
+    """
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders_v)
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+        """
+    )
+
+
+@register(
+    "fx_in_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_regionkey = 2
+    )
+    """,
+    tags=("subquery", "semijoin"),
+)
+def fx_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery → planned as a (broadcast) left-semi join."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    return c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "fx_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("subquery", "antijoin"),
+)
+def fx_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (customers with no orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- outer joins -------------------------------------------------------------------------------
+
+
+@register(
+    "fx_left_outer_join",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           SUM(CAST(ROUND(COALESCE(o.o_totalprice, 0) * 100) AS BIGINT)) / 100.0
+               AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join", "outer", "agg"),
+)
+def fx_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving order-less customers (count = 0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (
+                F.sum(
+                    F.round(F.coalesce(F.col("o_totalprice"), F.lit(0.0)) * 100).cast(
+                        "bigint"
+                    )
+                )
+                / 100.0
+            ).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "fx_full_outer_join",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey FROM supplier)
+    SELECT COALESCE(cn.c_nationkey, sn.s_nationkey) AS nationkey,
+           cn.c_nationkey IS NOT NULL AS has_customers,
+           sn.s_nationkey IS NOT NULL AS has_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.c_nationkey = sn.s_nationkey
+    """,
+    tags=("join", "outer"),
+)
+def fx_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join over distinct nation keys from two tables."""
+    cn = _t(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    sn = _t(spark, sf_dir, "supplier").select("s_nationkey").distinct()
+    j = cn.join(sn, cn.c_nationkey == sn.s_nationkey, "full_outer")
+    return j.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.col("c_nationkey").isNotNull().alias("has_customers"),
+        F.col("s_nationkey").isNotNull().alias("has_suppliers"),
+    )
+
+
+# --- grouping sets ------------------------------------------------------------------------------
+
+
+@register(
+    "fx_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def fx_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with subtotal and grand-total rows (labelled 'ALL')."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "fx_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def fx_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two group keys (all 4 grouping combinations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "cnt",
+        )
+    )
+
+
+# --- extended aggregate functions -----------------------------------------------------------------
+
+
+@register(
+    "fx_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS std_qty,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def fx_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX/STDDEV/COUNT-DISTINCT aggregate surface.
+
+    STDDEV of ~20k doubles is summation-order dependent in the last bits;
+    round(…, 6) pins it (values are O(10)).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")) / 100.0).alias(
+            "sum_qty"
+        ),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )

@@ -1,1 +1,250 @@
-"""Placeholder — filled in as operators land."""
+"""Window functions and event-time windows (batch form).
+
+The streaming forms (watermarks, triggers, state) live in
+``..streaming``; the queries here are the batch-equivalent semantics the
+DuckDB oracle can check. Time windows align to the unix epoch in both
+engines (Spark ``window()``/DuckDB ``time_bucket``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..session import ensure_analytics_conf
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_analytics_conf(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --- ranking window functions -------------------------------------------------
+
+
+@register(
+    "wf_topn_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def wf_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via ROW_NUMBER (the scalable 'top-k per key' idiom).
+
+    At 100 TB this is one shuffle on the partition key; no global sort.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "wf_rank_dense",
+    oracle="""
+    SELECT l_returnflag, l_quantity,
+           RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS qty_rank,
+           DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               AS qty_dense_rank
+    FROM lineitem
+    WHERE l_orderkey < 50
+    """,
+    tags=("window", "rank"),
+)
+def wf_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK and DENSE_RANK with ties (deterministic per value)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.filter(F.col("l_orderkey") < 50).select(
+        "l_returnflag",
+        "l_quantity",
+        F.rank().over(w).alias("qty_rank"),
+        F.dense_rank().over(w).alias("qty_dense_rank"),
+    )
+
+
+@register(
+    "wf_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 6) AS running_value
+    FROM events
+    WHERE user_id < 10
+    """,
+    tags=("window", "running"),
+)
+def wf_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per user in event-time order."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.filter(F.col("user_id") < 10).select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+@register(
+    "wf_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ), 6) AS delta_vs_prev
+    FROM events
+    WHERE user_id < 10
+    """,
+    tags=("window", "lag"),
+)
+def wf_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG: per-user delta vs previous event (NULL for the first)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.filter(F.col("user_id") < 10).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_vs_prev"),
+    )
+
+
+# --- event-time windows (batch equivalents of the streaming ops) -----------------
+
+
+@register(
+    "tw_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    tags=("timewindow", "agg"),
+)
+def tw_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregate (epoch-aligned)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "tw_sliding_2h_1h",
+    oracle="""
+    WITH buckets AS (
+        SELECT UNNEST([
+                   time_bucket(INTERVAL '1 hour', ts),
+                   time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'
+               ]) AS window_start,
+               value
+        FROM events
+    )
+    SELECT window_start, COUNT(*) AS cnt, ROUND(AVG(value), 6) AS avg_value
+    FROM buckets
+    GROUP BY window_start
+    """,
+    tags=("timewindow", "agg"),
+)
+def tw_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour window, 1-hour slide: each event lands in 2 windows.
+
+    The oracle expands each event into its two epoch-aligned window starts —
+    the same duplication Spark's window() performs internally.
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("window.start").alias("window_start"), "cnt", "avg_value")
+    )
+
+
+@register(
+    "tw_session_30m",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+        WHERE user_id < 20
+    ),
+    flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR ts >= prev_ts + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM ordered
+    ),
+    sessioned AS (
+        SELECT user_id, ts, value,
+               SUM(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS session_value
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+    tags=("timewindow", "session", "agg"),
+)
+def tw_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap (batch session_window).
+
+    Spark merges events while each is < previous-event-time + gap; the
+    oracle reproduces exactly that with gaps-and-islands (new session iff
+    ts >= prev_ts + gap).
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -59,6 +59,14 @@ def compare(spark_df, oracle_df) -> list[str]:
         return errs
     a, b = _normalize(spark_df), _normalize(oracle_df)
     for c in a.columns:
+        # Defensive: surface pandas-dtype divergence (e.g. int32 vs int64)
+        # that a stricter driver-side schema check could flag.
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb and {ka, kb} not in ({"i", "f"},):
+            errs.append(f"dtype col {c}: spark={a[c].dtype} oracle={b[c].dtype}")
+    if errs:
+        return errs
+    for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             af = av.astype(float).to_numpy()
