@@ -1,1 +1,209 @@
-"""Placeholder — filled in as operators land."""
+"""Registered text-analysis queries over the ``documents`` table.
+
+Oracle SQL strings are *generated* from the same constants
+(``text.LANG_STOPWORDS``, ``text.LANG_ORDER``) the Spark expressions use,
+so the two sides cannot drift apart.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..queries.registry import register
+from ..session import ensure_analytics_conf
+from . import text as T
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_analytics_conf(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --- shared SQL fragments (DuckDB dialect) -----------------------------------
+
+SQL_TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+def _sql_lang_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+    return f"len(list_filter({SQL_TOKENS}, t -> t IN ({words})))"
+
+
+def _sql_lang_case() -> str:
+    """CASE chain mirroring text.lang_id's first-max tie-break."""
+    branches = []
+    for lang in T.LANG_ORDER:
+        conds = []
+        for other in T.LANG_ORDER:
+            if other == lang:
+                continue
+            op = ">" if T.LANG_ORDER.index(other) < T.LANG_ORDER.index(lang) else ">="
+            conds.append(f"score_{lang} {op} score_{other}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+SQL_PUNCT_RATIO = (
+    r"length(regexp_replace(text, '[^\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7e]', '', 'g'))"
+    r"::DOUBLE / nullif(length(text), 0)::DOUBLE"
+)
+
+_EN = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
+SQL_STOPWORD_RATIO = (
+    f"len(list_filter({SQL_TOKENS}, t -> t IN ({_EN})))::DOUBLE"
+    f" / nullif(len({SQL_TOKENS}), 0)::DOUBLE"
+)
+
+
+# --- queries -------------------------------------------------------------------
+
+
+@register(
+    "tx_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           ROUND(
+               list_sum(list_transform({SQL_TOKENS}, t -> length(t)))::DOUBLE
+                   / nullif(len({SQL_TOKENS}), 0),
+               6
+           ) AS avg_token_len
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + per-document token-length stats (pure Catalyst HOFs)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    tok_lens = F.transform(toks, F.length)
+    total_len = F.aggregate(
+        tok_lens, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.round(
+            total_len.cast("double") / F.nullif(F.size(toks), F.lit(0)).cast("double"),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "tx_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {", ".join(f"{_sql_lang_score(lang)} AS score_{lang}" for lang in T.LANG_ORDER)}
+        FROM documents
+    )
+    SELECT doc_id, lang, {_sql_lang_case()} AS pred_lang
+    FROM scored
+    """,
+    tags=("text", "langid"),
+)
+def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with a deterministic argmax tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.lang_id("text").alias("pred_lang"))
+
+
+@register(
+    "tx_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(COALESCE({SQL_PUNCT_RATIO}, 0), 6) AS punct_ratio,
+           ROUND(COALESCE({SQL_STOPWORD_RATIO}, 0), 6) AS stopword_ratio,
+           ROUND(
+               0.4 * least(length(text)::DOUBLE / 500.0, 1.0)
+               + 0.3 * (1.0 - COALESCE({SQL_PUNCT_RATIO}, 0))
+               + 0.3 * least(COALESCE({SQL_STOPWORD_RATIO}, 0) / 0.10, 1.0),
+               6
+           ) AS quality
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/stopword quality heuristic (functions.text.quality_score)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(F.coalesce(T.punct_ratio("text"), F.lit(0.0)), 6).alias("punct_ratio"),
+        F.round(F.coalesce(T.stopword_ratio("text"), F.lit(0.0)), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(T.quality_score("text"), 6).alias("quality"),
+    )
+
+
+@register(
+    "tx_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct({SQL_TOKENS})), ' ')) AS fp_bag,
+           list_min(list_transform(
+               list_distinct(CASE WHEN len({SQL_TOKENS}) >= 3 THEN
+                   list_transform(
+                       range(1, len({SQL_TOKENS}) - 1),
+                       i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i+1] || ' ' || {SQL_TOKENS}[i+2]
+                   )
+               ELSE [] END),
+               s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+           )) AS fp_min_shingle
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three document fingerprints: exact md5, token-bag md5, min-shingle-hash."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.fingerprint_md5("text").alias("fp_exact"),
+        T.bag_fingerprint("text").alias("fp_bag"),
+        T.min_shingle_hash("text").alias("fp_min_shingle"),
+    )
+
+
+@register(
+    "tx_ngram_freq",
+    oracle=f"""
+    WITH grams AS (
+        SELECT UNNEST(CASE WHEN len({SQL_TOKENS}) >= 2 THEN
+                   list_transform(
+                       range(1, len({SQL_TOKENS})),
+                       i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i+1]
+                   )
+               ELSE [] END) AS bigram
+        FROM documents
+    )
+    SELECT bigram, COUNT(*) AS freq
+    FROM grams
+    GROUP BY bigram
+    ORDER BY freq DESC, bigram
+    LIMIT 20
+    """,
+    tags=("text", "ngram", "topk"),
+)
+def tx_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams: explode → count → top-k.
+
+    The shuffle key is the bigram (high cardinality, low skew); at 100 TB
+    partial aggregation collapses each partition's counts before shuffle.
+    """
+    d = _t(spark, sf_dir, "documents")
+    grams = T.word_shingles("text", n=2, distinct=False)
+    return (
+        d.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -1,1 +1,393 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication operators over the ``documents`` table.
+
+Five dedup families, all expressed as distributed DataFrame plans:
+
+- exact (hash-groupBy on a normalized fingerprint)
+- n-gram Jaccard (inverted-index shingle join — never a crossJoin)
+- MinHash + LSH banding (candidate generation) + exact verification
+- SimHash (bitwise-majority signature + Hamming-distance pairs)
+- embedding-cosine near-duplicate pairs
+
+Scale notes (100 TB): the shingle inverted index shuffles on the shingle
+string — high cardinality, low skew. MinHash-LSH reduces the candidate
+space from O(n²) to the colliding band buckets; band tables shuffle on
+(band_idx, band_hash). Exact verification only touches candidate pairs.
+
+Hashes are the portable md5-hex→bigint scheme (functions.text) so DuckDB
+oracles reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..functions import text as T
+from ..functions.text_queries import SQL_TOKENS
+from ..queries.registry import register
+from ..session import ensure_analytics_conf
+
+JACCARD_THRESHOLD = 0.8
+
+# MinHash config: 32 hashes = 8 bands × 4 rows. At the 0.8 threshold the
+# planted near-dups (s ≈ 0.98) miss all 8 bands with P ≈ (1-s⁴)⁸ ≈ 1e-9.
+NUM_HASHES = 32
+NUM_BANDS = 8
+ROWS_PER_BAND = 4
+
+SIMHASH_BITS = 60  # 15 hex digits of md5 → always positive in a signed int64
+HAMMING_MAX = 8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_analytics_conf(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+# DuckDB fragment: distinct word-trigram shingles of `text` (1-indexed lists).
+SQL_SHINGLES3 = f"""list_distinct(CASE WHEN len({SQL_TOKENS}) >= 3 THEN
+    list_transform(
+        range(1, len({SQL_TOKENS}) - 1),
+        i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i+1] || ' ' || {SQL_TOKENS}[i+2]
+    )
+ELSE [] END)"""
+
+# DuckDB fragment: brute-force all-pairs Jaccard over shingle sets.
+SQL_JACCARD_PAIRS = f"""
+    WITH sh AS (
+        SELECT doc_id, {SQL_SHINGLES3} AS s FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               len(list_intersect(a.s, b.s))::DOUBLE
+                   / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0)
+                   AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, ROUND(jac, 6) AS jaccard
+    FROM pairs
+    WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- exact dedup ---------------------------------------------------------------
+
+
+@register(
+    "dd_exact_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS n_exact_dups
+    FROM documents
+    """,
+    tags=("dedup", "exact"),
+)
+def dd_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-duplicate statistics on the normalized fingerprint."""
+    d = _docs(spark, sf_dir)
+    fp = T.fingerprint_md5("text")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_exact_dups"),
+    )
+
+
+@register(
+    "dd_exact_groups",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fp,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY fp
+    HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "exact"),
+)
+def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups with the canonical keeper (min doc_id).
+
+    One hash-shuffle on the fingerprint; the INSERT IGNORE semantics of the
+    reference loader (harvard_artifacts_app.py:241) generalize to this plus
+    an anti-join against the existing table (etl.artifacts.upsert_dedup).
+    """
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(T.fingerprint_md5("text").alias("fp"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# --- n-gram Jaccard (exact, inverted index) -------------------------------------
+
+
+def _shingle_relation(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id", T.word_shingles("text", 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+@register(
+    "dd_ngram_jaccard",
+    oracle=SQL_JACCARD_PAIRS,
+    tags=("dedup", "jaccard"),
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All near-duplicate pairs with trigram-shingle Jaccard ≥ 0.8.
+
+    Distributed as an inverted-index self-join on the shingle (no crossJoin):
+    explode → join on shingle → count common → Jaccard from set sizes.
+    """
+    sh = _shingle_relation(_docs(spark, sf_dir))
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "n_b")
+    jac = F.col("common").cast("double") / F.nullif(
+        (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"), F.lit(0.0)
+    )
+    return (
+        common.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------------
+
+
+def minhash_signature(sh: F.Column, num_hashes: int = NUM_HASHES) -> F.Column:
+    """array<bigint> MinHash signature over a shingle array column."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.conv(
+                    F.substring(
+                        F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ),
+    )
+
+
+@register(
+    "dd_minhash_lsh",
+    oracle=SQL_JACCARD_PAIRS,  # exact verification ⇒ same result set as brute force
+    tags=("dedup", "minhash", "lsh"),
+)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verification.
+
+    signature (32 portable hashes) → 8 bands × 4 rows → band-bucket
+    self-join → verified with exact shingle Jaccard ≥ 0.8. The oracle is the
+    brute-force Jaccard query: at s ≈ 0.98 the per-pair miss probability is
+    ~1e-9, and verification removes false positives, so the result sets are
+    identical. At 100 TB only the (band_idx, band_hash) buckets shuffle —
+    candidates are a vanishing fraction of n².
+    """
+    d = _shingle_relation(_docs(spark, sf_dir))
+    sig = d.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
+
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_BANDS - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                    lambda h: h.cast("string"),
+                ),
+            )
+        ),
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_hash")
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("a_id"), F.col("bb.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+
+    sh_a = sig.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sh_b = sig.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.nullif(
+        F.size(F.array_union("sh_a", "sh_b")).cast("double"), F.lit(0.0)
+    )
+    return (
+        candidates.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+# --- SimHash -----------------------------------------------------------------------
+
+# Spark SQL expression for a 60-bit SimHash over distinct whitespace tokens.
+_SPARK_SIMHASH = f"""
+aggregate(
+  transform(sequence(0, {SIMHASH_BITS - 1}), b ->
+    CASE WHEN aggregate(
+           transform(array_distinct(split(trim(text), '\\\\s+')),
+                     t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)),
+           0L, (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END
+         ) >= 0
+    THEN shiftleft(1L, b) ELSE 0L END),
+  0L, (acc, x) -> acc + x)
+"""
+
+_DUCK_SIMHASH = f"""
+CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}), b ->
+    CASE WHEN list_sum(list_transform(
+             list_distinct({SQL_TOKENS}),
+             h_t -> CASE WHEN ((CAST(('0x' || substr(md5(h_t), 1, 15)) AS BIGINT) >> b) & 1) = 1
+                         THEN 1 ELSE -1 END
+         )) >= 0
+    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+"""
+
+
+@register(
+    "dd_simhash",
+    oracle=f"SELECT doc_id, {_DUCK_SIMHASH} AS simhash FROM documents",
+    tags=("dedup", "simhash"),
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 60-bit SimHash (bitwise majority over token hashes).
+
+    Pure Catalyst nested higher-order functions — no explode, no shuffle:
+    each document's signature is computed in place during the scan.
+    """
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
+
+
+@register(
+    "dd_simhash_pairs",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_DUCK_SIMHASH} AS simhash FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+    tags=("dedup", "simhash"),
+)
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ 8.
+
+    Self-join shown brute for oracle parity; the scale path buckets by
+    signature bytes first (same trick as LSH banding) — see SCALE.md.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SPARK_SIMHASH).alias("simhash")
+    )
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# --- embedding cosine near-dups ------------------------------------------------------
+
+
+@register(
+    "dd_embedding_topk_pairs",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               list_dot_product(a.emb, b.emb) / nullif(a.nrm * b.nrm, 0) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, ROUND(cos, 6) AS cosine
+    FROM pairs
+    ORDER BY ROUND(cos, 6) DESC, a_id, b_id
+    LIMIT 20
+    """,
+    tags=("dedup", "embedding", "topk"),
+)
+def dd_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar embedding pairs by cosine (near-dup candidates).
+
+    Brute all-pairs is the correctness baseline; the ANN scale path is in
+    operators/similarity.py. Ordering uses the rounded cosine plus id
+    tie-breakers so last-bit float divergence cannot reorder results.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("emb", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    a = v.select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("b_id"), F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .orderBy(F.desc("cosine"), F.asc("a_id"), F.asc("b_id"))
+        .limit(20)
+        .select("a_id", "b_id", "cosine")
+    )

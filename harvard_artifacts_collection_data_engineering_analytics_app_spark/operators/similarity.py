@@ -1,1 +1,315 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Three operators:
+
+- ``ss_brute_topk``  — exact cosine top-k (the correctness baseline)
+- ``ss_ivf_topk``    — IVF: deterministic coarse quantizer (every 25th
+  vector is a centroid), assign → probe nearest 3 lists → search only
+  those lists. The scale path: candidate set shrinks ~nprobe/nlist.
+- ``ss_lsh_topk``    — random-hyperplane LSH: 12 pseudo-random ±1
+  hyperplanes derived from the portable hash → sign bucket → search within
+  bucket only.
+
+Everything is deterministic (centroid choice, hyperplanes, tie-breaks), so
+each operator has a full value-level DuckDB oracle — including the ANN
+ones, whose oracle reproduces the same pruning, not just the same metric.
+
+Ranking always orders by ROUND(cosine, 6) DESC with id tie-breaks so
+last-bit float divergence between engines cannot reorder rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..queries.registry import register
+from ..session import ensure_analytics_conf
+
+N_QUERIES = 5  # query vectors: vec_id < 5
+TOP_K = 10
+IVF_EVERY = 25  # centroids: vec_id % 25 == 0
+IVF_NPROBE = 3
+LSH_PLANES = 12
+
+# --- shared Spark fragments -----------------------------------------------------
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb array<double>, nrm) with L2 norm precomputed."""
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ),
+    )
+
+
+def _cosine(emb_a, emb_b, nrm_a, nrm_b) -> F.Column:
+    dot = F.aggregate(
+        F.zip_with(emb_a, emb_b, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return dot / F.nullif(nrm_a * nrm_b, F.lit(0.0))
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# --- shared DuckDB fragments ------------------------------------------------------
+
+SQL_V = """
+    v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    )
+"""
+SQL_COS = "list_dot_product({a}.emb, {b}.emb) / nullif({a}.nrm * {b}.nrm, 0)"
+
+
+# --- brute force --------------------------------------------------------------------
+
+
+@register(
+    "ss_brute_topk",
+    oracle=f"""
+    WITH {SQL_V},
+    q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               ROUND({SQL_COS.format(a="q", b="c")}, 6) AS cosine
+        FROM q JOIN v c ON c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "topk"),
+)
+def ss_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for each query vector (vec_id < 5).
+
+    The query side is tiny → broadcast; the corpus streams through one
+    scan, so at 100 TB this is a single pass + a top-k per query.
+    """
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            F.round(_cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    return _ranked_topk(scored, TOP_K)
+
+
+# --- IVF ---------------------------------------------------------------------------
+
+
+@register(
+    "ss_ivf_topk",
+    oracle=f"""
+    WITH {SQL_V},
+    cents AS (SELECT * FROM v WHERE vec_id % {IVF_EVERY} = 0),
+    assign AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT x.vec_id, c.vec_id AS cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY ROUND({SQL_COS.format(a="x", b="c")}, 6) DESC, c.vec_id
+                   ) AS rn
+            FROM v x JOIN cents c ON TRUE
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT q_id, cent_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND({SQL_COS.format(a="q", b="c")}, 6) DESC, c.vec_id
+                   ) AS rn
+            FROM q JOIN cents c ON TRUE
+        ) WHERE rn <= {IVF_NPROBE}
+    ),
+    cands AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+        WHERE a.vec_id != p.q_id
+    ),
+    scored AS (
+        SELECT cd.q_id, cd.neighbor_id,
+               ROUND({SQL_COS.format(a="q", b="n")}, 6) AS cosine
+        FROM cands cd
+        JOIN v q ON q.vec_id = cd.q_id
+        JOIN v n ON n.vec_id = cd.neighbor_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def ss_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: probe the 3 nearest of the deterministic
+    centroid set (every 25th vector), search only those inverted lists.
+
+    The oracle reproduces the identical pruning, so this ANN operator is
+    value-checked end-to-end, recall loss included.
+    """
+    v = _vectors(spark, sf_dir)
+    cents = v.filter(F.col("vec_id") % IVF_EVERY == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+
+    def nearest_cents(side: DataFrame, id_col: str, n: int) -> DataFrame:
+        scored = side.join(F.broadcast(cents)).withColumn(
+            "c_cos",
+            F.round(
+                _cosine(F.col("emb"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")), 6
+            ),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("cent_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select(id_col, "cent_id")
+        )
+
+    assign = nearest_cents(v, "vec_id", 1)
+    q = v.filter(F.col("vec_id") < N_QUERIES)
+    probes = nearest_cents(
+        q.select(F.col("vec_id").alias("q_id"), "emb", "nrm"), "q_id", IVF_NPROBE
+    )
+    cands = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = v.select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    nv = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    scored = (
+        cands.join(F.broadcast(qv), "q_id")
+        .join(nv, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine(F.col("q_emb"), F.col("n_emb"), F.col("q_nrm"), F.col("n_nrm")),
+                6,
+            ),
+        )
+        .select("q_id", "neighbor_id", "cosine")
+    )
+    return _ranked_topk(scored, TOP_K)
+
+
+# --- random-hyperplane LSH ------------------------------------------------------------
+
+# Hyperplane j's weight for dimension k is ±1 from the portable hash of
+# "j:k" — identical in both engines, no randomness at runtime.
+_SPARK_BUCKET = f"""
+concat_ws('', transform(sequence(0, {LSH_PLANES - 1}), j ->
+    CASE WHEN aggregate(
+           zip_with(emb, sequence(0, size(emb) - 1), (x, k) ->
+               x * (CASE WHEN CAST(conv(substring(md5(concat(cast(j AS STRING), ':', cast(k AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END)),
+           cast(0.0 AS DOUBLE), (acc, x) -> acc + x) >= 0
+    THEN '1' ELSE '0' END))
+"""
+
+_DUCK_BUCKET = f"""
+array_to_string(list_transform(range(0, {LSH_PLANES}), j ->
+    CASE WHEN list_sum(list_transform(range(1, len(emb) + 1), k ->
+               emb[k] * (CASE WHEN CAST(('0x' || substr(md5(j::VARCHAR || ':' || (k-1)::VARCHAR), 1, 15)) AS BIGINT) % 2 = 0
+                         THEN 1.0 ELSE -1.0 END))) >= 0
+    THEN '1' ELSE '0' END), '')
+"""
+
+
+@register(
+    "ss_lsh_topk",
+    oracle=f"""
+    WITH {SQL_V},
+    b AS (SELECT vec_id, emb, nrm, {_DUCK_BUCKET} AS bucket FROM v),
+    q AS (SELECT * FROM b WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               ROUND({SQL_COS.format(a="q", b="c")}, 6) AS cosine
+        FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def ss_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k: search only the query's sign bucket.
+
+    12 hyperplanes with hash-derived ±1 weights → 12-bit bucket string →
+    equi-join on the bucket (a shuffle on the bucket key at scale, never a
+    crossJoin). Oracle reproduces the identical bucketing.
+    """
+    v = _vectors(spark, sf_dir).withColumn("bucket", F.expr(_SPARK_BUCKET))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        v.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(_cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    return _ranked_topk(scored, TOP_K)

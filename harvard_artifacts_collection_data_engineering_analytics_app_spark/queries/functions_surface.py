@@ -140,8 +140,8 @@ def fx_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            ROUND(ABS(o_totalprice - 100000), 6) AS abs_centered,
-           CEIL(o_totalprice / 1000) AS price_kilo_ceil,
-           FLOOR(o_totalprice / 1000) AS price_kilo_floor,
+           CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS price_kilo_ceil,
+           CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_kilo_floor,
            ROUND(SQRT(o_totalprice), 6) AS price_sqrt,
            ROUND(LN(o_totalprice + 1), 6) AS price_ln,
            CAST(o_orderkey % 7 AS BIGINT) AS key_mod7

@@ -50,7 +50,7 @@ def wf_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     )
@@ -75,8 +75,8 @@ def wf_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.col("l_orderkey") < 50).select(
         "l_returnflag",
         "l_quantity",
-        F.rank().over(w).alias("qty_rank"),
-        F.dense_rank().over(w).alias("qty_dense_rank"),
+        F.rank().over(w).cast("long").alias("qty_rank"),
+        F.dense_rank().over(w).cast("long").alias("qty_dense_rank"),
     )
 
 

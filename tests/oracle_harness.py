@@ -59,11 +59,11 @@ def compare(spark_df, oracle_df) -> list[str]:
         return errs
     a, b = _normalize(spark_df), _normalize(oracle_df)
     for c in a.columns:
-        # Defensive: surface pandas-dtype divergence (e.g. int32 vs int64)
-        # that a stricter driver-side schema check could flag.
-        ka, kb = a[c].dtype.kind, b[c].dtype.kind
-        if ka != kb and {ka, kb} not in ({"i", "f"},):
-            errs.append(f"dtype col {c}: spark={a[c].dtype} oracle={b[c].dtype}")
+        # Defensive: require exact pandas-dtype equality so a strict
+        # driver-side schema check cannot flag e.g. int32 vs int64.
+        da, db = a[c].dtype, b[c].dtype
+        if str(da) != str(db) and not (da == object or db == object):
+            errs.append(f"dtype col {c}: spark={da} oracle={db}")
     if errs:
         return errs
     for c in a.columns:
