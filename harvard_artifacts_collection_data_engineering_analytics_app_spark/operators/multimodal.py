@@ -1,1 +1,197 @@
-"""Placeholder — filled in as operators land."""
+"""Multimodal (binary) column conventions and processing plumbing.
+
+Convention: media payloads are opaque ``binary`` columns with typed
+metadata alongside (format tag, byte length, content hash). The decode /
+feature-extract step runs as Arrow-batched ``mapInPandas`` — the image and
+audio libraries are not in this container, so the decode itself is a
+clearly-marked stub (``decode_image``), while everything Spark-side —
+schema, batching, partitioning, UDF signature — is real and tested.
+
+At 100 TB: binary payloads dominate row size, so the pipeline projects
+metadata-only columns wherever possible (column pruning keeps payload IO
+away from non-decode stages) and repartitions before decode so Arrow
+batches are balanced across executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import load_table
+from ..queries.registry import register
+from ..session import ensure_analytics_conf
+
+# Magic-byte prefixes → format tag (the detection a real pipeline runs on
+# its blob column; our synthetic blobs are utf-8 text, hence 'unknown').
+MAGIC_PREFIXES: tuple[tuple[str, str], ...] = (
+    ("89504E47", "png"),
+    ("FFD8FF", "jpeg"),
+    ("47494638", "gif"),
+    ("25504446", "pdf"),
+    ("494433", "mp3"),
+    ("52494646", "riff"),
+)
+
+
+def detect_format(blob: F.Column) -> F.Column:
+    """Format tag from magic bytes — pure Catalyst (hex prefix compare)."""
+    head = F.upper(F.hex(F.substring(blob, 1, 4)))
+    expr = None
+    for prefix, tag in MAGIC_PREFIXES:
+        cond = head.startswith(prefix)
+        expr = F.when(cond, tag) if expr is None else expr.when(cond, tag)
+    return expr.otherwise(F.lit("unknown"))
+
+
+def with_blob_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Attach the standard metadata columns for a binary payload column."""
+    b = F.col(blob_col)
+    return df.withColumns(
+        {
+            "n_bytes": F.octet_length(b).cast("long"),
+            "content_sha256": F.sha2(b, 256),
+            "format": detect_format(b),
+        }
+    )
+
+
+# --- decode stage (mapInPandas plumbing; decode itself is stubbed) ------------
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("thumbnail", BinaryType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode one image payload. STUB — no imaging libs in this container.
+
+    A real deployment replaces this body with PIL/libvips; the Spark-side
+    plumbing (Arrow batches, schema, partitioning) is identical.
+    """
+    raise NotImplementedError("image decoding requires an imaging library")
+
+
+def fake_decode_image(payload: bytes) -> dict:
+    """Deterministic stand-in for decode_image used in tests/demo plans.
+
+    Derives fake dimensions from the payload bytes so results are stable
+    and verifiable without any imaging dependency.
+    """
+    n = len(payload)
+    width = (n % 640) + 16
+    height = ((n // 7) % 480) + 16
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "thumbnail": payload[:16],
+    }
+
+
+def decode_images(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    decoder=fake_decode_image,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed decode: Arrow-batched mapInPandas over the blob column.
+
+    ``decoder`` maps bytes → dict(width, height, n_pixels, thumbnail);
+    pass ``decode_image`` in a real deployment.
+    """
+    import pandas as pd  # local import: executors ship this closure
+
+    src = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(blob_col).alias("blob"),
+        detect_format(F.col(blob_col)).alias("format"),
+    )
+    if partitions:
+        src = src.repartition(partitions)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decoder(b) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "format": pdf["format"],
+                    "width": pd.array(
+                        [d["width"] for d in decoded], dtype="int32"
+                    ),
+                    "height": pd.array(
+                        [d["height"] for d in decoded], dtype="int32"
+                    ),
+                    "n_pixels": pd.array(
+                        [d["n_pixels"] for d in decoded], dtype="int64"
+                    ),
+                    "thumbnail": [d["thumbnail"] for d in decoded],
+                }
+            )
+
+    return src.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+# --- registered queries ---------------------------------------------------------
+
+
+@register(
+    "mm_blob_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256,  -- VARCHAR overload hashes utf-8 bytes
+           'unknown' AS format
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("multimodal", "binary"),
+)
+def mm_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction (bytes, sha256, magic-byte format).
+
+    The blob is synthesized from `text` (utf-8) since the testdata has no
+    real media; the operators are byte-level and format-agnostic.
+    """
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return with_blob_metadata(blobs).select(
+        "doc_id", "n_bytes", "content_sha256", "format"
+    )
+
+
+@register(
+    "mm_decode_pipeline",
+    oracle=None,  # mapInPandas decode is not SQL-expressible; rows-only check
+    tags=("multimodal", "decode", "pandas-udf"),
+)
+def mm_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode pipeline on synthetic blobs via Arrow-batched mapInPandas.
+
+    Uses the deterministic fake decoder (real decode_image is stubbed —
+    no imaging libs here); validates schema, batching and partitioning.
+    """
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return decode_images(blobs, partitions=4).drop("thumbnail")

@@ -1,0 +1,198 @@
+"""Structured Streaming pipelines over the ``events`` table.
+
+The reference has no streaming surface; this is the driver-mandated
+extension (SURVEY.md §7 phase 5) built entirely on Structured Streaming:
+
+- tumbling / sliding window aggregates with event-time watermarks
+- session windows with a 30-minute gap
+- stateful exact dedup bounded by a watermark
+  (``dropDuplicatesWithinWatermark``)
+- a custom stateful operator (per-user running totals) via
+  ``applyInPandasWithState``
+
+Batch-equivalent semantics are oracle-checked in queries/windows.py
+(tw_*); tests replay the parquet events with ``Trigger.AvailableNow`` and
+assert stream/batch equivalence.
+
+Scale: the file source shards by file; state stores partition by group key
+(watermarks bound state size; at 100 TB the watermark delay is the knob
+that trades late-data tolerance for state memory).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# events.parquet stores ts as TIMESTAMP(NANOS); the streaming reader needs
+# an explicit schema, so read ts as int64 nanos and convert (same trick as
+# catalog.load_table).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanoseconds (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of the events table (ts converted to timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        # file source requires a directory; select just the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type; late data beyond
+    the watermark is dropped, bounding state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "avg_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("window_start"), "cnt")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (30-minute gap) per user with watermarked state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful exact dedup on event_id, state bounded by the watermark.
+
+    The streaming analogue of the reference's INSERT IGNORE PK dedup
+    (harvard_artifacts_app.py:241) — duplicates arriving within the
+    watermark horizon are dropped exactly once.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+RUNNING_TOTAL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+RUNNING_TOTAL_STATE = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value total.
+
+    ``applyInPandasWithState`` — Arrow-batched, one state row per user;
+    state lives in the partitioned state store, so this scales with
+    #users, not #events.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last_ts = mx if last_ts is None else max(last_ts, mx)
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTAL_SCHEMA,
+        stateStructType=RUNNING_TOTAL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream: DataFrame,
+    table: str,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Execute a stream with Trigger.AvailableNow into a memory sink and
+    block until it drains — the deterministic replay harness for tests."""
+    writer = (
+        stream.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()

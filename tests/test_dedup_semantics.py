@@ -1,0 +1,47 @@
+"""Cross-operator dedup semantics: LSH candidates vs brute-force truth."""
+
+from __future__ import annotations
+
+from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries import (
+    registry,
+)
+
+SPECS = registry.all_specs()
+
+
+def _pairs(spark, sf_dir, name):
+    df = SPECS[name].builder(spark, sf_dir)
+    return {(r["a_id"], r["b_id"]) for r in df.select("a_id", "b_id").collect()}
+
+
+def test_lsh_is_subset_of_bruteforce(spark, oracle_sf_dir):
+    brute = _pairs(spark, oracle_sf_dir, "dd_ngram_jaccard")
+    lsh = _pairs(spark, oracle_sf_dir, "dd_minhash_lsh")
+    assert lsh <= brute  # exact verification ⇒ no false positives
+
+
+def test_lsh_full_recall_at_sf001(spark, oracle_sf_dir):
+    """On the planted near-dups (s ≈ 0.98) the 4×8 banding catches all."""
+    brute = _pairs(spark, oracle_sf_dir, "dd_ngram_jaccard")
+    lsh = _pairs(spark, oracle_sf_dir, "dd_minhash_lsh")
+    assert lsh == brute
+    assert len(brute) == 25  # the planted pair count at sf0.01
+
+
+def test_simhash_blocking_is_lossless(spark, oracle_sf_dir):
+    """Pigeonhole blocking must find every pair within Hamming ≤ 2 that a
+    direct signature comparison finds on the exact-duplicate groups."""
+    pairs = _pairs(spark, oracle_sf_dir, "dd_simhash_pairs")
+    # identical texts ⇒ identical simhash ⇒ hamming 0 ⇒ must be present
+    sim = {
+        r["doc_id"]: r["simhash"]
+        for r in SPECS["dd_simhash"].builder(spark, oracle_sf_dir).collect()
+    }
+    by_sig: dict[int, list[int]] = {}
+    for doc, s in sim.items():
+        by_sig.setdefault(s, []).append(doc)
+    for docs in by_sig.values():
+        docs = sorted(docs)
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                assert (docs[i], docs[j]) in pairs

@@ -1,0 +1,80 @@
+"""Physical-plan assertions: the 100-TB-readiness properties.
+
+These tests pin *how* queries execute, not just what they return:
+pushdown reaches the scan, projections prune columns, small dims
+broadcast, top-k avoids global sorts, aggregates combine map-side, and
+the dedup joins never degrade to cartesian products.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from harvard_artifacts_collection_data_engineering_analytics_app_spark.plans import (
+    explain as X,
+)
+from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries import (
+    registry,
+)
+
+SPECS = registry.all_specs()
+
+
+def _df(spark, sf_dir, name):
+    return SPECS[name].builder(spark, sf_dir)
+
+
+def test_flagship_pushdown_and_pruning(spark, sf_dir):
+    df = _df(spark, sf_dir, "flagship_pricing_summary")
+    pushed = " ".join(X.pushed_filters(df))
+    assert "l_shipdate" in pushed, "scan filter not pushed down"
+    schema = X.read_schemas(df)[0]
+    assert "l_orderkey" not in schema, "column pruning failed (reads join keys)"
+    assert X.has_partial_aggregate(df), "no map-side partial aggregation"
+
+
+def test_filter_query_pushdown(spark, sf_dir):
+    df = _df(spark, sf_dir, "rq01_conj_filter")
+    pushed = " ".join(X.pushed_filters(df))
+    assert "l_returnflag" in pushed and "l_linestatus" in pushed
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    assert X.uses_take_ordered(_df(spark, sf_dir, "rq04_topk"))
+    assert X.uses_take_ordered(_df(spark, sf_dir, "rq12_topk_over_agg"))
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    assert X.uses_broadcast_join(_df(spark, sf_dir, "rq16_dim_join_topk"))
+    assert X.uses_broadcast_join(_df(spark, sf_dir, "rq19_three_way_join"))
+
+
+def test_group_aggs_have_partial_phase(spark, sf_dir):
+    for name in ("rq05_group_count", "rq13_group_avg", "rq20_join_agg_topk"):
+        assert X.has_partial_aggregate(_df(spark, sf_dir, name)), name
+
+
+def test_dedup_joins_are_not_cartesian(spark, sf_dir):
+    for name in ("dd_ngram_jaccard", "dd_minhash_lsh"):
+        df = _df(spark, sf_dir, name)
+        assert not X.has_cartesian_product(df), f"{name} degraded to cartesian"
+
+
+def test_lsh_bucket_join_is_hash_join(spark, sf_dir):
+    # the LSH ANN must join on the bucket key, never nested-loop the corpus
+    df = _df(spark, sf_dir, "ss_lsh_topk")
+    assert not X.has_cartesian_product(df)
+
+
+def test_codegen_spans_exist(spark, sf_dir):
+    assert X.codegen_stage_count(_df(spark, sf_dir, "flagship_pricing_summary")) >= 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["rq02_distinct_filtered", "rq03_like_filter", "rq11_distinct"],
+)
+def test_simple_scans_prune_columns(spark, sf_dir, name):
+    schema = X.read_schemas(_df(spark, sf_dir, name))[0]
+    # a scan for a 1-3 column query must not read the whole table
+    assert schema.count(":") <= 4, f"{name} reads too many columns: {schema}"

@@ -1,0 +1,111 @@
+"""Structured Streaming tests: replay events.parquet with AvailableNow and
+assert stream results equal the batch-equivalent queries."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from harvard_artifacts_collection_data_engineering_analytics_app_spark.catalog import (
+    load_table,
+)
+from harvard_artifacts_collection_data_engineering_analytics_app_spark.streaming import (
+    pipelines as P,
+)
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir):
+    return P.read_events_stream(spark, sf_dir)
+
+
+def _batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_stream):
+    P.run_to_memory(P.tumbling_counts(events_stream), "t_tumbling")
+    got = {
+        (r["window_start"], r["event_type"]): (r["cnt"], r["avg_value"])
+        for r in spark.table("t_tumbling").collect()
+    }
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("window.start").alias("ws"), "event_type", "cnt", "avg_value")
+    )
+    want = {
+        (r["ws"], r["event_type"]): (r["cnt"], r["avg_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, events_stream):
+    P.run_to_memory(P.sliding_counts(events_stream), "t_sliding")
+    got = {
+        r["window_start"]: r["cnt"] for r in spark.table("t_sliding").collect()
+    }
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "cnt")
+    )
+    assert got == {r["ws"]: r["cnt"] for r in batch.collect()}
+
+
+def test_session_stream_equals_batch(spark, sf_dir, events_stream):
+    P.run_to_memory(P.session_counts(events_stream), "t_session")
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.table("t_session").collect()
+    }
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", F.col("session_window.start").alias("ss"), "n_events"
+        )
+    )
+    assert got == {(r["user_id"], r["ss"]): r["n_events"] for r in batch.collect()}
+
+
+def test_stream_dedup_drops_duplicates(spark, sf_dir, events_stream, tmp_path):
+    P.run_to_memory(
+        P.dedup_events(events_stream),
+        "t_dedup",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    out = spark.table("t_dedup")
+    n_batch = _batch_events(spark, sf_dir).select("event_id").distinct().count()
+    assert out.count() == n_batch
+    assert out.select("event_id").distinct().count() == n_batch
+
+
+def test_user_running_totals_state(spark, sf_dir, events_stream, tmp_path):
+    P.run_to_memory(
+        P.user_running_totals(events_stream),
+        "t_totals",
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("t_totals").collect()
+    }
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+    )
+    for r in batch.collect():
+        n, total = got[r["user_id"]]
+        assert n == r["n"]
+        assert abs(total - r["total"]) < 1e-4
