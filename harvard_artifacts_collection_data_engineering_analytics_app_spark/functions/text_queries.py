@@ -207,3 +207,32 @@ def tx_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "tx_levenshtein",
+    oracle="""
+    WITH p AS (SELECT doc_id, substr(text, 1, 60) AS prefix
+               FROM documents WHERE doc_id < 25)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_distance
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    """,
+    tags=("text", "similarity"),
+)
+def tx_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise edit distance between document prefixes (string similarity)."""
+    d = _t(spark, sf_dir, "documents")
+    p = d.filter(F.col("doc_id") < 25).select(
+        "doc_id", F.substring("text", 1, 60).alias("prefix")
+    )
+    a = p.select(F.col("doc_id").alias("a_id"), F.col("prefix").alias("pa"))
+    b = p.select(F.col("doc_id").alias("b_id"), F.col("prefix").alias("pb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein("pa", "pb").cast("int").alias("edit_distance"),
+        )
+    )

@@ -1,0 +1,123 @@
+"""As-of join: match each left row to the most recent right row at or
+before its timestamp, per key.
+
+Spark has no native ASOF JOIN; the scalable formulation is the
+union-and-carry trick — one shuffle on the key, no range explosion:
+
+1. tag left (probe) and right (reference) rows, union them;
+2. window per key ordered by (ts, side, id): ``last(right_payload,
+   ignorenulls=True)`` carries the latest reference row forward;
+3. keep probe rows.
+
+Right rows sort before left rows at equal timestamps, so semantics are
+``right.ts <= left.ts`` — matching DuckDB's ``ASOF LEFT JOIN`` with
+``ON l.ts >= r.ts`` used as the oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..queries.registry import register
+from ..session import ensure_analytics_conf
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: tuple[str, ...],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Backward as-of join (right.ts <= left.ts), per `on` key.
+
+    Returns left columns + the requested right payload columns (NULL when
+    no reference row precedes the probe).
+    """
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    rt = right.withColumn("_side", F.lit(0)).withColumn("_ats", F.col(right_ts))
+
+    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    rt = rt.withColumn("_payload", payload_struct)
+    lt = lt.withColumn("_payload", F.lit(None).cast(rt.schema["_payload"].dataType))
+
+    cols = [on, "_side", "_ats", "_payload"]
+    lcols = [c for c in left.columns if c != on]
+    merged = lt.select(*cols, *lcols).unionByName(
+        rt.select(*cols), allowMissingColumns=True
+    )
+
+    order = [F.col("_ats").asc(), F.col("_side").asc()]
+    if tie_break:
+        # tie-break among reference rows with identical timestamps; it
+        # lives inside the payload struct after the union (NULL on probe
+        # rows, which _side already orders last).
+        order.append(F.col(f"_payload.{tie_break}").asc_nulls_first())
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "_matched", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        on,
+        *lcols,
+        *[F.col(f"_matched.{c}").alias(f"asof_{c}") for c in right_payload],
+    )
+    return out
+
+
+@register(
+    "aj_purchase_last_click",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT event_id AS click_event_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.click_event_id AS asof_click_event_id,
+           c.click_ts AS asof_click_ts,
+           CAST(epoch_us(p.ts) - epoch_us(c.click_ts) AS BIGINT) AS micros_since_click
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    tags=("asof", "join", "events"),
+)
+def aj_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent click at-or-before it.
+
+    One shuffle on user_id regardless of table sizes — the canonical
+    event-attribution as-of join.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=("click_event_id", "click_ts"),
+        tie_break="click_event_id",
+    )
+    return joined.withColumn(
+        "micros_since_click",
+        (F.unix_micros("ts") - F.unix_micros("asof_click_ts")).cast("bigint"),
+    )

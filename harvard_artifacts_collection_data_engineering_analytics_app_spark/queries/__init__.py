@@ -13,6 +13,7 @@ def load_all() -> None:
     from . import reference_parity  # noqa: F401
     from . import functions_surface  # noqa: F401
     from . import windows  # noqa: F401
+    from ..operators import asof  # noqa: F401
     from ..operators import dedup  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..operators import multimodal  # noqa: F401

@@ -546,3 +546,107 @@ def fx_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
     )
+
+
+@register(
+    "fx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_extendedprice), 6) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def fx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and interpolated percentiles (both engines use the
+    linear-interpolation definition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 6).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95_price"),
+    )
+
+
+@register(
+    "fx_approx_count_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_cnt, TRUE AS approx_within_5pct
+    FROM lineitem
+    """,
+    tags=("agg", "approx"),
+)
+def fx_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count with a self-checking error bound.
+
+    The sketch value itself is engine-specific, so the oracle-checked
+    output is the exact count plus a boolean asserting the approximation
+    landed within 5% — the accuracy claim is what gets value-checked.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_cnt"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_cnt"),
+    )
+    return agg.select(
+        "exact_cnt",
+        (
+            F.abs(F.col("approx_cnt") - F.col("exact_cnt"))
+            / F.col("exact_cnt").cast("double")
+            <= 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
+@register(
+    "fx_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def fx_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) over a known value set."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+@register(
+    "fx_hash_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15)) AS BIGINT) % 20 = 0
+    """,
+    tags=("sample",),
+)
+def fx_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% bernoulli sample via the portable hash.
+
+    Unlike rand()-based sampling this is reproducible across engines and
+    runs — the property a training-data pipeline needs for held-out
+    splits.
+    """
+    o = _t(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    return o.filter(h % 20 == 0).select("o_orderkey", "o_totalprice")

@@ -16,8 +16,15 @@ SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    # fresh warehouse dir per session: stale managed-table locations from a
+    # previous run would collide with a new in-memory catalog
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = get_spark(
+        app_name="tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
 
 
