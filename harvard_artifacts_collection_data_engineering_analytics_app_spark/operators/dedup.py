@@ -446,39 +446,43 @@ def dd_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py. Ordering uses the rounded cosine plus id
     tie-breakers so last-bit float divergence cannot reorder results.
     """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
     ensure_analytics_conf(spark)
     e = load_table(spark, sf_dir, "embeddings")
-    v = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-    ).withColumn(
-        "nrm",
-        F.sqrt(
-            F.aggregate(
-                F.transform("emb", lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+
+    # Corpus matrix rides to executors in the task closure (float64,
+    # n×64 — ~1 MB at sf0.1; a true all-pairs baseline is only meaningful
+    # while this fits broadcast). Each partition streams its rows through
+    # one BLAS matmul per Arrow batch; a per-pair expression formulation
+    # measured 12 s at sf0.1 vs ~1 s for this.
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype="int64")
+    mat = np.array([r["embedding"] for r in rows], dtype="float64")
+    norms = np.sqrt((mat * mat).sum(axis=1))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            a_mat = np.array(list(pdf["embedding"]), dtype="float64")
+            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = (a_mat @ mat.T) / np.outer(a_norm, norms)
+            ai, bi = np.nonzero(a_ids[:, None] < ids[None, :])
+            yield pd.DataFrame(
+                {
+                    "a_id": a_ids[ai],
+                    "b_id": ids[bi],
+                    "cosine_raw": sims[ai, bi],
+                }
             )
-        ),
+
+    pairs = e.select("vec_id", "embedding").mapInPandas(
+        score, "a_id long, b_id long, cosine_raw double"
     )
-    a = v.select(
-        F.col("vec_id").alias("a_id"), F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("b_id"), F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    dot = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0))
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", F.round(cos, 6))
+        pairs.select("a_id", "b_id", F.round("cosine_raw", 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("a_id"), F.asc("b_id"))
         .limit(20)
-        .select("a_id", "b_id", "cosine")
     )

@@ -128,6 +128,75 @@ def ss_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topk(scored, TOP_K)
 
 
+@register(
+    "ss_brute_topk_numpy",
+    oracle=f"""
+    WITH {SQL_V},
+    q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               ROUND({SQL_COS.format(a="q", b="c")}, 6) AS cosine
+        FROM q JOIN v c ON c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "topk", "pandas-udf"),
+)
+def ss_brute_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as ss_brute_topk, scored with Arrow-batched numpy.
+
+    The Arrow fast path for vector workloads: query vectors (tiny) are
+    captured in the task closure as a dense float64 matrix; each corpus
+    partition streams through one BLAS matmul per Arrow batch instead of
+    per-pair interpreted HOF evaluation. Rounding happens JVM-side so the
+    ordering contract is identical to the expression version.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype="int64")
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype="float64")
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            mat = np.array(list(pdf["embedding"]), dtype="float64")
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            sims = (mat @ q_mat.T) / np.outer(norms, q_norm)  # (n, n_q)
+            n, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n),
+                    "neighbor_id": np.repeat(ids, n_q),
+                    "cosine_raw": sims.reshape(-1),
+                }
+            )
+
+    scored = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(score, "q_id long, neighbor_id long, cosine_raw double")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine"))
+    )
+    return _ranked_topk(scored, TOP_K)
+
+
 # --- IVF ---------------------------------------------------------------------------
 
 
