@@ -35,12 +35,15 @@ HEADLINE = [
     "rq17_join_sort",
     "rq12_topk_over_agg",
     "rq14_join_nullfilter",
-    # extension operators (registered in later milestones; skipped if absent)
     "dd_minhash_lsh",
     "dd_exact_stats",
     "ss_brute_topk",
+    "ss_brute_topk_numpy",
     "tx_quality_score",
     "tw_tumbling_hourly",
+    "aj_purchase_last_click",
+    "wf_topn_per_group",
+    "fx_date_extract",
 ]
 
 

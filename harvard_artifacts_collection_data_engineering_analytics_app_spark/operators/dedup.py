@@ -181,64 +181,109 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH ---------------------------------------------------------------
 
 
-def _seeded_hash(i: F.Column, s: F.Column) -> F.Column:
-    return F.conv(
-        F.substring(F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 1, 15), 16, 10
-    ).cast("bigint")
+# MinHash family: h_i(s) = (A_i · (base(s) mod 2³⁰) + B_i) mod 2⁶¹-1, with
+# base(s) the portable md5 hash. One md5 per shingle instead of one per
+# (seed, shingle) — 32× less hashing — and A_i·x stays < 2⁶¹ so the
+# arithmetic can't overflow in either engine (DuckDB errors on int64
+# overflow; Spark would silently wrap).
+MINHASH_MOD = (1 << 61) - 1
+MINHASH_BASE_MOD = 1 << 30
 
 
-def minhash_signature(sh: F.Column, num_hashes: int = NUM_HASHES) -> F.Column:
-    """array<bigint> MinHash signature over a shingle array column."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: _seeded_hash(i, s))),
+def _affine_coeffs(i: int) -> tuple[int, int]:
+    a = 2 * i + 1_000_003  # odd multipliers, fixed constants
+    b = 7_000_003 * (i + 1)
+    return a, b
+
+
+def _base_hash(s: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def shingle_base_hashes(sh: F.Column) -> F.Column:
+    """array<bigint>: the one-md5-per-shingle base hash array.
+
+    Materialize this as a real column *below an exchange* before feeding
+    it to band_hashes — otherwise projection collapse inlines the md5
+    transform into all 32 minhash expressions (32× the hashing).
+    """
+    return F.transform(sh, _base_hash)
+
+
+def _minhash_i(hs: F.Column, i: int) -> F.Column:
+    a, b = _affine_coeffs(i)
+    return F.array_min(
+        F.transform(hs, lambda h: (h % MINHASH_BASE_MOD) * a % MINHASH_MOD + b)
     )
 
 
+def minhash_signature(hs: F.Column, num_hashes: int = NUM_HASHES) -> F.Column:
+    """array<bigint> MinHash signature over a base-hash array column."""
+    return F.array(*[_minhash_i(hs, i) for i in range(num_hashes)])
+
+
 def band_hashes(
-    sh: F.Column,
+    hs: F.Column,
     num_bands: int = NUM_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
 ) -> F.Column:
-    """array<string> of LSH band keys, computed directly from the shingles.
+    """array<string> of LSH band keys from the base-hash array.
 
-    Deliberately NOT derived from a separate signature column: projection
-    collapse would inline the full signature expression into every band
-    slice and recompute all minhashes per band (measured 30× slower).
-    Here each minhash is evaluated exactly once, inside its band.
+    Each minhash is a cheap affine min over the (materialized) base
+    hashes, evaluated exactly once inside its band.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sequence(b * rows_per_band, (b + 1) * rows_per_band - 1),
-                    lambda i: F.array_min(
-                        F.transform(sh, lambda s: _seeded_hash(i, s))
-                    ).cast("string"),
-                ),
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        _minhash_i(hs, b * rows_per_band + r).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
             )
-        ),
+            for b in range(num_bands)
+        ]
     )
 
 
 # DuckDB mirror of the FULL LSH pipeline (portable hashes ⇒ identical band
 # buckets), so the oracle matches at every scale factor regardless of LSH
 # recall — the approximation itself is value-checked, like ss_lsh_topk.
+
+
+def _duck_band_exprs() -> str:
+    """UNION ALL selects — one per band — generated from the same affine
+    coefficients the Spark expressions use."""
+    selects = []
+    for b in range(NUM_BANDS):
+        parts = []
+        for r in range(ROWS_PER_BAND):
+            a, c = _affine_coeffs(b * ROWS_PER_BAND + r)
+            parts.append(
+                f"list_min(list_transform(hs, h -> "
+                f"(h % {MINHASH_BASE_MOD}) * {a} % {MINHASH_MOD} + {c}))::VARCHAR"
+            )
+        joined = " || ',' || ".join(parts)
+        selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({joined}) AS band_hash FROM shn"
+        )
+    return " UNION ALL ".join(selects)
+
+
 _DUCK_MINHASH_LSH = f"""
     WITH sh AS (
         SELECT doc_id, {SQL_SHINGLES3} AS s FROM documents
     ),
-    shn AS (SELECT * FROM sh WHERE len(s) > 0),
+    shn AS (
+        SELECT doc_id, s,
+               list_transform(s, x ->
+                   CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+        FROM sh WHERE len(s) > 0
+    ),
     bands AS (
-        SELECT doc_id, b AS band_idx,
-               md5(array_to_string(list_transform(
-                   range(b * {ROWS_PER_BAND}, (b + 1) * {ROWS_PER_BAND}),
-                   i -> list_min(list_transform(s,
-                        x -> CAST(('0x' || substr(md5(i::VARCHAR || ':' || x), 1, 15)) AS BIGINT)
-                   ))::VARCHAR), ',')) AS band_hash
-        FROM shn, (SELECT UNNEST(range(0, {NUM_BANDS})) AS b)
+        {_duck_band_exprs()}
     ),
     cands AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -276,15 +321,20 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB only the (band_idx, band_hash) buckets shuffle — candidates are
     a vanishing fraction of n².
     """
-    # Repartition barrier: materializes the shingle arrays once behind an
-    # Exchange, which (a) stops projection collapse from inlining the
-    # shingle expression into all 32 minhash computations and (b) lets
-    # ReuseExchange share one materialization across the bands / verify
-    # branches. At scale this is also the load-balancing step before LSH.
-    d = _shingle_relation(_docs(spark, sf_dir)).repartition("doc_id")
+    # Repartition barrier: materializes the shingle + base-hash arrays
+    # once behind an Exchange, which (a) stops projection collapse from
+    # inlining the md5 transform into all 32 minhash computations and
+    # (b) lets ReuseExchange share one materialization across the bands /
+    # verify branches. At scale this is also the load-balancing step
+    # before LSH.
+    d = (
+        _shingle_relation(_docs(spark, sf_dir))
+        .withColumn("hs", shingle_base_hashes(F.col("sh")))
+        .repartition("doc_id")
+    )
     bands = d.select(
         "doc_id",
-        F.posexplode(band_hashes(F.col("sh"))).alias("band_idx", "band_hash"),
+        F.posexplode(band_hashes(F.col("hs"))).alias("band_idx", "band_hash"),
     )
     ba, bb = bands.alias("ba"), bands.alias("bb")
     candidates = (
