@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries import (
@@ -54,25 +55,31 @@ def main() -> None:
     names = [n for n in HEADLINE if n in specs]
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in names:
         builder = specs[name].builder
-        builder(spark, SF_DIR).count()  # warm-up (JIT, file listing, AQE stats)
-        t0 = time.perf_counter()
-        builder(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            builder(spark, SF_DIR).count()  # warm-up (JIT, listing, AQE stats)
+            t0 = time.perf_counter()
+            builder(spark, SF_DIR).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # a broken query must not sink the bench,
+            # but it must be loud and must NOT shrink the headline total
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            failed.append(name)
+            timings[name] = -1.0
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(t for t in timings.values() if t >= 0), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failed:
+        result["failed"] = failed
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -181,19 +181,29 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH ---------------------------------------------------------------
 
 
-# MinHash family: h_i(s) = (A_i · (base(s) mod 2³⁰) + B_i) mod 2⁶¹-1, with
-# base(s) the portable md5 hash. One md5 per shingle instead of one per
-# (seed, shingle) — 32× less hashing — and A_i·x stays < 2⁶¹ so the
-# arithmetic can't overflow in either engine (DuckDB errors on int64
-# overflow; Spark would silently wrap).
-MINHASH_MOD = (1 << 61) - 1
-MINHASH_BASE_MOD = 1 << 30
+# MinHash family: h_i(s) = (A_i · x + B_i) mod P with P = 2³¹−1 (Mersenne
+# prime) and x = base(s) mod P, base(s) the portable md5 hash. One md5 per
+# shingle instead of one per (seed, shingle) — 32× less hashing. The
+# universal-hash requirements that make the family non-degenerate:
+# A_i·x ≈ 2⁶² ≫ P, so the modulus actually wraps and each h_i has a
+# DIFFERENT argmin shingle (a multiplier small enough that A_i·x < P would
+# make every h_i monotone in x — all 32 hashes would select the same
+# shingle and LSH recall would collapse to a single-hash family). A_i·x
+# stays < 2⁶³ so the arithmetic can't overflow in either engine (DuckDB
+# errors on int64 overflow; Spark would silently wrap).
+MINHASH_MOD = (1 << 31) - 1
+
+import random as _random  # noqa: E402  (deterministic module-level constants)
+
+_rng = _random.Random(0xC0FFEE)
+_AFFINE = [
+    (_rng.randrange(1, MINHASH_MOD), _rng.randrange(0, MINHASH_MOD))
+    for _ in range(NUM_HASHES)
+]
 
 
 def _affine_coeffs(i: int) -> tuple[int, int]:
-    a = 2 * i + 1_000_003  # odd multipliers, fixed constants
-    b = 7_000_003 * (i + 1)
-    return a, b
+    return _AFFINE[i]
 
 
 def _base_hash(s: F.Column) -> F.Column:
@@ -213,7 +223,7 @@ def shingle_base_hashes(sh: F.Column) -> F.Column:
 def _minhash_i(hs: F.Column, i: int) -> F.Column:
     a, b = _affine_coeffs(i)
     return F.array_min(
-        F.transform(hs, lambda h: (h % MINHASH_BASE_MOD) * a % MINHASH_MOD + b)
+        F.transform(hs, lambda h: ((h % MINHASH_MOD) * a + b) % MINHASH_MOD)
     )
 
 
@@ -263,7 +273,7 @@ def _duck_band_exprs() -> str:
             a, c = _affine_coeffs(b * ROWS_PER_BAND + r)
             parts.append(
                 f"list_min(list_transform(hs, h -> "
-                f"(h % {MINHASH_BASE_MOD}) * {a} % {MINHASH_MOD} + {c}))::VARCHAR"
+                f"((h % {MINHASH_MOD}) * {a} + {c}) % {MINHASH_MOD}))::VARCHAR"
             )
         joined = " || ',' || ".join(parts)
         selects.append(

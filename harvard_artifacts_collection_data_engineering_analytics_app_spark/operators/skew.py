@@ -24,11 +24,22 @@ def salted_group_agg(
     df: DataFrame,
     key: str,
     value: str,
+    salt_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """count/sum/avg per key via salt → partial agg → final agg."""
-    salted = df.withColumn(
-        "_salt", (F.crc32(F.col(key).cast("string")) % SALT).cast("int")
+    """count/sum/avg per key via salt → partial agg → final agg.
+
+    The salt must be a per-ROW source (here: a hash over row content
+    columns), never a function of the group key alone — salting by the
+    key would give every row of a hot key the same salt and change
+    nothing. The final result is salt-invariant, which is what the
+    oracle checks.
+    """
+    salt_src = (
+        F.concat_ws("|", *[F.col(c).cast("string") for c in salt_cols])
+        if salt_cols
+        else F.monotonically_increasing_id().cast("string")
     )
+    salted = df.withColumn("_salt", (F.crc32(salt_src) % SALT).cast("int"))
     partial = salted.groupBy(key, "_salt").agg(
         F.count("*").alias("_cnt"),
         F.sum(F.round(F.col(value) * 100).cast("bigint")).alias("_sum_cents"),
@@ -63,6 +74,9 @@ def sk_salted_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain single-shuffle aggregation, proving result equivalence."""
     ensure_analytics_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return salted_group_agg(li, "l_returnflag", "l_quantity").withColumnRenamed(
-        "l_returnflag", "l_returnflag"
+    return salted_group_agg(
+        li,
+        "l_returnflag",
+        "l_quantity",
+        salt_cols=("l_orderkey", "l_partkey", "l_linenumber", "l_quantity"),
     )

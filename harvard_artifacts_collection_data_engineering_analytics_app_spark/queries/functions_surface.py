@@ -629,6 +629,76 @@ def fx_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REGR_ORACLE = """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(regr_slope(value, epoch_us(ts) / 1000000.0), 6) AS value_trend
+    FROM events
+    WHERE user_id < 10
+    GROUP BY user_id
+    """
+
+
+@register(
+    "fx_regr_slope",
+    oracle=_REGR_ORACLE,
+    tags=("agg", "regression"),
+)
+def fx_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event value over time (built-in regr_slope)."""
+    e = _t(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(1_000_000.0)
+    return (
+        e.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.regr_slope(F.col("value"), x), 6).alias("value_trend"),
+        )
+    )
+
+
+@register(
+    "pd_user_trend",
+    oracle=_REGR_ORACLE,
+    tags=("agg", "regression", "pandas-udf"),
+)
+def pd_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same statistic via a custom grouped-map applyInPandas aggregation.
+
+    Demonstrates the batch Arrow grouped-map path (custom per-group Python
+    logic) while staying value-checked: numpy least squares must agree
+    with the SQL regr_slope oracle to 1e-6.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+
+    def trend(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_all = len(pdf)
+        uid = int(pdf["user_id"].iloc[0])  # before dropna: group key always present
+        # regr_slope semantics: NULL pairs are excluded row-wise, and the
+        # zero-variance / single-point case yields NULL (not NaN).
+        pdf = pdf.dropna(subset=["ts", "value"])
+        x = pdf["ts"].astype("int64").to_numpy() / 1e9  # ns → seconds
+        y = pdf["value"].to_numpy(dtype="float64")
+        xc = x - x.mean() if len(x) else x
+        denom = (xc * xc).sum()
+        slope = round(float((xc * (y - y.mean())).sum() / denom), 6) if denom else None
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [n_all],
+                "value_trend": [slope],
+            }
+        )
+
+    return e.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
+        trend, "user_id long, n_events long, value_trend double"
+    )
+
+
 @register(
     "fx_hash_sample",
     oracle="""

@@ -28,6 +28,34 @@ def test_lsh_full_recall_at_sf001(spark, oracle_sf_dir):
     assert len(brute) == 25  # the planted pair count at sf0.01
 
 
+def test_minhash_family_is_not_degenerate():
+    """The 32 affine hash functions must select DIFFERENT argmin shingles.
+
+    Regression guard: a multiplier/modulus choice where A·x never wraps
+    the modulus makes every h_i monotone in the base hash — all hashes
+    pick the same shingle and LSH recall collapses to a single-hash
+    family (found in review; the banding math is void in that regime).
+    """
+    import hashlib
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.dedup import (
+        MINHASH_MOD,
+        NUM_HASHES,
+        _affine_coeffs,
+    )
+
+    def base(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    hs = [base(f"tok{i} tok{i + 1} tok{i + 2}") for i in range(200)]
+    argmins = set()
+    for i in range(NUM_HASHES):
+        a, b = _affine_coeffs(i)
+        vals = [((h % MINHASH_MOD) * a + b) % MINHASH_MOD for h in hs]
+        argmins.add(vals.index(min(vals)))
+    assert len(argmins) > NUM_HASHES // 2
+
+
 def test_simhash_blocking_is_lossless(spark, oracle_sf_dir):
     """Pigeonhole blocking must find every pair within Hamming ≤ 2 that a
     direct signature comparison finds on the exact-duplicate groups."""
