@@ -629,6 +629,82 @@ def fx_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fx_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    tags=("agg", "groupingsets"),
+)
+def fx_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): two independent
+    one-dimension subtotals plus the grand total."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS cnt
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "fx_exists_correlated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.5
+    )
+    """,
+    tags=("subquery", "semijoin"),
+)
+def fx_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with an extra predicate → left-semi join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49.5)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "fx_lateral_explode",
+    oracle="""
+    SELECT e.vec_id,
+           CAST(u.i - 1 AS INTEGER) AS pos,
+           ROUND(e.embedding[u.i]::DOUBLE, 6) AS component
+    FROM embeddings e, (SELECT UNNEST(range(1, 4)) AS i) u
+    WHERE e.vec_id < 20
+    """,
+    tags=("array", "explode"),
+)
+def fx_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (lateral view) of the first 3 embedding components."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") < 20)
+        .select(
+            "vec_id",
+            F.posexplode(F.slice("embedding", 1, 3)).alias("pos", "component"),
+        )
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.round(F.col("component").cast("double"), 6).alias("component"),
+        )
+    )
+
+
 _REGR_ORACLE = """
     SELECT user_id,
            COUNT(*) AS n_events,
