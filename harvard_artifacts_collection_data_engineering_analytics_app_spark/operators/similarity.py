@@ -178,7 +178,10 @@ def ss_brute_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["vec_id"].to_numpy(dtype="int64")
             mat = np.array(list(pdf["embedding"]), dtype="float64")
             norms = np.sqrt((mat * mat).sum(axis=1))
-            sims = (mat @ q_mat.T) / np.outer(norms, q_norm)  # (n, n_q)
+            denom = np.outer(norms, q_norm)  # (n, n_q)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (mat @ q_mat.T) / denom
+            sims[denom == 0] = np.nan  # zero-norm ⇒ NULL downstream
             n, n_q = sims.shape
             yield pd.DataFrame(
                 {
@@ -188,11 +191,18 @@ def ss_brute_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    raw = F.col("cosine_raw")
     scored = (
         e.select("vec_id", "embedding")
         .mapInPandas(score, "q_id long, neighbor_id long, cosine_raw double")
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine"))
+        # NaN would rank FIRST under desc sort in Spark; the expression
+        # path and the oracle produce NULL (ranked last) via nullif
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(F.when(F.isnan(raw), None).otherwise(raw), 6).alias("cosine"),
+        )
     )
     return _ranked_topk(scored, TOP_K)
 
@@ -288,7 +298,9 @@ def ss_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    qv = v.select(
+    # broadcast only the N_QUERIES query vectors — broadcasting the full
+    # corpus here would defeat the IVF pruning at scale
+    qv = q.select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )

@@ -791,8 +791,8 @@ def fx_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs — the property a training-data pipeline needs for held-out
     splits.
     """
+    from ..functions.text import portable_hash60
+
     o = _t(spark, sf_dir, "orders")
-    h = F.conv(
-        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
+    h = portable_hash60(F.col("o_orderkey").cast("string"))
     return o.filter(h % 20 == 0).select("o_orderkey", "o_totalprice")

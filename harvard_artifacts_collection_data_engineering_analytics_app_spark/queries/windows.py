@@ -196,13 +196,13 @@ def tw_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tw_session_30m",
     oracle="""
     WITH ordered AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         FROM events
         WHERE user_id < 20
     ),
     flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN prev_ts IS NULL
                          OR ts >= prev_ts + INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS is_new_session
@@ -210,8 +210,11 @@ def tw_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessioned AS (
         SELECT user_id, ts, value,
+               -- the running sum must use the SAME total order as LAG
+               -- (ts, event_id): with ts-only ordering, tied-timestamp
+               -- rows at a session boundary could land in either session
                SUM(is_new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_id
         FROM flagged

@@ -135,7 +135,14 @@ RUNNING_TOTAL_SCHEMA = StructType(
     ]
 )
 RUNNING_TOTAL_STATE = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        # epoch micros of the max event time seen so far — must live in
+        # state, else a later micro-batch with earlier events would emit a
+        # last_ts that moves backwards
+        StructField("last_us", LongType()),
+    ]
 )
 
 
@@ -152,20 +159,19 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        n, total = state.get if state.exists else (0, 0.0)
-        last_ts = None
+        n, total, last_us = state.get if state.exists else (0, 0.0, None)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-            mx = pdf["ts"].max()
-            last_ts = mx if last_ts is None else max(last_ts, mx)
-        state.update((n, float(total)))
+            mx = int(pdf["ts"].max().value // 1_000)  # ns → µs
+            last_us = mx if last_us is None else max(last_us, mx)
+        state.update((n, float(total), last_us))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
                 "total_value": [round(total, 6)],
-                "last_ts": [last_ts],
+                "last_ts": [pd.Timestamp(last_us * 1_000)],
             }
         )
 

@@ -20,7 +20,7 @@ from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries i
 
 from .oracle_harness import compare
 
-ROWCOUNT_ONLY = AT.NONDETERMINISTIC_LIMIT | {"q4", "q12", "q20"}
+ROWCOUNT_ONLY = AT.NONDETERMINISTIC_LIMIT
 
 CULTURES = ["Byzantine", "Greek", "Roman", "Egyptian", ""]
 CENTURIES = ["11th century", "12th century", "5th century BCE", ""]

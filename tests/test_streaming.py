@@ -86,6 +86,47 @@ def test_stream_dedup_drops_duplicates(spark, sf_dir, events_stream, tmp_path):
     assert out.select("event_id").distinct().count() == n_batch
 
 
+def test_running_totals_last_ts_across_out_of_order_batches(spark, sf_dir, tmp_path):
+    """last_ts must live in state: a later micro-batch containing EARLIER
+    events must not move the emitted last_ts backwards."""
+    batch = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    src = tmp_path / "src"
+    # write newest half first, oldest half second → with maxFilesPerTrigger=1
+    # the second micro-batch has strictly earlier timestamps
+    median = batch.approxQuantile("event_id", [0.5], 0.0)[0]
+    newer = batch.filter(F.col("event_id") >= median)
+    older = batch.filter(F.col("event_id") < median)
+    newer.write.parquet(str(src / "b0"))
+    older.write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema(newer.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    P.run_to_memory(
+        P.user_running_totals(stream),
+        "t_totals_ooo",
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt_ooo"),
+    )
+    # memory sink in update mode appends each batch's updates; keep the last
+    import pandas as pd
+
+    out = spark.table("t_totals_ooo").toPandas()
+    final = out.groupby("user_id").last()
+    want = {
+        r["user_id"]: (r["n"], r["mx"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("ts").alias("mx"))
+        .collect()
+    }
+    for uid, row in final.iterrows():
+        n, mx = want[uid]
+        assert row["n_events"] == n
+        assert pd.Timestamp(row["last_ts"]) == pd.Timestamp(mx)
+
+
 def test_user_running_totals_state(spark, sf_dir, events_stream, tmp_path):
     P.run_to_memory(
         P.user_running_totals(events_stream),
