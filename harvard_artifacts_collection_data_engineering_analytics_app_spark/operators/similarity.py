@@ -6,9 +6,10 @@ Three operators:
 - ``ss_ivf_topk``    — IVF: deterministic coarse quantizer (every 25th
   vector is a centroid), assign → probe nearest 3 lists → search only
   those lists. The scale path: candidate set shrinks ~nprobe/nlist.
-- ``ss_lsh_topk``    — random-hyperplane LSH: 12 pseudo-random ±1
-  hyperplanes derived from the portable hash → sign bucket → search within
-  bucket only.
+- ``ss_lsh_topk``    — multi-table random-hyperplane LSH: 8 tables × 6
+  pseudo-random ±1 hyperplanes (weights derived from md5, inlined as
+  literals) → per-table sign bucket → candidates = union of same-bucket
+  vectors across tables (OR-amplification).
 
 Everything is deterministic (centroid choice, hyperplanes, tie-breaks), so
 each operator has a full value-level DuckDB oracle — including the ANN
@@ -31,7 +32,6 @@ N_QUERIES = 5  # query vectors: vec_id < 5
 TOP_K = 10
 IVF_EVERY = 25  # centroids: vec_id % 25 == 0
 IVF_NPROBE = 3
-LSH_PLANES = 12
 
 # --- shared Spark fragments -----------------------------------------------------
 
@@ -325,37 +325,78 @@ def ss_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- random-hyperplane LSH ------------------------------------------------------------
 
-# Hyperplane j's weight for dimension k is ±1 from the portable hash of
-# "j:k" — identical in both engines, no randomness at runtime.
-_SPARK_BUCKET = f"""
-concat_ws('', transform(sequence(0, {LSH_PLANES - 1}), j ->
-    CASE WHEN aggregate(
-           zip_with(emb, sequence(0, size(emb) - 1), (x, k) ->
-               x * (CASE WHEN CAST(conv(substring(md5(concat(cast(j AS STRING), ':', cast(k AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0
-                    THEN 1.0 ELSE -1.0 END)),
-           cast(0.0 AS DOUBLE), (acc, x) -> acc + x) >= 0
-    THEN '1' ELSE '0' END))
-"""
+# Multi-table (OR-amplified) random-hyperplane LSH: LSH_TABLES hash
+# tables of LSH_BITS sign bits each.  A single 12-bit table over this
+# corpus (≤2000 vectors, 4096 buckets) finds ~zero collisions; 8 tables
+# × 6 bits keeps per-table selectivity (~1/64 of the corpus for
+# near-orthogonal pairs) while OR-ing candidates across tables — the
+# textbook recall amplification.  Plane weights are ±1 derived from
+# md5("t:j:k"), computed ONCE here in the driver and inlined as literals
+# in BOTH engines: no per-row hashing, no runtime randomness.
+LSH_TABLES = 8
+LSH_BITS = 6
+_LSH_DIM = 64  # embeddings table is fixed 64-dim (TESTDATA.md)
 
-_DUCK_BUCKET = f"""
-array_to_string(list_transform(range(0, {LSH_PLANES}), j ->
-    CASE WHEN list_sum(list_transform(range(1, len(emb) + 1), k ->
-               emb[k] * (CASE WHEN CAST(('0x' || substr(md5(j::VARCHAR || ':' || (k-1)::VARCHAR), 1, 15)) AS BIGINT) % 2 = 0
-                         THEN 1.0 ELSE -1.0 END))) >= 0
-    THEN '1' ELSE '0' END), '')
-"""
+
+def _plane_weight(t: int, j: int, k: int) -> float:
+    import hashlib
+
+    h = int(hashlib.md5(f"{t}:{j}:{k}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+_LSH_W = [
+    [[_plane_weight(t, j, k) for k in range(_LSH_DIM)] for j in range(LSH_BITS)]
+    for t in range(LSH_TABLES)
+]
+
+
+def _spark_buckets_expr() -> str:
+    """array<int> of LSH_TABLES bucket ids, one per hash table."""
+    tables = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for j in range(LSH_BITS):
+            w = ",".join(f"{x}D" for x in _LSH_W[t][j])
+            bits.append(
+                f"(CASE WHEN aggregate(zip_with(emb, array({w}), "
+                f"(x, w) -> x * w), cast(0.0 AS DOUBLE), (a, x) -> a + x) >= 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        tables.append("cast(" + " + ".join(bits) + " AS INT)")
+    return "array(" + ", ".join(tables) + ")"
+
+
+def _duck_weights_literal() -> str:
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join("[" + ", ".join(str(x) for x in row) + "]" for row in tbl) + "]"
+            for tbl in _LSH_W
+        )
+        + "]"
+    )
 
 
 @register(
     "ss_lsh_topk",
     oracle=f"""
     WITH {SQL_V},
-    b AS (SELECT vec_id, emb, nrm, {_DUCK_BUCKET} AS bucket FROM v),
+    w AS (SELECT {_duck_weights_literal()} AS W),
+    b AS (
+        SELECT v.vec_id, v.emb, v.nrm, tb.tbl,
+               list_sum(list_transform(range(1, {LSH_BITS} + 1), j ->
+                   CASE WHEN list_sum(list_transform(range(1, len(v.emb) + 1), k ->
+                              v.emb[k] * w.W[tb.tbl + 1][j][k])) >= 0
+                        THEN 1 << (j - 1) ELSE 0 END)) AS bucket
+        FROM v, (SELECT UNNEST(range(0, {LSH_TABLES})) AS tbl) tb, w
+    ),
     q AS (SELECT * FROM b WHERE vec_id < {N_QUERIES}),
     scored AS (
-        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id,
                ROUND({SQL_COS.format(a="q", b="c")}, 6) AS cosine
-        FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+        FROM q JOIN b c
+          ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id != q.vec_id
     ),
     ranked AS (
         SELECT q_id, neighbor_id, cosine,
@@ -369,28 +410,41 @@ array_to_string(list_transform(range(0, {LSH_PLANES}), j ->
     tags=("similarity", "ann", "lsh"),
 )
 def ss_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH top-k: search only the query's sign bucket.
+    """Multi-table random-hyperplane LSH top-k.
 
-    12 hyperplanes with hash-derived ±1 weights → 12-bit bucket string →
-    equi-join on the bucket (a shuffle on the bucket key at scale, never a
-    crossJoin). Oracle reproduces the identical bucketing.
+    Each vector hashes into LSH_TABLES buckets (LSH_BITS sign bits
+    each); candidates are the union over tables of same-bucket corpus
+    vectors (classic OR-amplification).  The corpus side is one scan +
+    posexplode (×8 rows, no shuffle) probed against the broadcast query
+    buckets; dedup happens on the deterministic (q_id, neighbor_id,
+    cosine) triple so no join-back is needed.  At 100 TB this stays a
+    single corpus pass — the top-k ranks only the candidate set, not the
+    corpus.  The oracle reproduces the identical bucketing, so recall
+    loss is value-checked too.
     """
-    v = _vectors(spark, sf_dir).withColumn("bucket", F.expr(_SPARK_BUCKET))
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+    v = _vectors(spark, sf_dir).withColumn("buckets", F.expr(_spark_buckets_expr()))
+    ex = v.select(
+        "vec_id", "emb", "nrm", F.posexplode("buckets").alias("tbl", "bucket")
+    )
+    q = ex.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
+        F.col("tbl").alias("q_tbl"),
         F.col("bucket").alias("q_bucket"),
     )
     scored = (
-        v.join(
+        ex.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
         )
         .withColumn(
             "cosine",
             F.round(_cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6),
         )
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .distinct()
     )
     return _ranked_topk(scored, TOP_K)
