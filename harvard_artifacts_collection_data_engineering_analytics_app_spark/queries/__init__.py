@@ -19,3 +19,4 @@ def load_all() -> None:
     from ..operators import similarity  # noqa: F401
     from ..operators import multimodal  # noqa: F401
     from ..functions import text_queries  # noqa: F401
+    from ..streaming import queries as streaming_queries  # noqa: F401

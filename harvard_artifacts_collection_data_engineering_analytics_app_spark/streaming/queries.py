@@ -1,0 +1,170 @@
+"""Registered streaming queries — the driver-visible face of ``streaming/``.
+
+Each builder replays the events table through a REAL Structured Streaming
+pipeline (file source → watermarked transformation → memory sink,
+``Trigger.AvailableNow``), blocks until the stream drains, and returns the
+materialized result as a DataFrame.
+
+Under one-shot AvailableNow replay stream≡batch (all data arrives before
+any watermark advances, so nothing is dropped), which makes the windowed
+aggregations fully deterministic — those carry value-level DuckDB oracles
+identical in shape to their batch twins (``tw_*`` in queries/windows.py).
+The custom-stateful pipeline (``applyInPandasWithState``) is registered
+rows-only: its running-total float accumulation order is
+micro-batch-dependent, which is exactly the non-SQL-expressible case the
+driver's weaker check exists for.
+
+At scale the same plans run against a Kafka/files source with a real
+trigger; the memory sink here is the deterministic replay harness, not
+the production sink (see streaming/pipelines.py docstrings).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..queries.registry import register
+from ..session import ensure_analytics_conf
+from .pipelines import (
+    dedup_events,
+    read_events_stream,
+    run_to_memory,
+    sliding_counts,
+    tumbling_counts,
+    user_running_totals,
+)
+
+
+def _drain(
+    spark: SparkSession, stream: DataFrame, table: str, mode: str
+) -> DataFrame:
+    run_to_memory(stream, table, output_mode=mode)
+    return spark.table(table)
+
+
+@register(
+    "st_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    tags=("streaming", "timewindow", "agg"),
+)
+def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling 1-hour counts per event type, drained via
+    AvailableNow; value-matches the batch twin (tw_tumbling_hourly)."""
+    ensure_analytics_conf(spark)
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    return _drain(spark, stream, "st_tumbling_mem", "complete").select(
+        "window_start", "event_type", "cnt", "avg_value"
+    )
+
+
+@register(
+    "st_sliding_2h_1h",
+    oracle="""
+    WITH buckets AS (
+        SELECT UNNEST([
+                   time_bucket(INTERVAL '1 hour', ts),
+                   time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'
+               ]) AS window_start,
+               value
+        FROM events
+    )
+    SELECT window_start, COUNT(*) AS cnt
+    FROM buckets
+    GROUP BY window_start
+    """,
+    tags=("streaming", "timewindow", "agg"),
+)
+def st_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding 2h/1h event counts, drained via AvailableNow."""
+    ensure_analytics_conf(spark)
+    stream = sliding_counts(read_events_stream(spark, sf_dir))
+    return _drain(spark, stream, "st_sliding_mem", "complete").select(
+        "window_start", "cnt"
+    )
+
+
+@register(
+    "st_session_30m",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+        WHERE user_id < 20
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR ts >= prev_ts + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM ordered
+    ),
+    sessioned AS (
+        SELECT user_id, ts,
+               SUM(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "timewindow", "session"),
+)
+def st_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-minute gap) per user, AvailableNow.
+
+    Same gaps-and-islands oracle as the batch twin tw_session_30m.
+    """
+    ensure_analytics_conf(spark)
+    events = read_events_stream(spark, sf_dir).filter(F.col("user_id") < 20)
+    stream = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _drain(spark, stream, "st_session_mem", "complete").select(
+        "user_id", "session_start", "n_events"
+    )
+
+
+@register(
+    "st_dedup_count",
+    oracle="SELECT COUNT(DISTINCT event_id) AS n_unique_events FROM events",
+    tags=("streaming", "dedup"),
+)
+def st_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on event_id (the streaming analogue
+    of the reference's INSERT IGNORE), then count the surviving rows."""
+    ensure_analytics_conf(spark)
+    stream = dedup_events(read_events_stream(spark, sf_dir))
+    deduped = _drain(spark, stream, "st_dedup_mem", "append")
+    return deduped.agg(F.count("*").alias("n_unique_events"))
+
+
+@register(
+    "st_running_totals",
+    oracle=None,  # float accumulation order is micro-batch-dependent
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-user running totals via applyInPandasWithState
+    (update mode); rows-only check — see module docstring."""
+    ensure_analytics_conf(spark)
+    stream = user_running_totals(read_events_stream(spark, sf_dir))
+    return _drain(spark, stream, "st_running_mem", "update")
