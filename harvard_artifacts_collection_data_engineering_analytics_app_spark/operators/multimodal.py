@@ -180,6 +180,190 @@ def mm_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- frame sampling (video-style payloads) --------------------------------------
+#
+# Real pipelines split frame *planning* (which timestamps to sample — pure
+# metadata arithmetic, JVM-side, oracle-checkable) from frame *extraction*
+# (decode + slice the payload — Python/ffmpeg-side, rows-only). Keeping
+# the plan in Catalyst means partition pruning and pushdown still apply to
+# the expensive scan, and the Python stage only ever sees (blob, offsets).
+
+FRAME_EVERY_S = 2  # sample one frame every 2 "seconds"
+FAKE_BYTES_PER_S = 100  # fake container bitrate: 100 bytes ≙ 1 second
+
+
+def frame_plan(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """(doc_id, frame_no, frame_ts_s, byte_offset) — one row per frame to
+    sample, every FRAME_EVERY_S seconds of fake 'duration' (n_bytes /
+    FAKE_BYTES_PER_S). Pure Catalyst: sequence + posexplode."""
+    b = F.col(blob_col)
+    dur = (F.octet_length(b) / FAKE_BYTES_PER_S).cast("long")
+    return (
+        df.withColumn("duration_s", dur)
+        .select(
+            "doc_id",
+            "duration_s",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("duration_s"), F.lit(FRAME_EVERY_S))
+            ).alias("frame_no", "frame_ts_s"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_no").cast("long").alias("frame_no"),
+            "frame_ts_s",
+            (F.col("frame_ts_s") * FAKE_BYTES_PER_S).alias("byte_offset"),
+        )
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("frame_ts_s", LongType()),
+        StructField("frame_md5", StringType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def fake_resize(frame: bytes, side: int = 8) -> bytes:
+    """Deterministic stand-in for an image resize (keep first ``side``
+    bytes); a real deployment swaps in PIL/libvips downscaling."""
+    return frame[:side]
+
+
+def extract_frames(
+    df: DataFrame, blob_col: str = "blob", frame_bytes: int = 64
+) -> DataFrame:
+    """Frame extraction: join the Catalyst frame plan back to the payload,
+    slice each frame window in an Arrow-batched pass, resize to a thumb.
+
+    Stand-in byte-slice "decode" (no av libs in this container); the
+    Spark-side shape — plan join, one output row per frame, binary thumb
+    column — is the real thing.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    plan = frame_plan(df, blob_col)
+    src = plan.join(df.select("doc_id", blob_col), "doc_id").select(
+        "doc_id", "frame_no", "frame_ts_s", "byte_offset", F.col(blob_col).alias("blob")
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = [
+                bytes(b)[off : off + frame_bytes]
+                for b, off in zip(pdf["blob"], pdf["byte_offset"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "frame_no": pdf["frame_no"].astype("int64"),
+                    "frame_ts_s": pdf["frame_ts_s"].astype("int64"),
+                    "frame_md5": [hashlib.md5(f).hexdigest() for f in frames],
+                    "thumb": [fake_resize(f) for f in frames],
+                }
+            )
+
+    return src.mapInPandas(_extract, FRAME_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", StringType()),  # csv of rounded floats
+    ]
+)
+
+
+def extract_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Feature extraction: FEATURE_DIM-bucket byte histogram, L1-normalized
+    — the deterministic stand-in for an embedding model over media bytes.
+
+    numpy over Arrow batches; emits the vector as a rounded csv string so
+    downstream comparisons are float-order independent.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["blob"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype("float64")
+                total = hist.sum()
+                if total:
+                    hist /= total
+                feats.append(",".join(f"{x:.6f}" for x in hist))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "feature": feats}
+            )
+
+    return df.select("doc_id", F.col(blob_col).alias("blob")).mapInPandas(
+        _feat, FEATURE_SCHEMA
+    )
+
+
+@register(
+    "mm_frame_plan",
+    oracle=f"""
+    SELECT doc_id,
+           r.frame_no,
+           r.frame_no * {FRAME_EVERY_S} AS frame_ts_s,
+           r.frame_no * {FRAME_EVERY_S} * {FAKE_BYTES_PER_S} AS byte_offset
+    FROM documents,
+         LATERAL (
+             SELECT UNNEST(range(0,
+                        octet_length(encode(text)) // {FAKE_BYTES_PER_S}
+                            // {FRAME_EVERY_S} + 1)) AS frame_no
+         ) r
+    WHERE doc_id < 100
+    """,
+    tags=("multimodal", "frame-sample"),
+)
+def mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan (every 2 s of fake duration) in pure Catalyst —
+    the JVM-side half of video frame sampling, value-checked."""
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return frame_plan(blobs)
+
+
+@register(
+    "mm_frame_extract",
+    oracle=None,  # byte-slice decode is mapInPandas; rows-only check
+    tags=("multimodal", "frame-sample", "pandas-udf"),
+)
+def mm_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame extraction + resize over the planned sample points (stand-in
+    byte-slice decode; real av decode is stubbed)."""
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return extract_frames(blobs).drop("thumb")
+
+
+@register(
+    "mm_feature_extract",
+    oracle=None,  # numpy histogram features; rows-only check
+    tags=("multimodal", "features", "pandas-udf"),
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature vectors (embedding-model stand-in) over the
+    blob column via Arrow-batched numpy."""
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return extract_features(blobs)
+
+
 @register(
     "mm_decode_pipeline",
     oracle=None,  # mapInPandas decode is not SQL-expressible; rows-only check

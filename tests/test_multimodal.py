@@ -46,3 +46,29 @@ def test_decode_pipeline_deterministic(blobs):
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNGxxxx")
+
+
+def test_frame_plan_counts_and_offsets(spark):
+    # 250 bytes @ 100 B/s => 2s duration => frames at t=0,2 (every 2s)
+    df = spark.createDataFrame([(1, b"x" * 250), (2, b"y" * 10)], "doc_id long, blob binary")
+    rows = sorted(M.frame_plan(df).collect())
+    got = [(r["doc_id"], r["frame_no"], r["frame_ts_s"], r["byte_offset"]) for r in rows]
+    assert got == [(1, 0, 0, 0), (1, 1, 2, 200), (2, 0, 0, 0)]
+
+
+def test_extract_frames_matches_plan(spark):
+    df = spark.createDataFrame([(1, bytes(range(250)))], "doc_id long, blob binary")
+    rows = {r["frame_no"]: r for r in M.extract_frames(df, frame_bytes=4).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[1]["thumb"] == bytes(range(200, 204))  # offset 200, resized to <=8
+    import hashlib
+
+    assert rows[0]["frame_md5"] == hashlib.md5(bytes(range(4))).hexdigest()
+
+
+def test_extract_features_normalized(spark):
+    df = spark.createDataFrame([(1, bytes([0, 0, 16, 255]))], "doc_id long, blob binary")
+    feat = [float(x) for x in M.extract_features(df).collect()[0]["feature"].split(",")]
+    assert len(feat) == M.FEATURE_DIM
+    assert abs(sum(feat) - 1.0) < 1e-6
+    assert feat[0] == 0.5  # two bytes in bucket 0
