@@ -14,6 +14,8 @@ def load_all() -> None:
     from . import functions_surface  # noqa: F401
     from . import windows  # noqa: F401
     from ..operators import asof  # noqa: F401
+    from ..operators import rangejoin  # noqa: F401
+    from ..operators import rollup  # noqa: F401
     from ..operators import skew  # noqa: F401
     from ..operators import dedup  # noqa: F401
     from ..operators import similarity  # noqa: F401
