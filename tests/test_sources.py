@@ -47,3 +47,70 @@ def test_ingest_feeds_etl(spark):
     assert colors.groupBy("objectid").count().agg({"count": "max"}).collect()[0][
         0
     ] <= 5
+
+
+# --- file sources (CSV / NDJSON) -------------------------------------------------
+
+
+def _file_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+
+def test_read_csv_clean_and_corrupt(spark, tmp_path):
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.sources import (
+        files,
+    )
+
+    p = tmp_path / "drop.csv"
+    p.write_text("id,name,score\n1,alpha,0.5\nnot_a_number,beta,oops\n3,gamma,2.0\n")
+    df = files.read_csv(spark, str(p), _file_schema())
+    clean, bad = files.split_corrupt(df)
+    rows = {r["id"]: r for r in clean.collect()}
+    assert set(rows) == {1, 3} and rows[3]["score"] == 2.0
+    assert bad.count() == 1
+    assert "not_a_number" in bad.collect()[0][files.CORRUPT_COL]
+
+
+def test_read_ndjson_clean_and_corrupt(spark, tmp_path):
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.sources import (
+        files,
+    )
+
+    p = tmp_path / "drop.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "alpha", "score": 0.5}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "beta", "score": 1.25}\n'
+    )
+    df = files.read_ndjson(spark, str(p), _file_schema())
+    clean, bad = files.split_corrupt(df)
+    assert {r["id"] for r in clean.collect()} == {1, 2}
+    assert bad.count() == 1
+
+
+def test_file_sources_feed_etl(spark, tmp_path):
+    # CSV → clean split → the same NaN/inf sanitation used by the REST path
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.sources import (
+        files,
+    )
+
+    p = tmp_path / "scores.csv"
+    p.write_text("id,name,score\n1,a,Inf\n2,b,1.0\n")
+    clean, _ = files.split_corrupt(files.read_csv(spark, str(p), _file_schema()))
+    out = A.sanitize_floats(clean).collect()
+    got = {r["id"]: r["score"] for r in out}
+    assert got[1] is None and got[2] == 1.0
