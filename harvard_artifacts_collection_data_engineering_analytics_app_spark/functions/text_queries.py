@@ -8,7 +8,7 @@ so the two sides cannot drift apart.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..queries.registry import register
@@ -235,4 +235,73 @@ def tx_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_id",
             F.levenshtein("pa", "pb").cast("int").alias("edit_distance"),
         )
+    )
+
+
+@register(
+    "tx_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term != '' GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(n.n::DOUBLE / dfreq.df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, rnk, tfidf FROM ranked WHERE rnk <= 3
+    """,
+    tags=("text", "tfidf", "window"),
+)
+def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF.
+
+    One explode pass feeds both aggregates: term frequency per (doc, term),
+    then document frequency per term derived from the tf relation itself
+    (one row per doc-term, so COUNT(*) == COUNT(DISTINCT doc)) — the
+    vocabulary-sized second aggregate never re-reads the corpus. Ranking
+    uses the ROUNDED score so float ulp noise cannot flip the row_number
+    order between engines; ties break on the term.
+
+    Scale: tf shuffles on (doc_id, term) with map-side partial aggregation;
+    dfreq is vocabulary-sized; the scalar N joins via broadcast. Top-k per
+    doc is the standard row_number window — one shuffle on doc_id.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "rnk", "tfidf")
     )

@@ -1,0 +1,169 @@
+"""Connected components over near-duplicate pairs → dedup clusters.
+
+The dedup operators (operators/dedup.py) emit *pairs*; a real training-data
+pipeline needs *clusters*: near-duplication is transitive in practice
+(A≈B, B≈C ⇒ drop all but one of {A,B,C}), so the pair graph must be
+collapsed into connected components before keeper selection. The reference
+app has no graph surface at all (its INSERT IGNORE dedup is exact-PK only,
+harvard_artifacts_app.py:241), so this is a driver-mandated extension in
+the spirit of SURVEY.md §7 phase 6.
+
+Algorithm: distributed min-label propagation. Every node starts labeled
+with itself; each round every node takes the min label over itself and its
+neighbors; stop at fixpoint. Rounds = graph diameter. Near-dup clusters
+are near-cliques (every member pair usually exceeds the threshold), so the
+diameter is tiny (1–3) and the loop runs 2–4 rounds regardless of corpus
+size — the round count scales with cluster *shape*, not data volume.
+
+Scale (100 TB):
+- each round is ONE shuffle: a join of the (node,label) relation against
+  the bidirected edge list on the node key, then a min-agg — both hash-
+  partition on the same key, so AQE coalesces them into one exchange each.
+- ``localCheckpoint(eager=True)`` after every round truncates the lineage;
+  without it the plan doubles per iteration and the driver OOMs planning
+  round ~20.
+- for adversarial long-chain graphs (diameter ≫ log n, not the dedup
+  shape) swap the loop body for the alternating large-star/small-star
+  contraction of Kiveris et al. (MapReduce CC), which converges in
+  O(log²n) rounds; the public GraphFrames package ships the same loop.
+- the edge list itself comes from LSH banding, so |E| is near-linear in
+  corpus size (bounded by band-bucket collisions), never O(n²).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..queries.registry import register
+from .dedup import DUCK_LSH_PAIR_CTES, JACCARD_THRESHOLD, dd_minhash_lsh
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = min
+    member id, computed by min-label propagation to fixpoint.
+
+    Runs Spark actions (one per round for the convergence check). Caller
+    sees a small materialized result — the expected use is a cluster
+    relation orders of magnitude smaller than the corpus.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    both = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_labels = both.join(
+            labels, both["a"] == labels["node"]
+        ).select(F.col("b").alias("node"), "label")
+        new_labels = (
+            neighbor_labels.union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+
+
+# DuckDB mirror: recursive reachability over the same verified LSH pairs.
+# UNION (not UNION ALL) dedups rows so the recursion terminates; min over
+# all reachable labels = the component id. Fine at oracle scale; the
+# Spark side is the one that has to scale.
+_DUCK_COMPONENTS_CTES = f"""{DUCK_LSH_PAIR_CTES},
+    pairs AS (
+        SELECT a_id, b_id FROM verified WHERE jac >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(lbl) AS component_id
+        FROM reach GROUP BY node
+    )"""
+
+
+@register(
+    "dd_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_COMPONENTS_CTES}
+    SELECT doc_id, component_id FROM comp
+    """,
+    tags=("dedup", "graph", "connected-components"),
+)
+def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster id per document: connected components over the
+    verified MinHash-LSH pair graph (min doc_id = component id)."""
+    comp = connected_components(
+        _lsh_pairs(spark, sf_dir), src="a_id", dst="b_id"
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
+@register(
+    "dd_cluster_keepers",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_COMPONENTS_CTES}
+    SELECT component_id,
+           COUNT(*) AS n_members,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) - 1 AS n_to_drop
+    FROM comp
+    GROUP BY component_id
+    """,
+    tags=("dedup", "graph", "connected-components"),
+)
+def dd_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster dedup decision: keep the min doc_id, drop the rest.
+
+    The downstream pipeline applies it as a broadcast anti-join of the
+    corpus against (cluster members − keepers) — clusters are tiny
+    relative to the corpus, so the drop list broadcasts.
+    """
+    comp = connected_components(
+        _lsh_pairs(spark, sf_dir), src="a_id", dst="b_id"
+    )
+    return (
+        comp.groupBy(F.col("component").alias("component_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("node").alias("keeper_doc_id"),
+            (F.count("*") - F.lit(1)).alias("n_to_drop"),
+        )
+    )

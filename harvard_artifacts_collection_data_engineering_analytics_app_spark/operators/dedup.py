@@ -292,8 +292,10 @@ def _duck_band_exprs() -> str:
     return " UNION ALL ".join(selects)
 
 
-_DUCK_MINHASH_LSH = f"""
-    WITH sh AS (
+# CTE list (no leading WITH) ending in `verified` — composable so other
+# oracles (e.g. operators/components.py) can build on the same verified
+# LSH pair set.
+DUCK_LSH_PAIR_CTES = f"""sh AS (
         SELECT doc_id, {SQL_SHINGLES3} AS s FROM documents
     ),
     shn AS (
@@ -319,7 +321,10 @@ _DUCK_MINHASH_LSH = f"""
         FROM cands c
         JOIN shn sa ON sa.doc_id = c.a_id
         JOIN shn sb ON sb.doc_id = c.b_id
-    )
+    )"""
+
+_DUCK_MINHASH_LSH = f"""
+    WITH {DUCK_LSH_PAIR_CTES}
     SELECT a_id, b_id, ROUND(jac, 6) AS jaccard
     FROM verified WHERE jac >= {JACCARD_THRESHOLD}
 """

@@ -17,6 +17,7 @@ def load_all() -> None:
     from ..operators import rangejoin  # noqa: F401
     from ..operators import rollup  # noqa: F401
     from ..operators import skew  # noqa: F401
+    from ..operators import components  # noqa: F401
     from ..operators import dedup  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..operators import multimodal  # noqa: F401

@@ -131,6 +131,79 @@ def wf_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wf_ntile_cume",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (
+        PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+    )
+    """,
+    tags=("window", "rank"),
+)
+def wf_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE / PERCENT_RANK / CUME_DIST distribution functions.
+
+    NTILE assigns ties by row position, so the window order includes the
+    unique o_orderkey tie-breaker — without it the bucket assignment is
+    nondeterministic across engines and shuffles.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "wf_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS value_last_hour,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS events_last_hour
+    FROM events
+    WHERE user_id < 10
+    """,
+    tags=("window", "range-frame"),
+)
+def wf_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour sliding aggregate via a RANGE window frame.
+
+    RANGE frames are value-based: all peer rows (equal order value) are in
+    or out together, so the result is deterministic even with tied
+    timestamps — unlike a ROWS frame. The fixed-point cents sum keeps the
+    double aggregation order-insensitive for the value hash.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(cents).over(w) / 100.0).alias("value_last_hour"),
+        F.count("*").over(w).alias("events_last_hour"),
+    )
+
+
 # --- event-time windows (batch equivalents of the streaming ops) -----------------
 
 

@@ -202,3 +202,30 @@ def run_to_memory(
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
     q.awaitTermination()
+
+
+def enrich_against_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static dimension,
+    then aggregate per segment.
+
+    The static side is re-scanned per micro-batch (Spark re-plans it each
+    trigger, so slowly-changing dims pick up file-level updates); the
+    broadcast hint keeps the join shuffle-free — at 100 TB/day of events
+    the dimension is still customer-sized, which is exactly the
+    broadcast-join case. Stream-static inner joins need no watermark (no
+    state accumulates: each event joins and leaves); the watermark here
+    only bounds the downstream aggregation state.
+    """
+    dim_small = F.broadcast(
+        dim.select("c_custkey", "c_mktsegment")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        events.withWatermark("ts", "2 hours")
+        .join(dim_small, events["user_id"] == dim_small["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.sum(cents) / 100.0).alias("total_value"),
+        )
+    )

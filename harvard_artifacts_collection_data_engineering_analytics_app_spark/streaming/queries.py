@@ -168,3 +168,28 @@ def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_analytics_conf(spark)
     stream = user_running_totals(read_events_stream(spark, sf_dir))
     return _drain(spark, stream, "st_running_mem", "update")
+
+
+@register(
+    "st_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS cnt,
+           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "join", "agg"),
+)
+def st_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (events × customer dim) feeding a
+    per-segment aggregate; AvailableNow replay ⇒ equals the batch join."""
+    from ..catalog import load_table
+    from .pipelines import enrich_against_static
+
+    ensure_analytics_conf(spark)
+    dim = load_table(spark, sf_dir, "customer")
+    stream = enrich_against_static(read_events_stream(spark, sf_dir), dim)
+    return _drain(spark, stream, "st_enrich_mem", "complete").select(
+        "c_mktsegment", "cnt", "total_value"
+    )

@@ -1,0 +1,70 @@
+"""Connected-components operator: hand-built graphs with known answers."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.components import (
+    connected_components,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = connected_components(df).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_triangle_and_chain(spark):
+    # triangle {1,2,3}, chain 10-11-12-13 (diameter 3), pair {20,21}
+    got = _cc(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (11, 10), (12, 11), (13, 12), (20, 21)],
+    )
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_long_chain_converges(spark):
+    # path 0-1-2-...-9: worst-case diameter for label propagation
+    got = _cc(spark, [(i, i + 1) for i in range(9)])
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_bridge_merges_two_cliques(spark):
+    # two cliques joined by one bridge edge → single component
+    clique_a = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    clique_b = [(a, b) for a in (7, 8, 9) for b in (7, 8, 9) if a < b]
+    got = _cc(spark, clique_a + clique_b + [(3, 7)])
+    assert set(got.values()) == {1}
+    assert len(got) == 6
+
+
+def test_duplicate_and_reversed_edges_are_harmless(spark):
+    got = _cc(spark, [(1, 2), (2, 1), (1, 2), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cluster_keepers_consistent_with_components(spark, sf_dir):
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.components import (
+        dd_cluster_components,
+        dd_cluster_keepers,
+    )
+
+    comp = dd_cluster_components(spark, sf_dir).toPandas()
+    keep = dd_cluster_keepers(spark, sf_dir).toPandas()
+    # every component's keeper is its min member and sizes add up
+    if len(comp) == 0:
+        assert len(keep) == 0
+        return
+    by_comp = comp.groupby("component_id")["doc_id"]
+    expect = {c: (g.min(), len(g)) for c, g in by_comp}
+    got = {
+        r.component_id: (r.keeper_doc_id, r.n_members)
+        for r in keep.itertuples()
+    }
+    assert got == expect
+    assert all(r.n_to_drop == r.n_members - 1 for r in keep.itertuples())
