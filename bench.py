@@ -37,7 +37,9 @@ HEADLINE = [
     "rq12_topk_over_agg",
     "rq14_join_nullfilter",
     "dd_minhash_lsh",
+    "dd_cluster_components",
     "dd_exact_stats",
+    "tx_tfidf_top_terms",
     "ss_brute_topk",
     "ss_brute_topk_numpy",
     "tx_quality_score",

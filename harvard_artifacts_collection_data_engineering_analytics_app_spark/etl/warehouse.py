@@ -54,3 +54,58 @@ def bucketed_orders_lineitem_join(spark: SparkSession) -> DataFrame:
     o = spark.table(BUCKET_SPECS["orders"][1])
     li = spark.table(BUCKET_SPECS["lineitem"][1])
     return o.join(li, o.o_orderkey == li.l_orderkey)
+
+
+def write_events_partitioned(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> str:
+    """Write events date-partitioned (`event_date=.../part-*.parquet`).
+
+    The layout for append-only event logs at scale: partition pruning
+    turns a date-ranged query into a scan of only the matching
+    directories, and each day's data clusters into its own files.
+    ``repartition`` on the partition column before the write gives one
+    task (→ one file) per date instead of every task writing a sliver of
+    every date — the classic small-files trap at high parallelism.
+    """
+    import pyspark.sql.functions as F
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    (
+        e.repartition("event_date")
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a small-file-fragmented parquet directory into
+    ceil(total_bytes / target) files. Returns the output file count.
+
+    Maintenance compaction for streaming sinks (each micro-batch writes a
+    file per task). Sizing uses the source footprint on the driver-local
+    filesystem; on HDFS/S3 swap the size probe for a FileSystem listing —
+    the Spark plan (scan → round-robin repartition → write) is unchanged.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _, files in os.walk(in_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(in_dir).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    return n_files

@@ -305,3 +305,64 @@ def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "rnk", "tfidf")
     )
+
+
+# PII/noise scrubbing patterns — single source for Spark and oracle SQL.
+# Kept to RE2∩Java syntax (char classes, bounded repeats) so both engines
+# match identically; replacement order is urls → emails → digit runs.
+PAT_URL = r"https?://\S+"
+PAT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PAT_NUM = r"\d{3,}"
+
+
+@register(
+    "tx_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PAT_URL}')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '{PAT_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PAT_NUM}')) AS BIGINT) AS n_numbers,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               text, '{PAT_URL}', '<URL>', 'g'),
+                     '{PAT_EMAIL}', '<EMAIL>', 'g'),
+                     '{PAT_NUM}', '<NUM>', 'g')) AS redacted_fp,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(
+               text, '{PAT_URL}', '<URL>', 'g'),
+                     '{PAT_EMAIL}', '<EMAIL>', 'g'),
+                     '{PAT_NUM}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+    FROM documents
+    """,
+    tags=("text", "pii", "regex"),
+)
+def tx_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise scrubbing: count and redact URLs, emails, long digit runs.
+
+    The training-data-cleanup primitive: pure regexp expressions (JVM-side,
+    codegen) — a single projection pass, no shuffle at all. The redacted
+    text is fingerprinted (md5) so the oracle value-checks the full
+    rewritten string without hauling it through the comparison.
+    """
+    d = _t(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PAT_URL, "<URL>"),
+            PAT_EMAIL,
+            "<EMAIL>",
+        ),
+        PAT_NUM,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PAT_URL), F.lit(0))).cast(
+            "long"
+        ).alias("n_urls"),
+        F.size(F.regexp_extract_all("text", F.lit(PAT_EMAIL), F.lit(0))).cast(
+            "long"
+        ).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PAT_NUM), F.lit(0))).cast(
+            "long"
+        ).alias("n_numbers"),
+        F.md5(redacted).alias("redacted_fp"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )

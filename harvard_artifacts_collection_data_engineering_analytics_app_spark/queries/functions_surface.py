@@ -11,7 +11,7 @@ UDFs — so whole-stage codegen applies end-to-end.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..session import ensure_analytics_conf
@@ -796,3 +796,84 @@ def fx_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     h = portable_hash60(F.col("o_orderkey").cast("string"))
     return o.filter(h % 20 == 0).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "fx_stratified_sample",
+    oracle="""
+    WITH rates AS (
+        SELECT * FROM (VALUES
+            ('BUILDING', 2), ('AUTOMOBILE', 4), ('MACHINERY', 10)
+        ) AS t(seg, one_in)
+    )
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c JOIN rates r ON c.c_mktsegment = r.seg
+    WHERE CAST(('0x' || substr(md5(c.c_custkey::VARCHAR), 1, 15)) AS BIGINT)
+          % r.one_in = 0
+    """,
+    tags=("sample", "stratified"),
+)
+def fx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling rates (sampleBy semantics) made deterministic.
+
+    ``df.sampleBy`` is seed-dependent and engine-specific; hashing the key
+    per stratum gives reproducible train/eval splits — the portable-hash
+    analogue of stratified sampling. The rates relation is a literal
+    broadcast join, so the scan stays a single filter pass at any scale.
+    """
+    from ..functions.text import portable_hash60
+
+    c = _t(spark, sf_dir, "customer")
+    rates = F.broadcast(
+        c.sparkSession.createDataFrame(
+            [("BUILDING", 2), ("AUTOMOBILE", 4), ("MACHINERY", 10)],
+            "seg string, one_in long",
+        )
+    )
+    h = portable_hash60(F.col("c_custkey").cast("string"))
+    return (
+        c.join(rates, c["c_mktsegment"] == rates["seg"])
+        .filter(h % F.col("one_in") == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "fx_scd2_intervals",
+    oracle="""
+    SELECT o_custkey,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS valid_to,
+           o_orderkey,
+           o_orderstatus,
+           CASE WHEN LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM orders
+    WHERE o_custkey < 50
+    """,
+    tags=("etl", "scd2", "window"),
+)
+def fx_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval construction.
+
+    Turns a change log (each order = a state change per customer) into
+    validity intervals: valid_from = change date, valid_to = next change
+    date (NULL = current row). This is the standard warehouse pattern for
+    building SCD2 dimensions in one window pass — one shuffle on the
+    business key, no self-join. The reference app only ever overwrites
+    state (INSERT IGNORE); interval history is an extension.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_current"),
+    )
