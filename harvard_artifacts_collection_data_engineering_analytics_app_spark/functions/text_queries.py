@@ -366,3 +366,57 @@ def tx_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(redacted).alias("redacted_fp"),
         F.length(redacted).cast("long").alias("redacted_len"),
     )
+
+
+@register(
+    "tx_sentences_udtf",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, string_split(text, '. ') AS parts FROM documents
+    ),
+    e AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   range(1, len(parts) + 1),
+                   i -> {'i': i, 'c': length(parts[i])}
+               )) AS u
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(u.i AS BIGINT) AS sent_idx,
+           CAST(u.c AS BIGINT) AS n_chars
+    FROM e
+    """,
+    tags=("text", "udtf"),
+)
+def tx_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation via a Python UDTF (table function, LATERAL).
+
+    Covers the UDTF API surface: one input row → N output rows with
+    per-sentence positions. Row-at-a-time Python is the slow path — the
+    equivalent Catalyst plan is posexplode(split(...)) and is what the
+    rest of the repo uses; this exists to prove the extension point works
+    end-to-end (registration, lateral join, schema). Spark also supports
+    ``useArrow=True`` batched UDTFs for the same API.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx bigint, n_chars bigint")
+    class SplitSentences:
+        def eval(self, text):
+            if text is None:
+                return
+            for i, part in enumerate(text.split(". "), start=1):
+                yield i, len(part)
+
+    ensure_analytics_conf(spark)
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.n_chars
+        FROM udtf_documents d, LATERAL split_sentences(d.text) s
+        """
+    )

@@ -877,3 +877,81 @@ def fx_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_current"),
     )
+
+
+@register(
+    "fx_hll_sketch_merge",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_cnt,
+           TRUE AS merged_within_5pct
+    FROM lineitem
+    """,
+    tags=("sketch", "approx", "agg"),
+)
+def fx_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-group HLL → union → estimate.
+
+    The pre-aggregation pattern for 100 TB: build a DataSketches HLL per
+    partition/day once, persist the binary sketch, and answer any later
+    union (global, rolling window, cross-segment) by merging sketches —
+    never rescanning the raw data. The oracle checks the merged estimate
+    lands within 5% of the exact distinct count, so the sketch path
+    itself is value-gated.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_cnt"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_cnt",
+        (
+            F.abs(F.col("est") - F.col("exact_cnt"))
+            <= 0.05 * F.col("exact_cnt")
+        ).alias("merged_within_5pct"),
+    )
+
+
+@register(
+    "fx_pandas_udaf_rms",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(
+               sqrt(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        * CAST(ROUND(o_totalprice * 100) AS BIGINT))::DOUBLE
+                    / COUNT(*)) / 100.0,
+               6
+           ) AS rms_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("udaf", "pandas-udf", "agg"),
+)
+def fx_pandas_udaf_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a GROUPED_AGG pandas UDF (Arrow-vectorized).
+
+    Root-mean-square price per priority. The squares are summed in exact
+    integer cents (max ~6.8e17 < int64), so the result is independent of
+    partitioning and accumulation order — the same trick the SUM(double)
+    oracles use, applied inside a UDAF. This is the vectorized-UDAF slow
+    path; everything expressible as built-ins elsewhere stays JVM-side.
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` stringifies
+    # type hints, which defeats the signature-based eval-type inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def rms_cents(v):
+        cents = np.rint(v.to_numpy() * 100).astype(np.int64)
+        return float(
+            np.sqrt(np.sum(cents * cents) / float(len(cents))) / 100.0
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(rms_cents("o_totalprice"), 6).alias("rms_price")
+    )

@@ -68,3 +68,48 @@ def test_cluster_keepers_consistent_with_components(spark, sf_dir):
     }
     assert got == expect
     assert all(r.n_to_drop == r.n_members - 1 for r in keep.itertuples())
+
+
+def test_components_property_random_graphs(spark):
+    """Property: spark CC == union-find on random graphs."""
+    import random
+
+    def union_find_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min member id per root
+        comp_of = {}
+        for n in nodes:
+            comp_of.setdefault(find(n), []).append(n)
+        out = {}
+        for members in comp_of.values():
+            m = min(members)
+            for n in members:
+                out[n] = m
+        return out
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n_nodes = rng.randint(5, 40)
+        n_edges = rng.randint(1, 60)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        nodes = sorted({x for e in edges for x in e})
+        expect = union_find_components(edges, nodes)
+        got = _cc(spark, edges)
+        assert got == expect, f"trial {trial}: {sorted(edges)}"

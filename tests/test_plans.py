@@ -78,3 +78,18 @@ def test_simple_scans_prune_columns(spark, sf_dir, name):
     schema = X.read_schemas(_df(spark, sf_dir, name))[0]
     # a scan for a 1-3 column query must not read the whole table
     assert schema.count(":") <= 4, f"{name} reads too many columns: {schema}"
+
+
+def test_pii_redact_is_single_pass(spark, sf_dir):
+    # pure projection: regexp counts + rewrite must not shuffle at all
+    df = _df(spark, sf_dir, "tx_pii_redact")
+    plan = X.formatted_plan(df)
+    assert "Exchange" not in plan, "tx_pii_redact introduced a shuffle"
+
+
+def test_tfidf_has_partial_aggregate(spark, sf_dir):
+    assert X.has_partial_aggregate(_df(spark, sf_dir, "tx_tfidf_top_terms"))
+
+
+def test_stratified_sample_broadcasts_rates(spark, sf_dir):
+    assert X.uses_broadcast_join(_df(spark, sf_dir, "fx_stratified_sample"))
