@@ -32,12 +32,18 @@ def asof_join(
     right_ts: str,
     right_payload: tuple[str, ...],
     tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join (right.ts <= left.ts), per `on` key.
+    """As-of join per `on` key: backward (right.ts <= left.ts, the most
+    recent preceding reference row) or forward (right.ts >= left.ts, the
+    earliest following one).
 
     Returns left columns + the requested right payload columns (NULL when
-    no reference row precedes the probe).
+    no reference row qualifies). Forward is the same union-and-carry plan
+    with the window order reversed — still one shuffle on the key.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
     rt = right.withColumn("_side", F.lit(0)).withColumn("_ats", F.col(right_ts))
 
@@ -51,12 +57,16 @@ def asof_join(
         rt.select(*cols), allowMissingColumns=True
     )
 
-    order = [F.col("_ats").asc(), F.col("_side").asc()]
+    ats = F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
+    order = [ats, F.col("_side").asc()]
     if tie_break:
         # tie-break among reference rows with identical timestamps; it
         # lives inside the payload struct after the union (NULL on probe
         # rows, which _side already orders last).
-        order.append(F.col(f"_payload.{tie_break}").asc_nulls_first())
+        tb = F.col(f"_payload.{tie_break}")
+        order.append(
+            tb.asc_nulls_first() if direction == "backward" else tb.desc_nulls_first()
+        )
     w = (
         Window.partitionBy(on)
         .orderBy(*order)
@@ -120,4 +130,48 @@ def aj_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.withColumn(
         "micros_since_click",
         (F.unix_micros("ts") - F.unix_micros("asof_click_ts")).cast("bigint"),
+    )
+
+
+@register(
+    "aj_purchase_next_click",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT event_id AS click_event_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.click_event_id AS asof_click_event_id,
+           c.click_ts AS asof_click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.click_ts
+    """,
+    tags=("asof", "join", "events", "forward"),
+)
+def aj_purchase_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: the user's earliest click at-or-after each purchase
+    (post-purchase behavior attribution) — same one-shuffle carry plan
+    with the window order reversed."""
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=("click_event_id", "click_ts"),
+        tie_break="click_event_id",
+        direction="forward",
     )

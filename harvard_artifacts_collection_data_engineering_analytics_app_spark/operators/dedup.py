@@ -685,3 +685,86 @@ def dd_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("a_id"), F.asc("b_id"))
         .limit(20)
     )
+
+
+# --- containment dedup (doc-in-doc) ---------------------------------------------
+
+# DuckDB fragment: tokens normalized to a single-space-joined string.
+SQL_NORM = f"array_to_string({SQL_TOKENS}, ' ')"
+
+
+@register(
+    "dd_containment",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id,
+               {SQL_NORM} AS norm,
+               len({SQL_TOKENS}) AS n_tok
+        FROM documents
+    )
+    SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+    FROM n a JOIN n b ON a.doc_id != b.doc_id
+    WHERE a.n_tok >= 3
+      AND length(a.norm) < length(b.norm)
+      AND position(' ' || a.norm || ' ' IN ' ' || b.norm || ' ') > 0
+    """,
+    tags=("dedup", "containment"),
+)
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc containment: inner's token sequence appears verbatim
+    inside outer (the truncation/quotation duplicate class that
+    whole-doc fingerprints miss).
+
+    Distributed without a crossJoin via rarest-shingle blocking: if
+    inner's tokens (≥3) occur contiguously in outer, EVERY word trigram
+    of inner is also a trigram of outer — in particular inner's globally
+    rarest one. So each inner doc probes only the docs that contain its
+    rarest trigram (inverted-index join sized by that shingle's document
+    frequency, the minimum available), then an exact substring check on
+    the normalized text verifies. Lossless by the argument above; the
+    oracle is the unblocked brute force, so the pruning itself is
+    value-checked.
+    """
+    d = _docs(spark, sf_dir)
+    norm = F.array_join(T.tokens("text"), " ")
+    base = (
+        d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            norm.alias("norm"),
+            T.word_shingles("text", 3).alias("sh"),
+        )
+    )
+    inv = base.select("doc_id", F.explode("sh").alias("s"))
+    df_s = inv.groupBy("s").agg(F.count("*").alias("df"))
+    # rarest shingle per doc, deterministic tie-break on the shingle text
+    rarest = (
+        inv.join(df_s, "s")
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("df", "s")).alias("m"))
+        .select("doc_id", F.col("m.s").alias("s"))
+    )
+    cands = (
+        rarest.withColumnRenamed("doc_id", "inner_id")
+        .join(inv.withColumnRenamed("doc_id", "outer_id"), "s")
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .select("inner_id", "outer_id")
+        .distinct()
+    )
+    ni = base.select(F.col("doc_id").alias("inner_id"), F.col("norm").alias("inner_norm"))
+    no = base.select(F.col("doc_id").alias("outer_id"), F.col("norm").alias("outer_norm"))
+    return (
+        cands.join(ni, "inner_id")
+        .join(no, "outer_id")
+        .filter(
+            (F.length("inner_norm") < F.length("outer_norm"))
+            & (
+                F.instr(
+                    F.concat(F.lit(" "), F.col("outer_norm"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("inner_norm"), F.lit(" ")),
+                )
+                > 0
+            )
+        )
+        .select("inner_id", "outer_id")
+    )

@@ -379,3 +379,68 @@ def mm_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
     return decode_images(blobs, partitions=4).drop("thumbnail")
+
+
+# Audio chunking: overlapping fixed-length windows over the byte stream —
+# the ASR/embedding preprocessing shape (chunk 5 s, hop 3 s ⇒ 2 s overlap).
+AUDIO_CHUNK_S = 5
+AUDIO_HOP_S = 3
+
+
+def audio_chunk_plan(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """(doc_id, chunk_no, start_s, byte_offset, byte_len) — one row per
+    overlapping audio chunk. Pure Catalyst: sequence + posexplode; the
+    byte-range arithmetic means the extract stage can seek instead of
+    re-reading the whole payload."""
+    b = F.col(blob_col)
+    n_bytes = F.octet_length(b).cast("long")
+    dur = (n_bytes / FAKE_BYTES_PER_S).cast("long")
+    starts = F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(AUDIO_HOP_S))
+    return (
+        df.withColumn("n_bytes", n_bytes)
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.posexplode(starts).alias("chunk_no", "start_s"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            F.col("start_s").cast("long").alias("start_s"),
+            (F.col("start_s") * FAKE_BYTES_PER_S).alias("byte_offset"),
+            F.least(
+                F.lit(AUDIO_CHUNK_S * FAKE_BYTES_PER_S),
+                F.col("n_bytes") - F.col("start_s") * FAKE_BYTES_PER_S,
+            ).alias("byte_len"),
+        )
+    )
+
+
+@register(
+    "mm_audio_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           r.chunk_no,
+           r.chunk_no * {AUDIO_HOP_S} AS start_s,
+           r.chunk_no * {AUDIO_HOP_S} * {FAKE_BYTES_PER_S} AS byte_offset,
+           least({AUDIO_CHUNK_S * FAKE_BYTES_PER_S},
+                 octet_length(encode(text))
+                     - r.chunk_no * {AUDIO_HOP_S} * {FAKE_BYTES_PER_S}) AS byte_len
+    FROM documents,
+         LATERAL (
+             SELECT UNNEST(range(0,
+                 greatest(octet_length(encode(text)) // {FAKE_BYTES_PER_S} - 1, 0)
+                     // {AUDIO_HOP_S} + 1)) AS chunk_no
+         ) r
+    WHERE doc_id < 100
+    """,
+    tags=("multimodal", "audio", "chunking"),
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping audio-chunk plan (5 s windows, 3 s hop) in pure
+    Catalyst, value-checked; the Arrow extract stage reuses the same
+    byte-slice machinery as frame extraction."""
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return audio_chunk_plan(blobs)

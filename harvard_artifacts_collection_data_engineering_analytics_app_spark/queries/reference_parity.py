@@ -565,3 +565,45 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "rq20_preagg_variant",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS order_count,
+           ROUND(AVG(l.l_quantity), 6) AS avg_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY order_count DESC, o.o_orderpriority
+    LIMIT 10
+    """,
+    tags=("reference", "join", "agg", "topk", "scale-rewrite"),
+)
+def rq20_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rq20 with the 100-TB shuffle-reduction rewrite, same oracle.
+
+    Partial-aggregate lineitem per orderkey BEFORE the join: the join
+    input shrinks from one row per lineitem to one row per order (~4×
+    here), so a sort-merge join at scale shuffles a fraction of the
+    bytes. The grouped AVG is recovered exactly as sum(qty)/sum(n) —
+    l_quantity is integral, so the partial sums are exact in double and
+    the single final division matches AVG bit-for-bit after rounding.
+    Catalyst cannot derive this rewrite itself (it changes the agg tree);
+    value-equality against the UNREWRITTEN oracle proves it lossless.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_li"), F.sum("l_quantity").alias("qty_sum")
+    )
+    return (
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_li").alias("order_count"),
+            F.round(F.sum("qty_sum") / F.sum("n_li"), 6).alias("avg_qty"),
+        )
+        .orderBy(F.desc("order_count"), F.asc("o_orderpriority"))
+        .limit(10)
+    )

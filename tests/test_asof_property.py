@@ -74,3 +74,45 @@ def test_asof_matches_model(spark, data):
     }
     want = model_asof(left, right)
     assert got == want
+
+
+def model_asof_forward(left, right):
+    """earliest right row with right.ts >= left.ts per key; ties on ts
+    break toward the smallest rid (tie_break=rid descending + last)."""
+    out = {}
+    for i, (k, ts) in enumerate(left):
+        best = None
+        for j, (rk, rts) in enumerate(right):
+            if rk == k and rts >= ts:
+                if best is None or rts < best[0] or (rts == best[0] and j < best[1]):
+                    best = (rts, j)
+        out[i] = None if best is None else best[1]
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tables())
+def test_asof_forward_matches_model(spark, data):
+    left, right = data
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)],
+        "lid long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, ts) for j, (k, ts) in enumerate(right)],
+        "rid long, k long, rts timestamp",
+    ) if right else spark.createDataFrame([], "rid long, k long, rts timestamp")
+
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+            right_payload=("rid",), tie_break="rid", direction="forward",
+        ).collect()
+    }
+    want = model_asof_forward(left, right)
+    assert got == want

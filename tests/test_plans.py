@@ -55,7 +55,7 @@ def test_group_aggs_have_partial_phase(spark, sf_dir):
 
 
 def test_dedup_joins_are_not_cartesian(spark, sf_dir):
-    for name in ("dd_ngram_jaccard", "dd_minhash_lsh"):
+    for name in ("dd_ngram_jaccard", "dd_minhash_lsh", "dd_containment"):
         df = _df(spark, sf_dir, name)
         assert not X.has_cartesian_product(df), f"{name} degraded to cartesian"
 
