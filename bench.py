@@ -37,6 +37,7 @@ HEADLINE = [
     "rq12_topk_over_agg",
     "rq14_join_nullfilter",
     "dd_minhash_lsh",
+    "dd_simhash_pairs",
     "dd_cluster_components",
     "dd_exact_stats",
     "tx_tfidf_top_terms",
