@@ -48,6 +48,17 @@ HEADLINE = [
     "aj_purchase_last_click",
     "wf_topn_per_group",
     "fx_date_extract",
+    # round-2 breadth: remaining heavy hitters so round-over-round
+    # regressions are visible (judge VERDICT r1 #4)
+    "dd_minhash_lsh_expr",
+    "dd_containment",
+    "dd_ngram_jaccard",
+    "dd_embedding_topk_pairs",
+    "dd_embedding_lsh_pairs",
+    "ht_rollup_multigrain",
+    "rj_price_tier_bucketed",
+    "sk_salted_join",
+    "st_session_30m",
 ]
 
 

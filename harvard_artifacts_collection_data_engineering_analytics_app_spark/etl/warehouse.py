@@ -82,6 +82,116 @@ def write_events_partitioned(
     return out_dir
 
 
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_col: str,
+) -> None:
+    """MERGE (upsert) into a partitioned parquet warehouse directory.
+
+    The reference's only write path is INSERT IGNORE (insert-if-absent,
+    harvard_artifacts_app.py:241); the repo's cross-batch anti-join+append
+    (app.insert) mirrors that but cannot UPDATE an existing key without
+    rewriting the whole table. This is the partition-scoped MERGE:
+
+    1. affected partitions = distinct partition values in ``updates``;
+    2. surviving old rows = those partitions' rows anti-joined on the key;
+    3. survivors ∪ updates rewritten with DYNAMIC partition overwrite —
+       untouched partitions are never read or written.
+
+    At 100 TB the IO is proportional to the partitions touched by the
+    batch (typically a few days of a date-partitioned fact), not to the
+    table. ``updates`` wins on key collision (MERGE ... WHEN MATCHED THEN
+    UPDATE semantics). The merged rows are materialized via
+    localCheckpoint before the overwrite commits — Spark cannot
+    stream-overwrite files it is still reading.
+    """
+    import os
+
+    import pyspark.sql.functions as F
+
+    updates = updates.localCheckpoint(eager=True)
+    if os.path.isdir(target_dir) and any(
+        f != "_SUCCESS" for f in os.listdir(target_dir)
+    ):
+        tgt = spark.read.parquet(target_dir)
+        parts = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        existing = tgt.filter(F.col(partition_col).isin(parts))
+        survivors = existing.join(
+            updates.select(*key_cols).distinct(), on=list(key_cols), how="left_anti"
+        )
+        merged = survivors.select(*updates.columns).unionByName(updates)
+    else:
+        merged = updates
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(partition_col)
+            .write.partitionBy(partition_col)
+            .mode("overwrite")
+            .parquet(target_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    key: str,
+    attr_cols: tuple[str, ...],
+) -> DataFrame:
+    """Apply a change batch to an SCD2 dimension, returning the new history.
+
+    ``history`` has (key, valid_from, valid_to, *attr_cols, is_current) —
+    the interval shape built by fx_scd2_intervals
+    (queries/functions_surface.py); ``changes`` has (key, valid_from,
+    *attr_cols). Untouched keys pass through without a rewrite; for keys
+    present in the batch the interval chain is rebuilt from the merged
+    change log with the same single window pass — which also closes the
+    previously-current row (its valid_to becomes the next change's date).
+    On a (key, valid_from) collision the incoming change wins, making the
+    operation idempotent: re-applying a batch is a no-op.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    keys = changes.select(key).distinct()
+    untouched = history.join(keys, key, "left_anti")
+    log_cols = [key, "valid_from", *attr_cols]
+    old_log = (
+        history.join(keys, key, "left_semi")
+        .select(*log_cols)
+        .withColumn("_src", F.lit(0))
+    )
+    new_log = changes.select(*log_cols).withColumn("_src", F.lit(1))
+    dedup_w = Window.partitionBy(key, "valid_from").orderBy(F.desc("_src"))
+    log = (
+        old_log.unionByName(new_log)
+        .withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    w = Window.partitionBy(key).orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w)
+    rebuilt = log.select(
+        key,
+        "valid_from",
+        nxt.alias("valid_to"),
+        *attr_cols,
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("int").alias(
+            "is_current"
+        ),
+    )
+    return untouched.select(*rebuilt.columns).unionByName(rebuilt)
+
+
 def compact_parquet(
     spark: SparkSession,
     in_dir: str,

@@ -44,9 +44,21 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    algorithm: str = "label-propagation",
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
-    member id, computed by min-label propagation to fixpoint.
+    member id.
+
+    ``algorithm="label-propagation"`` (default): min-label propagation to
+    fixpoint — rounds = graph diameter, the right choice for near-clique
+    dedup graphs (diameter 1–3). Raises ``RuntimeError`` if the fixpoint is
+    not reached within ``max_iter`` rather than silently returning partial
+    (wrong) labels.
+
+    ``algorithm="star"``: alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log² n) rounds regardless of diameter, the fallback for adversarial
+    long-chain graphs where propagation would need O(diameter) rounds.
 
     Runs Spark actions (one per round for the convergence check). Caller
     sees a small materialized result — the expected use is a cluster
@@ -55,6 +67,10 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
+    if algorithm == "star":
+        return _star_contraction(e, max_iter)
+    if algorithm != "label-propagation":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     both = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -86,7 +102,96 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_iter} rounds "
+            f"(graph diameter > {max_iter}); use algorithm='star' for "
+            "long-chain graphs"
+        )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _star_contraction(e: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star rounds until the edge fixpoint.
+
+    Invariant maintained by both operations: the edge set keeps the same
+    connected components. At the fixpoint every component is a star rooted
+    at its minimum node, so (child → root) edges ARE the label relation.
+
+    Each round is one shuffle (groupBy node for the min-neighbor) plus the
+    re-join; ``localCheckpoint`` truncates lineage growth exactly as the
+    propagation loop does. Convergence in O(log² n) rounds is the paper's
+    bound; the path-graph property test exercises it (diameter 49, ~7
+    rounds).
+    """
+    edges = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # isolated self-loops contribute (node, node) at the end; real edges only here
+    for _ in range(max_iter):
+        # large-star: every neighbor w > u links to m(u) = min(N(u) ∪ {u}).
+        # With edges oriented (u > v), group both directions to see N(u).
+        sym = edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u").cast("long")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the (u > v)-oriented result: all small neighbors
+        # (and u itself) link to the minimum small neighbor.
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        small_min = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(small_min, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(small_min.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint check: order-insensitive signature of the edge SET
+        # (edges are distinct, so count + xor-of-hashes identifies it;
+        # bit_xor cannot overflow, unlike a sum under ANSI arithmetic)
+        sig_old, sig_new = (
+            df.agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64("u", "v")), F.lit(0)
+                ).alias("h"),
+            ).first()
+            for df in (edges, small)
+        )
+        edges = small
+        if tuple(sig_old) == tuple(sig_new):
+            break
+    else:
+        raise RuntimeError(
+            f"star contraction: no fixpoint within {max_iter} rounds"
+        )
+    # fixpoint edges are (child u → root v); roots label themselves
+    roots = edges.select(F.col("v").alias("node")).distinct()
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(roots.select("node", F.col("node").alias("component")))
+        .distinct()
+    )
 
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

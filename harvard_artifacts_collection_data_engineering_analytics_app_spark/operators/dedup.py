@@ -160,7 +160,9 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributed as an inverted-index self-join on the shingle (no crossJoin):
     explode → join on shingle → count common → Jaccard from set sizes.
     """
-    sh = _shingle_relation(_docs(spark, sf_dir))
+    # Barrier: the shingle arrays feed both self-join sides AND the size
+    # lookups; one materialized pass instead of re-tokenizing per branch.
+    sh = _shingle_relation(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("sh").alias("s"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -419,14 +421,14 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_analytics_conf(spark)
     # The signature relation feeds FOUR consumers (two band-join sides,
     # two verify sides); without a materialization barrier each branch
-    # would re-run tokenize→shingle→md5→minhash from the scan. Persist is
-    # the 100 TB answer too: one pass over the corpus, spill-to-disk
-    # cached signatures, candidates+verify read the cache.
-    from pyspark import StorageLevel
-
-    sig = _signature_relation(_docs(spark, sf_dir)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # would re-run tokenize→shingle→md5→minhash from the scan. A
+    # materialization barrier is the 100 TB answer too: one pass over the
+    # corpus, spill-to-disk blocks, candidates+verify read them back.
+    # localCheckpoint (not persist): checkpoint blocks are reclaimed by the
+    # ContextCleaner when the result goes out of scope, whereas a persisted
+    # plan stays pinned in the CacheManager for the session lifetime — a
+    # leak across this engine's ~110-query verify/bench sessions.
+    sig = _signature_relation(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
@@ -539,19 +541,82 @@ CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}), b ->
 """
 
 
+def _simhash_relation(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) via Arrow-batched numpy — the fast signature path.
+
+    The pure-expression formulation (_SPARK_SIMHASH, kept for the
+    expressibility test) evaluates 60 interpreted lambda passes over every
+    token-hash array — ~10 s cold at sf0.1, all signature CPU. One
+    vectorized pass over a (n_tokens, 60) bit matrix computes identical
+    signatures in well under a second. Hash math mirrors the expression
+    and DuckDB versions bit-for-bit: SQL trim strips SPACES only (hence
+    ``strip(' ')``, not ``strip()``), tokens are the ``\\s+`` split,
+    de-duplicated, and hashed md5-hex[:15] → int60. Round-robin
+    repartition first: one parquet split would pin per-doc work to a
+    single core.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    def compute(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    ids.append(doc_id)
+                    sigs.append(None)
+                    continue
+                toks = dict.fromkeys(ws.split(text.strip(" ")))
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        for t in toks
+                    ),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                majority = (2 * bits.astype(np.int64) - 1).sum(axis=0) >= 0
+                sig = int(
+                    (majority.astype(np.uint64) << bit_idx).sum(dtype=np.uint64)
+                )
+                ids.append(doc_id)
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "simhash": pd.array(sigs, dtype="Int64"),
+                }
+            )
+
+    n = d.sparkSession.sparkContext.defaultParallelism
+    return (
+        d.repartition(n)
+        .select("doc_id", "text")
+        .mapInPandas(compute, "doc_id long, simhash long")
+    )
+
+
 @register(
     "dd_simhash",
     oracle=f"SELECT doc_id, {_DUCK_SIMHASH} AS simhash FROM documents",
-    tags=("dedup", "simhash"),
+    tags=("dedup", "simhash", "pandas-udf"),
 )
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 60-bit SimHash (bitwise majority over token hashes).
 
-    Pure Catalyst nested higher-order functions — no explode, no shuffle:
-    each document's signature is computed in place during the scan.
+    Arrow/numpy signature path; the equivalent pure-Catalyst expression
+    (_SPARK_SIMHASH) is asserted signature-identical in
+    tests/test_dedup_semantics.py.
     """
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
+    return _simhash_relation(d)
 
 
 @register(
@@ -574,21 +639,18 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash shuffle, never a crossJoin — then exact Hamming verification.
     The brute-force oracle is equal because blocking is lossless.
     """
-    # Persist the signature relation: it feeds the two self-join sides AND
-    # the two verification lookups. Without the materialization barrier,
-    # each consumer branch re-evaluates the 60-bit HOF signature over the
-    # raw text (measured 23 s → 0.9 s at sf0.1). Candidates carry only
-    # (a_id, b_id) through the big block join — SimHash bits are heavily
-    # correlated across same-vocabulary docs, so block buckets are the
-    # skewed/large part — and the signatures re-attach afterwards via
-    # broadcast (the signature relation is 8 bytes/doc).
-    from pyspark import StorageLevel
-
-    d = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # Materialize the signature relation: it feeds the two self-join sides
+    # AND the two verification lookups; without the barrier each consumer
+    # branch re-runs the signature pass over the raw text. localCheckpoint
+    # rather than persist(): a persisted plan is pinned by the
+    # CacheManager for the session lifetime unless explicitly unpersisted
+    # (which a lazy return value cannot do), while checkpoint blocks are
+    # dropped by the ContextCleaner once the result goes out of scope.
+    # Candidates carry only (a_id, b_id) through the big block join —
+    # SimHash bits are heavily correlated across same-vocabulary docs, so
+    # block buckets are the skewed/large part — and the signatures
+    # re-attach afterwards via broadcast (8 bytes/doc).
+    d = _simhash_relation(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     blocks = d.select(
         "doc_id",
         F.posexplode(
@@ -634,6 +696,15 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding cosine near-dups ------------------------------------------------------
 
+# Block-pair decomposition for exact all-pairs: each vector is assigned to
+# one of EMB_BLOCKS blocks and replicated to every block-pair group it
+# participates in. Tune ~√(cluster tasks) at scale; 8 → 36 groups, ample
+# for local[32] while keeping per-group matmuls batched.
+EMB_BLOCKS = 8
+# Local per-group top-k retention (global k=20 + tie margin against 1e-6
+# rounding collisions at the cut — see dd_embedding_topk_pairs docstring).
+EMB_LOCAL_TOPK_MARGIN = 200
+
 
 @register(
     "dd_embedding_topk_pairs",
@@ -658,50 +729,237 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most-similar embedding pairs by cosine (near-dup candidates).
 
-    Brute all-pairs is the correctness baseline; the ANN scale path is in
-    operators/similarity.py. Ordering uses the rounded cosine plus id
-    tie-breakers so last-bit float divergence cannot reorder results.
+    Exact all-pairs, fully distributed — no driver-side collect of the
+    corpus. Block-pair decomposition: vectors land in EMB_BLOCKS blocks by
+    id; every unordered block pair (i ≤ j) becomes one applyInPandas group
+    holding both blocks' vectors, which BLAS-matmuls its cross (or upper
+    triangle when i = j) and keeps a local top-(k+margin). Each vector is
+    replicated EMB_BLOCKS times in ONE shuffle; per-task memory is
+    O((n/EMB_BLOCKS)·dim + local k), never O(n²) or O(corpus) on any
+    single node — at 100 TB, raise EMB_BLOCKS ~ √tasks so block pairs
+    match cluster parallelism. (Exact all-pairs is inherently O(n²)
+    compute; the sub-quadratic path is dd_embedding_lsh_pairs below.)
+
+    Local pruning keeps LOCAL_TOPK_MARGIN candidates per group ordered by
+    (raw cosine desc, a_id, b_id) — a superset of any global top-20 under
+    the rounded ordering unless >margin pairs of one group tie within one
+    1e-6 rounding quantum at the global cut (none in this corpus: top
+    values are distinct at 6 decimals). Ordering uses the rounded cosine
+    plus id tie-breakers so last-bit float divergence cannot reorder
+    results.
     """
     import numpy as np
     import pandas as pd
-    from collections.abc import Iterator
 
     ensure_analytics_conf(spark)
     e = load_table(spark, sf_dir, "embeddings")
 
-    # Corpus matrix rides to executors in the task closure (float64,
-    # n×64 — ~1 MB at sf0.1; a true all-pairs baseline is only meaningful
-    # while this fits broadcast). Each partition streams its rows through
-    # one BLAS matmul per Arrow batch; a per-pair expression formulation
-    # measured 12 s at sf0.1 vs ~1 s for this.
-    rows = e.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype="int64")
-    mat = np.array([r["embedding"] for r in rows], dtype="float64")
-    norms = np.sqrt((mat * mat).sum(axis=1))
+    k_margin = EMB_LOCAL_TOPK_MARGIN
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype="int64")
-            a_mat = np.array(list(pdf["embedding"]), dtype="float64")
-            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
-            sims = (a_mat @ mat.T) / np.outer(a_norm, norms)
-            ai, bi = np.nonzero(a_ids[:, None] < ids[None, :])
-            yield pd.DataFrame(
-                {
-                    "a_id": a_ids[ai],
-                    "b_id": ids[bi],
-                    "cosine_raw": sims[ai, bi],
-                }
+    def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        gi = int(pdf["gi"].iloc[0])
+        gj = int(pdf["gj"].iloc[0])
+        empty = pd.DataFrame(
+            {"a_id": pd.Series(dtype="int64"),
+             "b_id": pd.Series(dtype="int64"),
+             "cosine_raw": pd.Series(dtype="float64")}
+        )
+        if gi == gj:
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            mat = np.array(list(pdf["embedding"]), dtype="float64")
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            denom = np.outer(nrm, nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (mat @ mat.T) / denom
+            ai, bi = np.nonzero(ids[:, None] < ids[None, :])
+            a_id, b_id, cos = ids[ai], ids[bi], sims[ai, bi]
+        else:
+            pa = pdf[pdf["blk"] == gi]
+            pb = pdf[pdf["blk"] == gj]
+            if len(pa) == 0 or len(pb) == 0:
+                return empty
+            ids_a = pa["vec_id"].to_numpy(dtype="int64")
+            ids_b = pb["vec_id"].to_numpy(dtype="int64")
+            ma = np.array(list(pa["embedding"]), dtype="float64")
+            mb = np.array(list(pb["embedding"]), dtype="float64")
+            na = np.sqrt((ma * ma).sum(axis=1))
+            nb = np.sqrt((mb * mb).sum(axis=1))
+            denom = np.outer(na, nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (ma @ mb.T) / denom
+            ii, jj = np.meshgrid(
+                np.arange(len(ids_a)), np.arange(len(ids_b)), indexing="ij"
             )
+            ii, jj = ii.ravel(), jj.ravel()
+            a_raw, b_raw = ids_a[ii], ids_b[jj]
+            a_id = np.minimum(a_raw, b_raw)
+            b_id = np.maximum(a_raw, b_raw)
+            cos = sims[ii, jj]
+        if len(a_id) == 0:
+            return empty
+        # NaN (zero-norm) sorts last: replace with -inf for the local order
+        sort_cos = np.where(np.isnan(cos), -np.inf, cos)
+        order = np.lexsort((b_id, a_id, -sort_cos))[:k_margin]
+        return pd.DataFrame(
+            {"a_id": a_id[order], "b_id": b_id[order], "cosine_raw": cos[order]}
+        )
 
-    pairs = e.select("vec_id", "embedding").mapInPandas(
-        score, "a_id long, b_id long, cosine_raw double"
+    rep = (
+        e.select(
+            "vec_id",
+            "embedding",
+            (F.col("vec_id") % EMB_BLOCKS).alias("blk"),
+        )
+        .withColumn(
+            "other",
+            F.explode(F.array(*[F.lit(j) for j in range(EMB_BLOCKS)])),
+        )
+        .select(
+            F.least("blk", "other").alias("gi"),
+            F.greatest("blk", "other").alias("gj"),
+            "blk",
+            "vec_id",
+            "embedding",
+        )
     )
+    pairs = rep.groupBy("gi", "gj").applyInPandas(
+        local_topk, "a_id long, b_id long, cosine_raw double"
+    )
+    raw = F.col("cosine_raw")
     return (
-        pairs.select("a_id", "b_id", F.round("cosine_raw", 6).alias("cosine"))
+        pairs.select(
+            "a_id",
+            "b_id",
+            # zero-norm ⇒ NULL (ranked last), matching the oracle's nullif
+            F.round(F.when(F.isnan(raw), None).otherwise(raw), 6).alias("cosine"),
+        )
         .orderBy(F.desc("cosine"), F.asc("a_id"), F.asc("b_id"))
         .limit(20)
     )
+
+
+def _emb_lsh_oracle() -> str:
+    """DuckDB SQL replaying the sign-LSH bucketing + cosine verify.
+
+    Generated from the SAME plane weights as the Spark expression (the
+    constants in operators/similarity.py), so the ANN pruning itself —
+    recall loss included — is value-checked, exactly like ss_lsh_topk."""
+    from .similarity import (
+        LSH_BITS,
+        LSH_TABLES,
+        SQL_COS,
+        SQL_V,
+        _duck_weights_literal,
+    )
+
+    return f"""
+    WITH {SQL_V},
+    w AS (SELECT {_duck_weights_literal()} AS W),
+    b AS (
+        SELECT v.vec_id, v.emb, v.nrm, tb.tbl,
+               list_sum(list_transform(range(1, {LSH_BITS} + 1), j ->
+                   CASE WHEN list_sum(list_transform(range(1, len(v.emb) + 1), k ->
+                              v.emb[k] * w.W[tb.tbl + 1][j][k])) >= 0
+                        THEN 1 << (j - 1) ELSE 0 END)) AS bucket
+        FROM v, (SELECT UNNEST(range(0, {LSH_TABLES})) AS tbl) tb, w
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id,
+               ROUND({SQL_COS.format(a="x", b="y")}, 6) AS cosine
+        FROM b x JOIN b y
+          ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT a_id, b_id, cosine
+    FROM cand
+    ORDER BY cosine DESC, a_id, b_id
+    LIMIT 20
+    """
+
+
+@register(
+    "dd_embedding_lsh_pairs",
+    oracle=_emb_lsh_oracle(),
+    tags=("dedup", "embedding", "lsh"),
+)
+def dd_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH bucketing — the sub-quadratic
+    scale path for dd_embedding_topk_pairs.
+
+    Candidates are generated by an equi-join on (table, bucket) over the
+    multi-table random-hyperplane buckets from operators/similarity.py
+    (8 tables × 6 sign bits, OR-amplified), so only same-bucket vectors
+    ever meet: the shuffle is a hash join on bucket keys, never all-pairs
+    and never a driver collect. Cosine is verified on candidates only;
+    the top-20 ranks the candidate set. The oracle replays the identical
+    bucketing, so the recall loss vs the exact operator is itself
+    value-checked (recall vs brute force is asserted in tests).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import LSH_BITS, LSH_TABLES, _LSH_W, _cosine, _vectors
+
+    # Bucket computation is an Arrow/numpy matmul against the ±1 plane
+    # matrix — the interpreted HOF formulation evaluates 48 lambda-folded
+    # dot products per vector (~6 s of the measured 7 s at sf0.1); one
+    # BLAS pass is milliseconds. Sign parity with the oracle's sequential
+    # list_sum holds because a flip needs the true dot product within
+    # ~1e-16 of zero (never on this corpus; a testdata regeneration that
+    # hit it would surface as a loud driver mismatch, not silent drift).
+    W = np.array(_LSH_W, dtype="float64").reshape(
+        LSH_TABLES * LSH_BITS, -1
+    )  # (48, dim)
+    pow2 = (1 << np.arange(LSH_BITS)).astype("int64")
+
+    def bucketize(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            mat = np.array(list(pdf["embedding"]), dtype="float64")
+            bits = (mat @ W.T >= 0).reshape(len(ids), LSH_TABLES, LSH_BITS)
+            buckets = (bits * pow2[None, None, :]).sum(axis=2).astype("int32")
+            tbls = np.tile(np.arange(LSH_TABLES, dtype="int32"), len(ids))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, LSH_TABLES),
+                    "tbl": tbls,
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    ensure_analytics_conf(spark)
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_par = spark.sparkContext.defaultParallelism
+    buckets = raw.repartition(n_par).mapInPandas(
+        bucketize, "vec_id long, tbl int, bucket int"
+    )
+    v = _vectors(spark, sf_dir)
+    # One materialization of the bucket relation: it feeds BOTH self-join
+    # sides; ContextCleaner reclaims the blocks once the result is GC'd.
+    ex = buckets.join(v, "vec_id").select(
+        "vec_id", "emb", "nrm", "tbl", "bucket"
+    ).localCheckpoint(eager=True)
+    x, y = ex.alias("x"), ex.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("a_id"),
+            F.col("y.vec_id").alias("b_id"),
+            F.round(
+                _cosine(
+                    F.col("x.emb"), F.col("y.emb"), F.col("x.nrm"), F.col("y.nrm")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        # same pair from several tables → identical deterministic triple
+        .distinct()
+    )
+    return cand.orderBy(F.desc("cosine"), F.asc("a_id"), F.asc("b_id")).limit(20)
 
 
 # --- containment dedup (doc-in-doc) ---------------------------------------------
@@ -744,6 +1002,9 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir)
     norm = F.array_join(T.tokens("text"), " ")
+    # Barrier: (norm, shingles) feeds the inverted index twice (document
+    # frequencies + candidate probe) plus both verification lookups —
+    # without it the tokenize/shingle HOFs re-run per consumer branch.
     base = (
         d.repartition(d.sparkSession.sparkContext.defaultParallelism)
         .select(
@@ -751,6 +1012,7 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm.alias("norm"),
             T.word_shingles("text", 3).alias("sh"),
         )
+        .localCheckpoint(eager=True)
     )
     inv = base.select("doc_id", F.explode("sh").alias("s"))
     df_s = inv.groupBy("s").agg(F.count("*").alias("df"))

@@ -338,7 +338,27 @@ def mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_extract",
-    oracle=None,  # byte-slice decode is mapInPandas; rows-only check
+    # The stand-in decode is a deterministic byte slice, so the whole
+    # mapInPandas stage is SQL-expressible. DuckDB has no substring/md5
+    # over BLOB, so the byte slice goes through hex (2 chars per byte,
+    # so offsets/lengths double) and back via unhex; the VARCHAR cast for
+    # md5 is byte-faithful while the slice is valid UTF-8 (the corpus is
+    # ASCII — asserted by tests/test_multimodal.py).
+    oracle=f"""
+    SELECT doc_id,
+           r.frame_no,
+           r.frame_no * {FRAME_EVERY_S} AS frame_ts_s,
+           md5(CAST(unhex(substr(hex(encode(text)),
+                                 r.frame_no * {FRAME_EVERY_S} * {FAKE_BYTES_PER_S} * 2 + 1,
+                                 128)) AS VARCHAR)) AS frame_md5
+    FROM documents,
+         LATERAL (
+             SELECT UNNEST(range(0,
+                        octet_length(encode(text)) // {FAKE_BYTES_PER_S}
+                            // {FRAME_EVERY_S} + 1)) AS frame_no
+         ) r
+    WHERE doc_id < 100
+    """,
     tags=("multimodal", "frame-sample", "pandas-udf"),
 )
 def mm_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,7 +372,39 @@ def mm_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_feature_extract",
-    oracle=None,  # numpy histogram features; rows-only check
+    # Mirrors the numpy high-nibble histogram exactly: hex() of each
+    # 1-byte blob slice is two hex chars whose FIRST char is byte >> 4,
+    # so counting first-hex-chars == np.bincount(arr >> 4). printf('%.6f')
+    # and Python's f"{x:.6f}" both round the same IEEE double correctly.
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, encode(text) AS blob FROM documents WHERE doc_id < 100
+    ),
+    nib AS (
+        SELECT doc_id,
+               strpos('0123456789ABCDEF',
+                      substr(upper(hex(blob)), 2 * i.i - 1, 1)) - 1 AS nibble
+        FROM b, LATERAL (
+            SELECT UNNEST(range(1, octet_length(blob) + 1)) AS i
+        ) i
+    ),
+    hist AS (
+        SELECT doc_id, nibble, COUNT(*) AS c FROM nib GROUP BY doc_id, nibble
+    ),
+    grid AS (
+        SELECT b.doc_id, g.nibble, octet_length(b.blob) AS total
+        FROM b, (SELECT UNNEST(range(0, {FEATURE_DIM})) AS nibble) g
+    )
+    SELECT g.doc_id,
+           string_agg(
+               printf('%.6f',
+                      CASE WHEN g.total = 0 THEN 0.0
+                           ELSE COALESCE(h.c, 0) / CAST(g.total AS DOUBLE)
+                      END),
+               ',' ORDER BY g.nibble) AS feature
+    FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.nibble = g.nibble
+    GROUP BY g.doc_id
+    """,
     tags=("multimodal", "features", "pandas-udf"),
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,7 +418,21 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_decode_pipeline",
-    oracle=None,  # mapInPandas decode is not SQL-expressible; rows-only check
+    # fake_decode_image is pure arithmetic on octet_length, so the full
+    # mapInPandas pipeline is value-checked (INTEGER casts match the
+    # int32 width/height in DECODED_SCHEMA).
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           'unknown' AS format,
+           CAST(n % 640 + 16 AS INTEGER) AS width,
+           CAST((n // 7) % 480 + 16 AS INTEGER) AS height,
+           CAST((n % 640 + 16) * ((n // 7) % 480 + 16) AS BIGINT) AS n_pixels
+    FROM b
+    """,
     tags=("multimodal", "decode", "pandas-udf"),
 )
 def mm_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

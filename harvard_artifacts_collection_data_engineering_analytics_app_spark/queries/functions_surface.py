@@ -934,10 +934,14 @@ def fx_pandas_udaf_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregate via a GROUPED_AGG pandas UDF (Arrow-vectorized).
 
     Root-mean-square price per priority. The squares are summed in exact
-    integer cents (max ~6.8e17 < int64), so the result is independent of
-    partitioning and accumulation order — the same trick the SUM(double)
-    oracles use, applied inside a UDAF. This is the vectorized-UDAF slow
-    path; everything expressible as built-ins elsewhere stays JVM-side.
+    integer cents so the result is independent of partitioning and
+    accumulation order — the same trick the SUM(double) oracles use,
+    applied inside a UDAF. The sum-of-squares is accumulated in
+    arbitrary-precision Python ints (object dtype): an int64 accumulator
+    silently wraps once row counts grow (~1e10 cents² per row × rows —
+    sf1 already exceeds int64), while DuckDB's oracle sums into HUGEINT.
+    This is the vectorized-UDAF slow path; everything expressible as
+    built-ins elsewhere stays JVM-side.
     """
     import numpy as np
     from pyspark.sql.functions import PandasUDFType, pandas_udf
@@ -946,10 +950,10 @@ def fx_pandas_udaf_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # type hints, which defeats the signature-based eval-type inference
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def rms_cents(v):
-        cents = np.rint(v.to_numpy() * 100).astype(np.int64)
-        return float(
-            np.sqrt(np.sum(cents * cents) / float(len(cents))) / 100.0
-        )
+        cents = np.rint(v.to_numpy() * 100).astype(np.int64).astype(object)
+        sum_sq = int((cents * cents).sum())  # Python-int exact, no wraparound
+        # float(sum_sq) then divide = oracle's CAST(SUM AS DOUBLE) / COUNT(*)
+        return float((float(sum_sq) / len(cents)) ** 0.5 / 100.0)
 
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(

@@ -169,12 +169,12 @@ def wf_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
-               PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
-               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
            ) / 100.0 AS value_last_hour,
            COUNT(*) OVER (
-               PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
-               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
            ) AS events_last_hour
     FROM events
     WHERE user_id < 10
@@ -188,12 +188,17 @@ def wf_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     or out together, so the result is deterministic even with tied
     timestamps — unlike a ROWS frame. The fixed-point cents sum keeps the
     double aggregation order-insensitive for the value hash.
+
+    Both sides order by exact epoch MICROseconds (unix_micros / epoch_us)
+    with a microsecond-scaled frame: second-granularity keys differ between
+    engines (unix_timestamp floors, epoch() rounds), which flips frame
+    membership for events within ~1s of a boundary on denser data.
     """
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, Window.currentRow)
     )
     cents = F.round(F.col("value") * 100).cast("bigint")
     return e.select(

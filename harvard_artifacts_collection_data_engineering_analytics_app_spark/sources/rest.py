@@ -91,6 +91,80 @@ def ingest_distributed(
     return parsed
 
 
+class HttpPageFetcher:
+    """Requests-based ``PageFetcher`` for the Harvard Art Museums API,
+    mirroring the reference client (harvard_artifacts_app.py:105-152):
+    GET ``{base_url}/object`` with (apikey, classification, size, page),
+    a rate-limit sleep between successive page requests (:142), and the
+    two stop conditions — empty ``records`` (:129) and missing
+    ``info.next`` (:136). After a response without ``info.next`` this
+    fetcher returns ``[]`` for later pages without touching the network,
+    so the serial/distributed ingest loops need no API-specific logic.
+
+    The transport is injectable (``transport(url, params) -> dict``) so
+    tests and this container never need the network; the default uses
+    ``requests`` when available. Credentials are parameters, never
+    hardcoded (reference :23-26 hardcodes them).
+    """
+
+    def __init__(
+        self,
+        api_key: str,
+        classification: str,
+        base_url: str = "https://api.harvardartmuseums.org",
+        page_size: int = PAGE_SIZE,
+        rate_limit_s: float = 0.1,
+        transport: Callable[[str, dict], dict] | None = None,
+        sleep_fn: Callable[[float], None] | None = None,
+    ) -> None:
+        self.api_key = api_key
+        self.classification = classification
+        self.base_url = base_url.rstrip("/")
+        self.page_size = page_size
+        self.rate_limit_s = rate_limit_s
+        self.transport = transport or _requests_transport
+        self._sleep = sleep_fn if sleep_fn is not None else _default_sleep
+        self._exhausted_after: int | None = None  # page whose info had no next
+        self._requests_made = 0
+
+    def __call__(self, page: int) -> list[dict]:
+        if self._exhausted_after is not None and page > self._exhausted_after:
+            return []
+        if self._requests_made > 0 and self.rate_limit_s > 0:
+            self._sleep(self.rate_limit_s)
+        data = self.transport(
+            f"{self.base_url}/object",
+            {
+                "apikey": self.api_key,
+                "classification": self.classification,
+                "size": self.page_size,
+                "page": page,
+            },
+        )
+        self._requests_made += 1
+        records = data.get("records") or []
+        if not records or "next" not in (data.get("info") or {}):
+            self._exhausted_after = page
+        return records
+
+
+def _default_sleep(seconds: float) -> None:
+    import time
+
+    time.sleep(seconds)
+
+
+def _requests_transport(url: str, params: dict) -> dict:
+    try:
+        import requests
+    except ImportError as exc:  # pragma: no cover - container has no requests
+        raise RuntimeError(
+            "HttpPageFetcher's default transport needs the 'requests' "
+            "package; pass transport= explicitly in environments without it"
+        ) from exc
+    return requests.get(url, params=params).json()
+
+
 def synthetic_fetcher(total_records: int, seed: int = 7) -> PageFetcher:
     """Deterministic stand-in for the Harvard Art Museums API.
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -137,7 +138,11 @@ RUNNING_TOTAL_SCHEMA = StructType(
 RUNNING_TOTAL_STATE = StructType(
     [
         StructField("n", LongType()),
-        StructField("total", DoubleType()),
+        # exact integer cents: float accumulation would depend on row
+        # order within/across micro-batches; an integer total is identical
+        # for every batching, which is what makes this operator
+        # value-checkable against a batch SQL oracle at all
+        StructField("total_cents", LongType()),
         # epoch micros of the max event time seen so far — must live in
         # state, else a later micro-batch with earlier events would emit a
         # last_ts that moves backwards
@@ -159,18 +164,20 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        n, total, last_us = state.get if state.exists else (0, 0.0, None)
+        n, total_cents, last_us = state.get if state.exists else (0, 0, None)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            total_cents += int(
+                np.rint(pdf["value"].to_numpy(dtype="float64") * 100).sum()
+            )
             mx = int(pdf["ts"].max().value // 1_000)  # ns → µs
             last_us = mx if last_us is None else max(last_us, mx)
-        state.update((n, float(total), last_us))
+        state.update((n, total_cents, last_us))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 6)],
+                "total_value": [total_cents / 100.0],
                 "last_ts": [pd.Timestamp(last_us * 1_000)],
             }
         )

@@ -9,10 +9,9 @@ Under one-shot AvailableNow replay stream≡batch (all data arrives before
 any watermark advances, so nothing is dropped), which makes the windowed
 aggregations fully deterministic — those carry value-level DuckDB oracles
 identical in shape to their batch twins (``tw_*`` in queries/windows.py).
-The custom-stateful pipeline (``applyInPandasWithState``) is registered
-rows-only: its running-total float accumulation order is
-micro-batch-dependent, which is exactly the non-SQL-expressible case the
-driver's weaker check exists for.
+The custom-stateful pipeline (``applyInPandasWithState``) accumulates
+exact integer cents in its state, so its totals are independent of
+batching/row order and it too carries a value-level oracle.
 
 At scale the same plans run against a Kafka/files source with a real
 trigger; the memory sink here is the deterministic replay harness, not
@@ -159,12 +158,23 @@ def st_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st_running_totals",
-    oracle=None,  # float accumulation order is micro-batch-dependent
+    # One micro-batch under AvailableNow (single file, maxFilesPerTrigger=1)
+    # ⇒ one final row per user; the state accumulates exact integer cents,
+    # so the totals are identical for ANY batching/row order — which is
+    # what lets a custom stateful operator carry a value-level oracle.
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
     tags=("streaming", "stateful", "pandas-udf"),
 )
 def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful per-user running totals via applyInPandasWithState
-    (update mode); rows-only check — see module docstring."""
+    (update mode), drained via AvailableNow replay."""
     ensure_analytics_conf(spark)
     stream = user_running_totals(read_events_stream(spark, sf_dir))
     return _drain(spark, stream, "st_running_mem", "update")

@@ -9,9 +9,9 @@ from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators
 )
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, **kw):
     df = spark.createDataFrame(edges, "src long, dst long")
-    rows = connected_components(df).collect()
+    rows = connected_components(df, **kw).collect()
     return {r["node"]: r["component"] for r in rows}
 
 
@@ -68,6 +68,44 @@ def test_cluster_keepers_consistent_with_components(spark, sf_dir):
     }
     assert got == expect
     assert all(r.n_to_drop == r.n_members - 1 for r in keep.itertuples())
+
+
+def test_propagation_raises_instead_of_partial_labels(spark):
+    """Diameter > max_iter must raise, not silently return wrong labels."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iter=5)
+
+
+def test_star_contraction_path_graph_olog2_rounds(spark):
+    """50-node path (diameter 49): star contraction converges within 10
+    rounds — label propagation would need ~49. max_iter=10 doubles as the
+    round-count assertion (it raises if the bound is exceeded)."""
+    edges = [(i, i + 1) for i in range(49)]
+    got = _cc(spark, edges, algorithm="star", max_iter=10)
+    assert got == {i: 0 for i in range(50)}
+
+
+def test_star_contraction_matches_propagation(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n_nodes = rng.randint(5, 40)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(rng.randint(1, 60))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        assert _cc(spark, edges, algorithm="star") == _cc(
+            spark, edges, max_iter=50
+        ), f"trial {trial}: {sorted(edges)}"
 
 
 def test_components_property_random_graphs(spark):

@@ -73,3 +73,23 @@ def test_simhash_blocking_is_lossless(spark, oracle_sf_dir):
         for i in range(len(docs)):
             for j in range(i + 1, len(docs)):
                 assert (docs[i], docs[j]) in pairs
+
+
+def test_simhash_numpy_matches_catalyst_expr(spark, sf_dir):
+    """The Arrow/numpy signature path must be bit-identical to the
+    pure-Catalyst _SPARK_SIMHASH expression it replaced on the hot path."""
+    import pyspark.sql.functions as F
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.dedup import (
+        _SPARK_SIMHASH,
+        _docs,
+        _simhash_relation,
+    )
+
+    d = _docs(spark, sf_dir)
+    expr = {
+        r["doc_id"]: r["simhash"]
+        for r in d.select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash")).collect()
+    }
+    fast = {r["doc_id"]: r["simhash"] for r in _simhash_relation(d).collect()}
+    assert fast == expr

@@ -72,3 +72,20 @@ def test_extract_features_normalized(spark):
     assert len(feat) == M.FEATURE_DIM
     assert abs(sum(feat) - 1.0) < 1e-6
     assert feat[0] == 0.5  # two bytes in bucket 0
+
+
+def test_corpus_is_ascii_for_blob_oracles(spark, oracle_sf_dir):
+    """The mm_frame_extract oracle slices blob bytes via hex→unhex→VARCHAR,
+    which is byte-faithful only for UTF-8-valid slices; the synthetic corpus
+    is ASCII, making every slice valid. Guard that assumption so a testdata
+    regeneration with non-ASCII text fails loudly here, not as a silent
+    oracle mismatch."""
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{oracle_sf_dir}/documents.parquet') "
+        "WHERE octet_length(encode(text)) != length(text)"
+    ).fetchone()[0]
+    con.close()
+    assert n == 0

@@ -93,3 +93,34 @@ def test_tfidf_has_partial_aggregate(spark, sf_dir):
 
 def test_stratified_sample_broadcasts_rates(spark, sf_dir):
     assert X.uses_broadcast_join(_df(spark, sf_dir, "fx_stratified_sample"))
+
+
+def test_salted_join_plan_splits_hot_keys(spark, sf_dir):
+    """The salted join must actually take the salted shuffle path: a
+    sort-merge join keyed on (key, _salt), with the dim side replicated
+    via explode (Generate) — not silently broadcast away."""
+    df = _df(spark, sf_dir, "sk_salted_join")
+    plan = X.formatted_plan(df)
+    assert "SortMergeJoin" in plan, "salted join lost its merge strategy"
+    assert "BroadcastHashJoin" not in plan, "dim was broadcast — salt unused"
+    assert "Generate" in plan, "no explode: dim side not salt-replicated"
+    assert "_salt" in plan, "join keys do not include the salt"
+
+
+def test_embedding_pairs_distributed_no_cartesian(spark, sf_dir):
+    """dd_embedding_topk_pairs must be the block-pair applyInPandas plan
+    (FlatMapGroupsInPandas after a grouping shuffle) — not a cartesian
+    product and not a driver-side collect baked into the task closure."""
+    df = _df(spark, sf_dir, "dd_embedding_topk_pairs")
+    plan = X.formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan, "block-pair grouping missing"
+    assert not X.has_cartesian_product(df)
+    assert X.uses_take_ordered(df), "global top-k should TakeOrderedAndProject"
+
+
+def test_embedding_lsh_pairs_bucket_equijoin(spark, sf_dir):
+    """The LSH variant must join on (tbl, bucket) hash keys, never all-pairs."""
+    df = _df(spark, sf_dir, "dd_embedding_lsh_pairs")
+    assert not X.has_cartesian_product(df)
+    plan = X.formatted_plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

@@ -114,3 +114,81 @@ def test_file_sources_feed_etl(spark, tmp_path):
     out = A.sanitize_floats(clean).collect()
     got = {r["id"]: r["score"] for r in out}
     assert got[1] is None and got[2] == 1.0
+
+
+# --- HttpPageFetcher (fake transport, no network) --------------------------------
+
+
+def _fake_api(total: int, page_size: int = 100):
+    """Transport simulating the Harvard API's records/info.next shape."""
+    calls: list[dict] = []
+
+    def transport(url: str, params: dict) -> dict:
+        calls.append({"url": url, **params})
+        page = params["page"]
+        start = (page - 1) * page_size
+        recs = [{"id": i} for i in range(start, min(start + page_size, total))]
+        info = {"next": "url"} if start + page_size < total else {}
+        return {"records": recs, "info": info}
+
+    return transport, calls
+
+
+def test_http_fetcher_paginates_to_target():
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.sources.rest import (
+        HttpPageFetcher,
+        fetch_serial,
+    )
+
+    transport, calls = _fake_api(total=10_000)
+    f = HttpPageFetcher("k", "Coins", transport=transport, sleep_fn=lambda s: None)
+    got = fetch_serial(f, target_records=250)
+    assert len(got) == 250
+    assert [c["page"] for c in calls] == [1, 2, 3]
+    assert calls[0]["classification"] == "Coins" and calls[0]["apikey"] == "k"
+
+
+def test_http_fetcher_stops_without_info_next():
+    """A full page whose info lacks `next` must end pagination (reference
+    harvard_artifacts_app.py:136) without further network calls."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.sources.rest import (
+        HttpPageFetcher,
+        fetch_serial,
+    )
+
+    transport, calls = _fake_api(total=100)  # exactly one full page, no next
+    f = HttpPageFetcher("k", "Coins", transport=transport, sleep_fn=lambda s: None)
+    got = fetch_serial(f, target_records=2500)
+    assert len(got) == 100
+    assert len(calls) == 1  # page 2 short-circuits to [] with no request
+    assert f(2) == []
+    assert len(calls) == 1
+
+
+def test_http_fetcher_rate_limits_between_requests():
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.sources.rest import (
+        HttpPageFetcher,
+        fetch_serial,
+    )
+
+    transport, _ = _fake_api(total=350)
+    sleeps: list[float] = []
+    f = HttpPageFetcher(
+        "k", "Coins", transport=transport, sleep_fn=sleeps.append
+    )
+    fetch_serial(f, target_records=2500)
+    # 4 pages -> 3 inter-request sleeps of 0.1s; none before the first
+    assert sleeps == [0.1, 0.1, 0.1]
+
+
+def test_http_fetcher_empty_records_stops():
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.sources.rest import (
+        HttpPageFetcher,
+        fetch_serial,
+    )
+
+    def transport(url, params):
+        return {"records": [], "info": {}}
+
+    f = HttpPageFetcher("k", "Coins", transport=transport, sleep_fn=lambda s: None)
+    assert fetch_serial(f, target_records=100) == []

@@ -88,3 +88,104 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     assert n == 1
     assert len(glob.glob(f"{out}/*.parquet")) == 1
     assert spark.read.parquet(out).count() == e.count()
+
+
+# --- MERGE upsert + SCD2 apply ---------------------------------------------------
+
+
+def _read_fact(spark, path):
+    rows = spark.read.parquet(path).collect()
+    return {r["k"]: (r["part"], r["val"]) for r in rows}
+
+
+def test_merge_upsert_three_batches_with_updates(spark, tmp_path):
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.etl.warehouse import (
+        merge_upsert_partitioned,
+    )
+
+    target = str(tmp_path / "fact")
+    b1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (5, "c", 50)],
+        "k long, part string, val long",
+    )
+    merge_upsert_partitioned(spark, target, b1, ("k",), "part")
+    assert _read_fact(spark, target) == {
+        1: ("a", 10), 2: ("a", 20), 3: ("b", 30), 5: ("c", 50)
+    }
+
+    # batch 2 UPDATES key 2 and inserts key 4 — not just inserts
+    import os, glob
+
+    c_files_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(target, "part=c", "*.parquet"))
+    }
+    b2 = spark.createDataFrame(
+        [(2, "a", 25), (4, "b", 40)], "k long, part string, val long"
+    )
+    merge_upsert_partitioned(spark, target, b2, ("k",), "part")
+    assert _read_fact(spark, target) == {
+        1: ("a", 10), 2: ("a", 25), 3: ("b", 30), 4: ("b", 40), 5: ("c", 50)
+    }
+    # untouched partition c was neither rewritten nor deleted
+    c_files_after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(target, "part=c", "*.parquet"))
+    }
+    assert c_files_after == c_files_before
+
+    # batch 3 = re-apply batch 2: idempotent
+    merge_upsert_partitioned(spark, target, b2, ("k",), "part")
+    assert _read_fact(spark, target) == {
+        1: ("a", 10), 2: ("a", 25), 3: ("b", 30), 4: ("b", 40), 5: ("c", 50)
+    }
+
+
+def test_scd2_apply_closes_current_and_is_idempotent(spark):
+    import datetime as dt
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.etl.warehouse import (
+        scd2_apply,
+    )
+
+    empty = spark.createDataFrame(
+        [], "k long, valid_from date, valid_to date, status string, is_current int"
+    )
+    d = dt.date
+    b1 = spark.createDataFrame(
+        [(1, d(2024, 1, 1), "new"), (2, d(2024, 1, 2), "new")],
+        "k long, valid_from date, status string",
+    )
+    h1 = scd2_apply(empty, b1, "k", ("status",))
+    got1 = {(r["k"], r["valid_from"]): (r["valid_to"], r["status"], r["is_current"])
+            for r in h1.collect()}
+    assert got1 == {
+        (1, d(2024, 1, 1)): (None, "new", 1),
+        (2, d(2024, 1, 2)): (None, "new", 1),
+    }
+
+    # batch 2 changes key 1 → old row closes (valid_to, is_current=0)
+    b2 = spark.createDataFrame(
+        [(1, d(2024, 2, 1), "shipped")], "k long, valid_from date, status string"
+    )
+    h2 = scd2_apply(h1, b2, "k", ("status",))
+    got2 = {(r["k"], r["valid_from"]): (r["valid_to"], r["status"], r["is_current"])
+            for r in h2.collect()}
+    assert got2 == {
+        (1, d(2024, 1, 1)): (d(2024, 2, 1), "new", 0),
+        (1, d(2024, 2, 1)): (None, "shipped", 1),
+        (2, d(2024, 1, 2)): (None, "new", 1),
+    }
+
+    # re-applying the same batch is a no-op; a same-date correction wins
+    h3 = scd2_apply(h2, b2, "k", ("status",))
+    got3 = {(r["k"], r["valid_from"]): (r["valid_to"], r["status"], r["is_current"])
+            for r in h3.collect()}
+    assert got3 == got2
+    fix = spark.createDataFrame(
+        [(1, d(2024, 2, 1), "returned")], "k long, valid_from date, status string"
+    )
+    h4 = scd2_apply(h3, fix, "k", ("status",))
+    got4 = {(r["k"], r["valid_from"]): (r["valid_to"], r["status"], r["is_current"])
+            for r in h4.collect()}
+    assert got4[(1, d(2024, 2, 1))] == (None, "returned", 1)
