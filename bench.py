@@ -59,6 +59,11 @@ HEADLINE = [
     "rj_price_tier_bucketed",
     "sk_salted_join",
     "st_session_30m",
+    "tx_gopher_quality",
+    # st_stream_stream_join stays out: its cost is HDFS-state-store churn
+    # in local mode (8+ s regardless of data volume), which would swamp
+    # the plan-quality signal this bench tracks; the driver's correctness
+    # gate still value-checks it every round.
 ]
 
 

@@ -420,3 +420,119 @@ def tx_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_documents d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+# --- Gopher-style quality rules --------------------------------------------------
+
+# Rule thresholds (Rae et al., "Scaling Language Models: ... Gopher" §A1.1
+# in spirit; bounds adapted to the synthetic corpus). Shared by the Spark
+# expressions AND the generated oracle SQL so the two cannot drift.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_LO = 2.0
+GOPHER_MEAN_LEN_HI = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+@register(
+    "tx_gopher_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({SQL_TOKENS}) AS BIGINT) AS n_words,
+               ROUND(list_sum(list_transform({SQL_TOKENS}, t -> length(t)))::DOUBLE
+                     / nullif(len({SQL_TOKENS}), 0), 6) AS mean_word_len,
+               ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                     / nullif(length(text), 0), 6) AS symbol_ratio,
+               CAST(len(list_intersect({SQL_TOKENS}, [{_EN}])) AS BIGINT)
+                   AS stopword_hits
+        FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, stopword_hits,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND mean_word_len BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
+            AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+            AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS keep
+    FROM t
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def tx_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules, one Catalyst pass per doc:
+    word-count bounds, mean word length, symbol-to-char ratio, distinct
+    stopword hits → per-rule signals + the conjunctive keep decision.
+    The keep flag is computed from the ROUNDED signals in both engines so
+    boundary docs cannot flip between them.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = F.round(
+        sum_len.cast("double") / F.nullif(F.size(toks), F.lit(0)), 6
+    )
+    symbol_ratio = F.round(
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
+        / F.nullif(F.length("text"), F.lit(0)),
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in T.LANG_STOPWORDS["en"]]))
+    ).cast("long")
+    out = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stopword_hits"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS),
+    )
+
+
+@register(
+    "tx_repetition",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               list_transform(range(1, len({SQL_TOKENS})),
+                              i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i + 1])
+                   AS bigrams
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - len(list_distinct(bigrams))::DOUBLE
+                     / nullif(len(bigrams), 0), 6) AS repetition_ratio
+    FROM b
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of word bigrams that are
+    repeats (1 − distinct/total) — the C4/Gopher-style signal that
+    catches boilerplate and looping generations that whole-doc
+    fingerprints miss. NULL for docs with < 2 tokens.
+    """
+    d = _t(spark, sf_dir, "documents")
+    bigrams = T.word_shingles("text", 2, distinct=False)
+    n_total = F.size(bigrams)
+    n_distinct = F.size(F.array_distinct(bigrams))
+    return d.select(
+        "doc_id",
+        n_total.cast("long").alias("n_bigrams"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.round(
+            1.0 - n_distinct.cast("double") / F.nullif(n_total, F.lit(0)).cast("double"),
+            6,
+        ).alias("repetition_ratio"),
+    )

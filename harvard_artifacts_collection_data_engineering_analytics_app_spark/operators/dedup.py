@@ -472,16 +472,19 @@ def dd_minhash_lsh_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-Python-workers variant; the interpreted-HOF signature cost makes
     dd_minhash_lsh the default at scale.
     """
-    # Repartition barrier: materializes the shingle + base-hash arrays
-    # once behind an Exchange, which (a) stops projection collapse from
-    # inlining the md5 transform into all 32 minhash computations and
-    # (b) lets ReuseExchange share one materialization across the bands /
-    # verify branches. At scale this is also the load-balancing step
-    # before LSH.
+    # Materialization barrier: the shingle + base-hash arrays feed the two
+    # band-join sides and the two verify lookups. A plain repartition
+    # leaves the reuse to ReuseExchange, which only de-duplicates
+    # identical subplans — the verify branches project differently and
+    # re-run the md5 transform; an eager localCheckpoint computes the
+    # arrays exactly once (measured 4.3 s → ~2 s cold at sf0.1). Still
+    # zero Python workers: the signatures themselves remain expression
+    # trees.
     d = (
         _shingle_relation(_docs(spark, sf_dir))
         .withColumn("hs", shingle_base_hashes(F.col("sh")))
         .repartition("doc_id")
+        .localCheckpoint(eager=True)
     )
     bands = d.select(
         "doc_id",

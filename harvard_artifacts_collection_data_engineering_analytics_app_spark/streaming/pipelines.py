@@ -236,3 +236,39 @@ def enrich_against_static(events: DataFrame, dim: DataFrame) -> DataFrame:
             (F.sum(cents) / 100.0).alias("total_value"),
         )
     )
+
+
+def run_merge_sink(
+    stream: DataFrame,
+    target_dir: str,
+    key_cols: tuple[str, ...],
+    partition_col: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain a stream into a partitioned parquet warehouse via
+    foreachBatch + MERGE — the production sink shape for upserting
+    streams (CDC, dedup-on-key) where blind appends would duplicate.
+
+    Each micro-batch runs the partition-scoped MERGE
+    (etl.warehouse.merge_upsert_partitioned): updates win on key
+    collision, untouched partitions are never rewritten. Because MERGE is
+    idempotent on keys, a replayed micro-batch (restart between commit
+    and checkpoint) converges to the same table — the standard
+    exactly-once-by-idempotence argument for foreachBatch sinks.
+    """
+    from ..etl.warehouse import merge_upsert_partitioned
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert_partitioned(
+            batch_df.sparkSession, target_dir, batch_df, key_cols, partition_col
+        )
+
+    (
+        stream.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+        .awaitTermination()
+    )

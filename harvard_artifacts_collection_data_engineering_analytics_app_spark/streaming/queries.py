@@ -181,6 +181,60 @@ def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id
+    FROM events p JOIN events c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+    """,
+    tags=("streaming", "join", "stream-stream"),
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase paired with
+    the same user's clicks in the preceding hour.
+
+    Both sides carry watermarks and the join has an event-time range
+    condition — exactly what Structured Streaming requires to bound the
+    join state (click state older than purchase_watermark − 1 h is
+    evicted). Under AvailableNow replay all rows arrive before any
+    watermark advances, so the append-mode result equals the batch
+    interval join the oracle runs.
+    """
+    ensure_analytics_conf(spark)
+    p = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "user_id = c_user AND c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+    return _drain(spark, joined, "st_ss_join_mem", "append")
+
+
+@register(
     "st_static_enrich",
     oracle="""
     SELECT c.c_mktsegment,

@@ -150,3 +150,37 @@ def test_user_running_totals_state(spark, sf_dir, events_stream, tmp_path):
         n, total = got[r["user_id"]]
         assert n == r["n"]
         assert abs(total - r["total"]) < 1e-4
+
+
+def test_foreach_batch_merge_sink_is_replay_idempotent(spark, sf_dir, tmp_path):
+    """Streaming → MERGE warehouse sink: draining the events stream twice
+    (fresh checkpoint = full replay, as after a checkpoint loss) must not
+    duplicate rows — the idempotent-upsert argument for foreachBatch."""
+    import pyspark.sql.functions as F
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.streaming.pipelines import (
+        read_events_stream,
+        run_merge_sink,
+    )
+
+    target = str(tmp_path / "events_wh")
+    expected = None
+    for replay in (1, 2):
+        stream = read_events_stream(spark, sf_dir).withColumn(
+            "event_date", F.to_date("ts")
+        )
+        run_merge_sink(
+            stream,
+            target,
+            key_cols=("event_id",),
+            partition_col="event_date",
+            checkpoint_dir=str(tmp_path / f"ckpt{replay}"),
+        )
+        got = spark.read.parquet(target)
+        n = got.count()
+        n_keys = got.select("event_id").distinct().count()
+        assert n == n_keys, "duplicate keys after merge sink"
+        if expected is None:
+            expected = n
+        else:
+            assert n == expected, "replay changed the table"
