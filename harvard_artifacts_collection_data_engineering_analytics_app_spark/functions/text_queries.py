@@ -536,3 +536,158 @@ def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("repetition_ratio"),
     )
+
+
+# BPE-ish pre-tokenizer: the GPT-2-style split (contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace)
+# minus the trailing-space lookahead, which RE2 (DuckDB) cannot run. Each
+# match is one "piece" — counting pieces approximates LLM token cost far
+# better than whitespace words (digits and punctuation split off).
+BPE_PIECE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+_BPE_SQL = BPE_PIECE_REGEX.replace("'", "''")  # escape for the SQL literal
+
+
+@register(
+    "tx_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({SQL_TOKENS}) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT)
+               AS n_bpe_pieces,
+           ROUND(len(regexp_extract_all(text, '{_BPE_SQL}'))::DOUBLE
+                 / nullif(len({SQL_TOKENS}), 0), 6) AS pieces_per_word
+    FROM documents
+    """,
+    tags=("text", "tokenize", "bpe"),
+)
+def tx_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token-cost estimation: whitespace word count vs BPE-ish piece
+    count per document, one JVM-side regexp pass (no Python). Both
+    engines run the identical leftmost-greedy pattern, so the counts are
+    value-checked, not approximated.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(T.tokens("text")).cast("long")
+    n_pieces = F.regexp_count("text", F.lit(BPE_PIECE_REGEX)).cast("long")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_pieces.alias("n_bpe_pieces"),
+        F.round(
+            n_pieces.cast("double") / F.nullif(n_words, F.lit(0)).cast("double"), 6
+        ).alias("pieces_per_word"),
+    )
+
+
+# --- training-window chunking -----------------------------------------------------
+
+CHUNK_TOKENS = 32  # window size (tokens)
+CHUNK_STRIDE = 24  # hop → 8-token overlap between consecutive chunks
+
+
+@register(
+    "tx_chunk_plan",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           r.chunk_no,
+           CAST(r.chunk_no * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(least({CHUNK_TOKENS},
+                      len(toks) - r.chunk_no * {CHUNK_STRIDE}) AS BIGINT)
+               AS n_tokens,
+           array_to_string(
+               toks[r.chunk_no * {CHUNK_STRIDE} + 1 :
+                    r.chunk_no * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+               ' ') AS chunk_text
+    FROM t,
+         LATERAL (
+             SELECT UNNEST(range(0,
+                 greatest(len(toks) - 1, 0) // {CHUNK_STRIDE} + 1)) AS chunk_no
+         ) r
+    """,
+    tags=("text", "chunking", "training"),
+)
+def tx_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token training windows (32 tokens, stride 24 —
+    the context-window packing step of an LLM data pipeline), pure
+    Catalyst: sequence + posexplode + slice, no Python, no shuffle. The
+    same plan shape as the audio/frame chunkers in operators/multimodal,
+    applied to token arrays.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"), F.posexplode(starts).alias("chunk_no", "start_tok"))
+        .select(
+            "doc_id",
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size("toks") - F.col("start_tok")
+            ).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start_tok") + 1, CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+# --- deterministic train/val/test split -------------------------------------------
+
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN_LT = 90  # buckets [0,90) → train
+SPLIT_VAL_LT = 95    # [90,95) → val; [95,100) → test
+
+
+@register(
+    "tx_split_assign",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {SPLIT_BUCKETS} AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM s
+    GROUP BY split
+    """,
+    tags=("text", "sampling", "split"),
+)
+def tx_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by portable keyed
+    hash of doc_id — stable across runs, engines and cluster sizes (the
+    property random() splits lack), and pure Catalyst. The same
+    seeded-hash scheme as fx_hash_sample, with a 'split:' domain prefix
+    so the split is independent of any sampling decision.
+    """
+    d = _t(spark, sf_dir, "documents")
+    bucket = T.portable_hash60(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % SPLIT_BUCKETS
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

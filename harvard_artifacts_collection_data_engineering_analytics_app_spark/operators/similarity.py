@@ -448,3 +448,70 @@ def ss_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _ranked_topk(scored, TOP_K)
+
+
+# --- int8 quantization ---------------------------------------------------------------
+
+QUANT_LEVELS = 127  # symmetric int8 range
+
+
+@register(
+    "ss_quantize_int8",
+    oracle=f"""
+    WITH {SQL_V},
+    s AS (
+        SELECT vec_id, emb,
+               list_max(list_transform(emb, x -> abs(x))) / {QUANT_LEVELS}.0
+                   AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               list_transform(emb,
+                   x -> CAST(floor(x / nullif(scale, 0) + 0.5) AS BIGINT)) AS qv
+        FROM s
+    )
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           CAST(list_min(qv) AS BIGINT) AS min_q,
+           CAST(list_max(qv) AS BIGINT) AS max_q,
+           CAST(len(list_filter(qv, x -> abs(x) = {QUANT_LEVELS})) AS BIGINT)
+               AS n_saturated
+    FROM q
+    """,
+    tags=("similarity", "quantization"),
+)
+def ss_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage
+    shape ANN indexes serve at scale (4× smaller than float32, SIMD
+    dot products). Per-vector scale = max|x| / 127; rounding is an
+    explicit floor(x/scale + 0.5) so both engines round identically
+    (their ROUND half-way conventions differ). Emits per-vector
+    checksums (sum/min/max/saturation count) so the full quantized
+    payload is value-checked without comparing giant arrays.
+    """
+    v = _vectors(spark, sf_dir)
+    amax = F.aggregate(
+        F.transform("emb", lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, x),
+    )
+    s = v.withColumn("scale", amax / float(QUANT_LEVELS))
+    qv = F.transform(
+        "emb",
+        lambda x: F.floor(x / F.nullif(F.col("scale"), F.lit(0.0)) + 0.5).cast(
+            "long"
+        ),
+    )
+    q = s.withColumn("qv", qv)
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_q"),
+        F.array_min("qv").alias("min_q"),
+        F.array_max("qv").alias("max_q"),
+        F.size(
+            F.filter("qv", lambda x: F.abs(x) == QUANT_LEVELS)
+        ).cast("long").alias("n_saturated"),
+    )

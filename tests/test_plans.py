@@ -124,3 +124,17 @@ def test_embedding_lsh_pairs_bucket_equijoin(spark, sf_dir):
     assert not X.has_cartesian_product(df)
     plan = X.formatted_plan(df)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_new_text_ops_prune_and_avoid_shuffles(spark, sf_dir):
+    """The per-document quality/chunking ops must stay scan→project (zero
+    exchanges) and read only (doc_id, text); the split assignment must
+    prune down to doc_id alone — at 100 TB reading `text` for a hash of
+    the id would multiply scan IO ~100×."""
+    for name in ("tx_gopher_quality", "tx_repetition", "tx_bpe_token_count", "tx_chunk_plan"):
+        df = _df(spark, sf_dir, name)
+        plan = X.formatted_plan(df)
+        assert plan.count("Exchange") == 0, f"{name} shuffles a per-doc op"
+        assert X.read_schemas(df) == ["struct<doc_id:bigint,text:string>"], name
+    split = _df(spark, sf_dir, "tx_split_assign")
+    assert X.read_schemas(split) == ["struct<doc_id:bigint>"], "split reads more than the id"
