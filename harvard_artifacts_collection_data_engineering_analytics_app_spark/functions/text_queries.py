@@ -691,3 +691,96 @@ def tx_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# --- sequence packing -------------------------------------------------------------
+
+PACK_SEQ_CHUNKS = 4  # chunks per training sequence (4 × 32 = 128 tokens)
+PACK_BUCKETS = 32    # independent packing streams (the parallelism unit)
+
+
+@register(
+    "tx_pack_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {PACK_BUCKETS} AS bucket,
+               r.chunk_no,
+               CAST(least({CHUNK_TOKENS},
+                          len(toks) - r.chunk_no * {CHUNK_TOKENS}) AS BIGINT)
+                   AS n_tokens
+        FROM t,
+             LATERAL (
+                 SELECT UNNEST(range(0,
+                     greatest(len(toks) - 1, 0) // {CHUNK_TOKENS} + 1)) AS chunk_no
+             ) r
+    ),
+    p AS (
+        SELECT bucket, doc_id, n_tokens,
+               (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id, chunk_no)
+                - 1) // {PACK_SEQ_CHUNKS} AS pack_id
+        FROM c
+    )
+    SELECT bucket,
+           CAST(pack_id AS BIGINT) AS pack_id,
+           COUNT(*) AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(SUM(n_tokens) / {CHUNK_TOKENS * PACK_SEQ_CHUNKS}.0, 6)
+               AS fill_ratio
+    FROM p
+    GROUP BY bucket, pack_id
+    """,
+    tags=("text", "chunking", "packing", "training"),
+)
+def tx_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: non-overlapping 32-token chunks packed 4-per-128-token
+    training sequence, with per-pack fill statistics (the step after
+    tx_chunk_plan in an LLM data pipeline — batches want full windows).
+
+    Packing is inherently sequential, so the scale design assigns each doc
+    to one of {PACK_BUCKETS} independent packing streams by keyed hash and
+    runs the greedy fill per stream: one shuffle on bucket, a within-bucket
+    sort (row_number), no global ordering anywhere. At 100 TB you raise
+    PACK_BUCKETS to O(cores) and every stream packs in parallel; the
+    bucket hash is engine-portable so the oracle replays the identical
+    assignment.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(CHUNK_TOKENS)
+    )
+    bucket = T.portable_hash60(
+        F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))
+    ) % PACK_BUCKETS
+    chunks = d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.size(toks).alias("n_toks"),
+        F.posexplode(starts).alias("chunk_no", "start_tok"),
+    ).select(
+        "doc_id",
+        "bucket",
+        "chunk_no",
+        F.least(F.lit(CHUNK_TOKENS), F.col("n_toks") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id", "chunk_no")
+    packed = chunks.withColumn(
+        "pack_id",
+        F.floor((F.row_number().over(w) - 1) / PACK_SEQ_CHUNKS).cast("long"),
+    )
+    return packed.groupBy("bucket", "pack_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens") / float(CHUNK_TOKENS * PACK_SEQ_CHUNKS), 6
+        ).alias("fill_ratio"),
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..functions import text as T
+from ..functions import text_queries as _tq
 from ..functions.text_queries import SQL_TOKENS
 from ..queries.registry import register
 from ..session import ensure_analytics_conf
@@ -1049,4 +1050,94 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("inner_id", "outer_id")
+    )
+
+
+# --- benchmark decontamination ---------------------------------------------------
+
+# Decontamination n-gram width. Real pipelines use 8-13 consecutive words
+# (the GPT-3/PaLM-style "verbatim overlap" window); this corpus draws from a
+# ~30-word vocabulary, so 5 is the widest width at which any cross-split
+# verbatim overlap exists (trigrams collide constantly, 6-grams never) —
+# wide enough here to mean shared phrasing, not shared vocabulary.
+DECONTAM_NGRAM = 5
+
+
+def _sql_shingles_n(n: int) -> str:
+    """DuckDB fragment: distinct word n-gram shingles (1-indexed lists)."""
+    concat = " || ' ' || ".join(
+        f"{SQL_TOKENS}[i+{k}]" if k else f"{SQL_TOKENS}[i]" for k in range(n)
+    )
+    return f"""list_distinct(CASE WHEN len({SQL_TOKENS}) >= {n} THEN
+        list_transform(range(1, len({SQL_TOKENS}) - {n - 2}), i -> {concat})
+    ELSE [] END)"""
+
+
+@register(
+    "dd_decontam",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {_tq.SPLIT_BUCKETS} AS bucket,
+               {_sql_shingles_n(DECONTAM_NGRAM)} AS sh
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, bucket,
+               CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS gh
+        FROM s
+    )
+    SELECT tr.doc_id AS train_doc_id,
+           CAST(COUNT(DISTINCT tr.gh) AS BIGINT) AS n_shared_ngrams,
+           CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+    FROM (SELECT * FROM g WHERE bucket < {_tq.SPLIT_VAL_LT}) tr
+    JOIN (SELECT * FROM g WHERE bucket >= {_tq.SPLIT_VAL_LT}) ev
+      ON tr.gh = ev.gh
+    GROUP BY train_doc_id
+    """,
+    tags=("dedup", "decontamination"),
+)
+def dd_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train-split documents sharing any
+    verbatim word n-gram with the held-out test split (tx_split_assign's hash
+    split, so the eval set is deterministic and engine-independent).
+
+    Plan shape (100 TB): one pass computes bucket + shingles, an eager
+    localCheckpoint materializes it once for the two split branches, then
+    an inverted-index equi-join on the 60-bit shingle hash — 8 bytes
+    shuffled per gram instead of the ~30-byte string, never a crossJoin.
+    Both engines join on the same hash, so any (astronomically unlikely)
+    collision appears on both sides and stays value-checked. The eval side
+    is 5% of the corpus: big enough at scale that the shuffle join is
+    right (a broadcast would assume eval fits in memory).
+    """
+    d = _docs(spark, sf_dir)
+    n = spark.sparkContext.defaultParallelism
+    bucket = T.portable_hash60(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % _tq.SPLIT_BUCKETS
+    g = (
+        d.repartition(n)
+        .select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.explode(T.word_shingles("text", DECONTAM_NGRAM)).alias("g"),
+        )
+        .select("doc_id", "bucket", T.portable_hash60(F.col("g")).alias("gh"))
+        .localCheckpoint(eager=True)
+    )
+    tr = g.filter(F.col("bucket") < _tq.SPLIT_VAL_LT).select(
+        F.col("doc_id").alias("train_doc_id"), "gh"
+    )
+    ev = g.filter(F.col("bucket") >= _tq.SPLIT_VAL_LT).select(
+        F.col("doc_id").alias("eval_doc_id"), "gh"
+    )
+    return (
+        tr.join(ev, "gh")
+        .groupBy("train_doc_id")
+        .agg(
+            F.countDistinct("gh").alias("n_shared_ngrams"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
     )
