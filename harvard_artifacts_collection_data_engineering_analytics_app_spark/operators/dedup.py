@@ -1141,3 +1141,93 @@ def dd_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_doc_id").alias("n_eval_docs"),
         )
     )
+
+
+# --- segment-level exact dedup ---------------------------------------------------
+
+SEG_WORDS = 8  # fixed-length word windows ("paragraph" analog for this corpus)
+
+_DUCK_SEGMENT_DUP = f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    seg AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   a[(CAST(i AS BIGINT) * {SEG_WORDS} + 1):
+                     (CAST(i AS BIGINT) * {SEG_WORDS} + {SEG_WORDS})], ' ')) AS h
+        FROM w, unnest(range(len(a) // {SEG_WORDS})) AS t(i)
+    ),
+    dup AS (
+        SELECT h FROM seg GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_segments FROM seg GROUP BY doc_id
+    ),
+    dup_doc AS (
+        SELECT s.doc_id, COUNT(*) AS n_dup
+        FROM seg s JOIN dup d USING (h) GROUP BY s.doc_id
+    )
+    SELECT p.doc_id, p.n_segments, COALESCE(d.n_dup, 0) AS n_dup,
+           ROUND(COALESCE(d.n_dup, 0)::DOUBLE / p.n_segments, 6) AS dup_frac
+    FROM per_doc p LEFT JOIN dup_doc d USING (doc_id)
+"""
+
+
+@register(
+    "dd_segment_dup",
+    oracle=_DUCK_SEGMENT_DUP,
+    tags=("dedup", "segment"),
+)
+def dd_segment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup: the paragraph-dedup stage of a web-scale
+    training pipeline (Dolma/CCNet style), adapted to this corpus's
+    newline-free text as fixed SEG_WORDS-word windows.
+
+    Each document is sliced into consecutive 8-word segments; a segment
+    occurring in >= 2 distinct documents is "duplicated text". Output is
+    per-document: segment count, duplicated-segment occurrences, and the
+    duplicated fraction a filtering stage would threshold on.
+
+    Plan shape (100 TB): segments are md5-hashed at the scan (16-byte keys
+    shuffled, never the raw text), the segment relation is materialized
+    once (eager localCheckpoint) and feeds both aggregations; the dup-set
+    join is a plain equi-join on the hash — the dup set is corpus-sized in
+    the worst case, so no broadcast hint (AQE picks one when it fits).
+    Per-segment work is one pass over the words array; no crossJoin, no
+    Python.
+    """
+    d = _docs(spark, sf_dir)
+    arr = F.split(F.col("text"), " ")
+    nseg = F.floor(F.size(arr) / SEG_WORDS).cast("int")
+    segs = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.md5(
+                F.array_join(F.slice(arr, i * SEG_WORDS + 1, SEG_WORDS), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    seg = d.select("doc_id", F.explode(segs).alias("h")).localCheckpoint(eager=True)
+    dup = (
+        seg.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = seg.groupBy("doc_id").agg(F.count("*").alias("n_segments"))
+    dup_doc = seg.join(dup, "h").groupBy("doc_id").agg(F.count("*").alias("n_dup"))
+    return (
+        per_doc.join(dup_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce(F.col("n_dup"), F.lit(0).cast("long")).alias("n_dup"),
+            F.round(
+                F.coalesce(F.col("n_dup"), F.lit(0).cast("long"))
+                / F.col("n_segments"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

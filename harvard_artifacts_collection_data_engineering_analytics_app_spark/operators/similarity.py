@@ -515,3 +515,157 @@ def ss_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter("qv", lambda x: F.abs(x) == QUANT_LEVELS)
         ).cast("long").alias("n_saturated"),
     )
+
+
+# --- k-means clustering (iterative Lloyd's) ------------------------------------------
+
+KM_K = 8  # seeds: vec_id < KM_K
+KM_ITERS = 2  # Lloyd iterations (assign → update), then a final assignment
+KM_DIM = 64
+KM_SCALE = 1000  # fixed-point scale: x = floor(v * 1000 + 0.5)
+
+
+def _km_dist_sql(x: str, m: str) -> str:
+    """Exact squared L2 distance between two fixed-point BIGINT lists."""
+    return (
+        f"CAST(list_sum(list_transform(list_zip({x}, {m}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+
+
+def _km_centroid_sql() -> str:
+    """Element-wise mean of assigned vectors, re-quantized to the fixed-point
+    grid with floor(x + 0.5) (both engines' ROUND half-way rules differ)."""
+    dims = ", ".join(
+        f"CAST(floor(sum(x[{i + 1}])::DOUBLE / COUNT(*) + 0.5) AS BIGINT)"
+        for i in range(KM_DIM)
+    )
+    return f"list_value({dims})"
+
+
+def _km_oracle() -> str:
+    ctes = [
+        f"""x AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   e -> CAST(floor(e * {KM_SCALE} + 0.5) AS BIGINT)) AS x
+        FROM embeddings
+    )""",
+        f"c0 AS (SELECT vec_id AS j, x AS m FROM x WHERE vec_id < {KM_K})",
+    ]
+    for it in range(KM_ITERS + 1):
+        prev = f"c{it}"
+        ctes.append(
+            f"""a{it} AS (
+        SELECT vec_id, x, j AS cluster, d FROM (
+            SELECT v.vec_id, v.x, c.j,
+                   {_km_dist_sql("v.x", "c.m")} AS d,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_km_dist_sql("v.x", "c.m")}, c.j
+                   ) AS rn
+            FROM x v CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    )"""
+        )
+        if it < KM_ITERS:
+            ctes.append(
+                f"""c{it + 1} AS (
+        SELECT cluster AS j, {_km_centroid_sql()} AS m
+        FROM a{it} GROUP BY cluster
+    )"""
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT vec_id, cluster, d AS dist_sq FROM a{KM_ITERS}"
+    )
+
+
+def _km_fixed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * KM_SCALE + F.lit(0.5)).cast("long"),
+        ).alias("x"),
+    )
+
+
+def _km_assign(v: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """One projection computing all K exact distances; argmin via the
+    lexicographic min of (dist, centroid_id) structs — no join, no shuffle."""
+    cand = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "x",
+                        F.array(*[F.lit(int(val)) for val in m]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, dd: acc + dd,
+                ).alias("d"),
+                F.lit(int(j)).cast("long").alias("j"),
+            )
+            for j, m in centroids
+        ]
+    )
+    best = F.array_min(cand)
+    return v.withColumn("cluster", best["j"]).withColumn("dist_sq", best["d"])
+
+
+def _km_update(assigned: DataFrame) -> list[tuple[int, list[int]]]:
+    """New centroids: element-wise mean, re-quantized in-engine with
+    floor(x + 0.5) so the collected ints are engine-independent. Sums are
+    exact BIGINTs, so accumulation order cannot perturb the result."""
+    aggs = [F.count("*").alias("cnt")] + [
+        F.sum(F.col("x")[i]).alias(f"s{i}") for i in range(KM_DIM)
+    ]
+    g = assigned.groupBy("cluster").agg(*aggs)
+    m_cols = [
+        F.floor(F.col(f"s{i}").cast("double") / F.col("cnt") + 0.5)
+        .cast("long")
+        .alias(f"m{i}")
+        for i in range(KM_DIM)
+    ]
+    rows = g.select("cluster", *m_cols).collect()
+    return sorted(
+        (int(r["cluster"]), [int(r[f"m{i}"]) for i in range(KM_DIM)]) for r in rows
+    )
+
+
+@register(
+    "ss_kmeans",
+    oracle=_km_oracle(),
+    tags=("similarity", "clustering", "iterative"),
+)
+def ss_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd's) over the embeddings table — the iterative-algorithm
+    pattern (and the natural trainer for ss_ivf_topk's coarse quantizer).
+
+    Fully deterministic across engines: vectors are quantized to a
+    fixed-point BIGINT grid, so distances are EXACT integers (no float
+    summation-order sensitivity), and centroid updates re-quantize the mean
+    with floor(x+0.5) in-engine. Ties in the argmin break by centroid id.
+    The oracle replays the identical iterations as chained CTEs.
+
+    Plan shape (100 TB): the canonical scalable Lloyd's — per iteration one
+    map-side-combined shuffle (groupBy cluster with 64 column sums), then
+    O(K * DIM) centroid bytes to the driver, re-broadcast as literals into
+    the next assignment projection. Assignment itself is shuffle-free. The
+    input is materialized once (eager localCheckpoint; persist to
+    MEMORY_AND_DISK on a cluster) and reused by all ITERS+1 passes. Empty
+    clusters drop out identically in both engines.
+    """
+    v = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    seeds = v.filter(F.col("vec_id") < KM_K).select("vec_id", "x").collect()
+    centroids = sorted(
+        (int(r["vec_id"]), [int(val) for val in r["x"]]) for r in seeds
+    )
+    for _ in range(KM_ITERS):
+        centroids = _km_update(_km_assign(v, centroids))
+    return _km_assign(v, centroids).select("vec_id", "cluster", "dist_sq")

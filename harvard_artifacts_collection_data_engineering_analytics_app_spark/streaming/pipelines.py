@@ -37,34 +37,44 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# events.parquet stores ts as TIMESTAMP(NANOS); the streaming reader needs
-# an explicit schema, so read ts as int64 nanos and convert (same trick as
-# catalog.load_table).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanoseconds (nanosAsLong)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# events.parquet has shipped ts as TIMESTAMP(NANOS) or TIMESTAMP_NTZ across
+# testdata generations; the streaming reader needs an explicit schema, so
+# probe the physical type with a batch read and branch (same normalization
+# as catalog.load_table — everything downstream sees TimestampType).
+def _events_raw_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """File-source stream of the events table (ts converted to timestamp)."""
+    from ..session import ensure_analytics_conf
+
+    ensure_analytics_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(physical))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         # file source requires a directory; select just the events file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(physical, LongType):  # TIMESTAMP(NANOS) via nanosAsLong
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # TIMESTAMP_NTZ (or already an instant): cast under the pinned-UTC
+    # session so naive wall time == UTC instant, matching the batch path.
+    return raw.withColumn("ts", F.col("ts").cast(TimestampType()))
 
 
 def tumbling_counts(
