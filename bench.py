@@ -60,6 +60,9 @@ HEADLINE = [
     "sk_salted_join",
     "st_session_30m",
     "tx_gopher_quality",
+    # round-4 additions
+    "dd_segment_dup",
+    "ss_kmeans",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

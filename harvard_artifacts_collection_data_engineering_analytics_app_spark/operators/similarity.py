@@ -595,46 +595,96 @@ def _km_fixed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _km_assign(v: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
-    """One projection computing all K exact distances; argmin via the
-    lexicographic min of (dist, centroid_id) structs — no join, no shuffle."""
-    cand = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        "x",
-                        F.array(*[F.lit(int(val)) for val in m]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, dd: acc + dd,
-                ).alias("d"),
-                F.lit(int(j)).cast("long").alias("j"),
+    """Arrow/numpy assignment pass: one vectorized matmul per batch, with
+    the K×DIM centroid matrix shipped in the task closure (O(K·DIM) bytes).
+
+    Everything stays exact int64 — d = ||x||² − 2·x·m + ||m||² expands to
+    integer matmul, bit-identical to the elementwise definition — so the
+    numpy fast path cannot diverge from the SQL oracle. np.argmin breaks
+    ties by the first (lowest) index and centroids are sorted by id, which
+    is exactly the (dist, centroid_id) lexicographic tie-break the oracle
+    uses. Expression/codegen formulations were tried first and are
+    compile-bound: centroid literals change every iteration, forcing a
+    multi-second Janino recompile per assignment; the Arrow plan shape is
+    iteration-invariant."""
+    import numpy as np
+    import pandas as pd
+
+    ids = np.array([j for j, _ in centroids], dtype=np.int64)
+    M = np.array([m for _, m in centroids], dtype=np.int64)  # K×DIM
+    msq = (M * M).sum(axis=1)  # K
+
+    def compute(batches):
+        for pdf in batches:
+            X = np.stack(pdf["x"].to_numpy()).astype(np.int64)  # n×DIM
+            d = (
+                (X * X).sum(axis=1)[:, None] - 2 * (X @ M.T) + msq[None, :]
+            )  # n×K exact int64
+            am = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "x": pdf["x"],
+                    "cluster": ids[am],
+                    "dist_sq": d[np.arange(len(am)), am],
+                }
             )
-            for j, m in centroids
-        ]
+
+    return v.select("vec_id", "x").mapInPandas(
+        compute, schema="vec_id long, x array<long>, cluster long, dist_sq long"
     )
-    best = F.array_min(cand)
-    return v.withColumn("cluster", best["j"]).withColumn("dist_sq", best["d"])
 
 
-def _km_update(assigned: DataFrame) -> list[tuple[int, list[int]]]:
-    """New centroids: element-wise mean, re-quantized in-engine with
-    floor(x + 0.5) so the collected ints are engine-independent. Sums are
-    exact BIGINTs, so accumulation order cannot perturb the result."""
-    aggs = [F.count("*").alias("cnt")] + [
-        F.sum(F.col("x")[i]).alias(f"s{i}") for i in range(KM_DIM)
-    ]
-    g = assigned.groupBy("cluster").agg(*aggs)
-    m_cols = [
-        F.floor(F.col(f"s{i}").cast("double") / F.col("cnt") + 0.5)
-        .cast("long")
-        .alias(f"m{i}")
-        for i in range(KM_DIM)
-    ]
-    rows = g.select("cluster", *m_cols).collect()
+def _km_update(v: DataFrame, centroids: list[tuple[int, list[int]]]) -> list[tuple[int, list[int]]]:
+    """One Lloyd iteration as a single combiner pass (the treeAggregate
+    shape Spark MLlib's own KMeans uses): each Arrow batch assigns its rows
+    and emits per-cluster partial (count, sum-vector) rows — O(K·DIM) per
+    partition, no per-row shuffle at all — and the driver merges the exact
+    int64 partials. Beyond ~10⁴ partitions the partials would themselves
+    be tree-reduced first; at any size the merged state is K·DIM ints.
+
+    The mean is re-quantized with floor(s/cnt + 0.5) in IEEE-double
+    arithmetic — the same two operations the SQL oracle performs — so the
+    resulting centroid ints are engine-independent. Summation order cannot
+    perturb anything: the partials are exact integers."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    ids = np.array([j for j, _ in centroids], dtype=np.int64)
+    M = np.array([m for _, m in centroids], dtype=np.int64)
+    msq = (M * M).sum(axis=1)
+
+    def partials(batches):
+        cnt = np.zeros(len(ids), dtype=np.int64)
+        s = np.zeros_like(M)
+        for pdf in batches:
+            X = np.stack(pdf["x"].to_numpy()).astype(np.int64)
+            d = (X * X).sum(axis=1)[:, None] - 2 * (X @ M.T) + msq[None, :]
+            am = d.argmin(axis=1)
+            cnt += np.bincount(am, minlength=len(ids))
+            np.add.at(s, am, X)
+        hit = np.flatnonzero(cnt)
+        yield pd.DataFrame(
+            {"cluster": ids[hit], "cnt": cnt[hit], "s": list(s[hit])}
+        )
+
+    rows = (
+        v.select("vec_id", "x")
+        .mapInPandas(partials, schema="cluster long, cnt long, s array<long>")
+        .collect()
+    )
+    merged: dict[int, tuple[int, list[int]]] = {}
+    for r in rows:
+        c, sv = merged.get(int(r["cluster"]), (0, [0] * KM_DIM))
+        merged[int(r["cluster"])] = (
+            c + int(r["cnt"]),
+            [a + int(b) for a, b in zip(sv, r["s"])],
+        )
     return sorted(
-        (int(r["cluster"]), [int(r[f"m{i}"]) for i in range(KM_DIM)]) for r in rows
+        (j, [math.floor(float(si) / float(c) + 0.5) for si in sv])
+        for j, (c, sv) in merged.items()
     )
 
 
@@ -650,13 +700,15 @@ def ss_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully deterministic across engines: vectors are quantized to a
     fixed-point BIGINT grid, so distances are EXACT integers (no float
     summation-order sensitivity), and centroid updates re-quantize the mean
-    with floor(x+0.5) in-engine. Ties in the argmin break by centroid id.
-    The oracle replays the identical iterations as chained CTEs.
+    with floor(s/cnt + 0.5) using the same two IEEE-double operations on
+    both sides. Ties in the argmin break by centroid id. The oracle replays
+    the identical iterations as chained CTEs.
 
-    Plan shape (100 TB): the canonical scalable Lloyd's — per iteration one
-    map-side-combined shuffle (groupBy cluster with 64 column sums), then
-    O(K * DIM) centroid bytes to the driver, re-broadcast as literals into
-    the next assignment projection. Assignment itself is shuffle-free. The
+    Plan shape (100 TB): the canonical scalable Lloyd's — per iteration ONE
+    Arrow combiner pass over the data emitting per-partition per-cluster
+    (count, sum) partials (no per-row shuffle; see _km_update), O(K·DIM)
+    centroid bytes merged on the driver and shipped back in the next pass's
+    closure. The final labeling pass (_km_assign) is shuffle-free. The
     input is materialized once (eager localCheckpoint; persist to
     MEMORY_AND_DISK on a cluster) and reused by all ITERS+1 passes. Empty
     clusters drop out identically in both engines.
@@ -667,5 +719,5 @@ def ss_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [int(val) for val in r["x"]]) for r in seeds
     )
     for _ in range(KM_ITERS):
-        centroids = _km_update(_km_assign(v, centroids))
+        centroids = _km_update(v, centroids)
     return _km_assign(v, centroids).select("vec_id", "cluster", "dist_sq")
