@@ -63,6 +63,8 @@ HEADLINE = [
     # round-4 additions
     "dd_segment_dup",
     "ss_kmeans",
+    "ss_semantic_dedup",
+    "tx_unigram_logprob",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

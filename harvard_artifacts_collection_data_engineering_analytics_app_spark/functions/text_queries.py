@@ -784,3 +784,153 @@ def tx_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens") / float(CHUNK_TOKENS * PACK_SEQ_CHUNKS), 6
         ).alias("fill_ratio"),
     )
+
+
+# --- corpus unigram language-model score --------------------------------------------
+
+LOGPROB_SCALE = 1_000_000  # fixed-point grid for per-token log-probs
+
+
+@register(
+    "tx_unigram_logprob",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS t FROM documents
+    ),
+    tot AS (SELECT COUNT(*)::DOUBLE AS total FROM w),
+    v AS (
+        SELECT t,
+               CAST(floor(ln(COUNT(*)::DOUBLE / (SELECT total FROM tot))
+                          * {LOGPROB_SCALE} + 0.5) AS BIGINT) AS li
+        FROM w GROUP BY t
+    ),
+    d AS (
+        SELECT w.doc_id, COUNT(*) AS n_words, CAST(SUM(v.li) AS BIGINT) AS s
+        FROM w JOIN v USING (t) GROUP BY w.doc_id
+    )
+    SELECT doc_id, n_words,
+           ROUND(-(s::DOUBLE) / {LOGPROB_SCALE} / n_words, 6) AS avg_nll
+    FROM d
+    """,
+    tags=("text", "quality", "language-model"),
+)
+def tx_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's own
+    unigram LM — the KenLM-style perplexity quality filter of a training
+    pipeline, reduced to its SQL-expressible core (a real deployment swaps
+    the corpus LM for a reference-corpus table; the plan is identical).
+
+    Float-proofing: per-token log-probs are snapped to a fixed-point grid
+    (floor(ln(p)·1e6 + 0.5) — exact BIGINTs) before the per-doc sum, so
+    aggregation order cannot perturb the result; ln() on exact
+    integer-ratio inputs agrees across engines to far below the grid.
+
+    Plan shape (100 TB): explode → one map-side-combined vocab count, the
+    corpus total as a broadcast single-row aggregate (the standard scalar
+    pattern, not a driver round-trip), then a token→log-prob equi-join and
+    a per-doc re-aggregation. The vocab relation is Zipf-small relative to
+    the corpus; AQE broadcasts it when it fits, else it's a plain shuffle
+    join. The exploded token relation is computed once (eager
+    localCheckpoint) and feeds both the vocab count and the per-doc join.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    words = (
+        d.repartition(n)
+        .select("doc_id", F.explode(T.tokens("text")).alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    total = words.agg(F.count("*").cast("double").alias("total"))
+    vocab = (
+        words.groupBy("t")
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            F.floor(
+                F.log(F.col("cnt") / F.col("total")) * LOGPROB_SCALE + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("li"),
+        )
+    )
+    return (
+        words.join(vocab, "t")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.sum("li").alias("s"))
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(
+                -F.col("s").cast("double") / LOGPROB_SCALE / F.col("n_words"), 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
+# --- source-mix rebalancing ----------------------------------------------------------
+
+MIX_PPM = 1_000_000  # keep-rate resolution (parts per million)
+
+
+@register(
+    "tx_source_mix",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    m AS (SELECT MIN(n_docs) AS min_docs FROM c),
+    r AS (
+        SELECT source, n_docs,
+               (min_docs * {MIX_PPM}) // n_docs AS keep_ppm
+        FROM c, m
+    ),
+    k AS (
+        SELECT d.source, r.n_docs, r.keep_ppm,
+               CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {MIX_PPM} AS h
+        FROM documents d JOIN r USING (source)
+    )
+    SELECT source, n_docs, keep_ppm,
+           COUNT(*) FILTER (WHERE h < keep_ppm) AS n_kept
+    FROM k GROUP BY source, n_docs, keep_ppm
+    """,
+    tags=("text", "sampling", "mixture"),
+)
+def tx_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mix rebalancing: downsample every source to the
+    smallest source's size (uniform target mixture) — the data-mixture
+    stage of a training pipeline, with hash sampling instead of random()
+    so the kept set is stable across runs, engines, and cluster sizes.
+
+    Keep rates are exact integer ppm (min_docs·1e6 DIV n_docs) and the
+    keep decision is the same keyed 60-bit hash as tx_split_assign under a
+    'mix:' domain prefix, so mixing composes independently with splitting.
+
+    Plan shape (100 TB): one map-side-combined count per source (the
+    per-source table is tiny), broadcast back onto the fact scan, keep
+    decision evaluated scan-side (no shuffle of dropped rows), then the
+    same count shuffle for the report. A real pipeline would write the
+    filtered rows; the report aggregate is the value-checkable surface.
+    """
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    m = counts.agg(F.min("n_docs").alias("min_docs"))
+    rates = counts.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_docs",
+        F.expr(f"(min_docs * {MIX_PPM}) DIV n_docs").alias("keep_ppm"),
+    )
+    h = T.portable_hash60(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    ) % MIX_PPM
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select("source", "n_docs", "keep_ppm", h.alias("h"))
+        .groupBy("source", "n_docs", "keep_ppm")
+        .agg(
+            F.sum(F.when(F.col("h") < F.col("keep_ppm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept")
+        )
+    )

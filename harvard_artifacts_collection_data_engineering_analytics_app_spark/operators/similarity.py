@@ -543,7 +543,10 @@ def _km_centroid_sql() -> str:
     return f"list_value({dims})"
 
 
-def _km_oracle() -> str:
+def _km_ctes() -> str:
+    """CTE list (no WITH) ending in the final assignment ``a{KM_ITERS}``
+    (vec_id, x, cluster, d) — composable so other oracles (ss_semantic_dedup)
+    can build on the identical clustering."""
     ctes = [
         f"""x AS (
         SELECT vec_id,
@@ -575,9 +578,13 @@ def _km_oracle() -> str:
         FROM a{it} GROUP BY cluster
     )"""
             )
+    return ",\n    ".join(ctes)
+
+
+def _km_oracle() -> str:
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + _km_ctes()
         + f"\n    SELECT vec_id, cluster, d AS dist_sq FROM a{KM_ITERS}"
     )
 
@@ -721,3 +728,91 @@ def ss_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KM_ITERS):
         centroids = _km_update(v, centroids)
     return _km_assign(v, centroids).select("vec_id", "cluster", "dist_sq")
+
+
+# --- semantic dedup (SemDeDup-style: cluster, then near-dup within cluster) ----------
+
+SEMDEDUP_EPS = 0.3  # cosine threshold for the keep/drop flag
+
+
+@register(
+    "ss_semantic_dedup",
+    oracle=f"""
+    WITH {{km_ctes}},
+    {SQL_V},
+    p AS (
+        SELECT a.vec_id AS vec_id, a.cluster, b.vec_id AS nn_id,
+               ROUND({SQL_COS.format(a="va", b="vb")}, 6) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ROUND({SQL_COS.format(a="va", b="vb")}, 6) DESC,
+                            b.vec_id
+               ) AS rn
+        FROM a{KM_ITERS} a
+        JOIN a{KM_ITERS} b ON a.cluster = b.cluster AND a.vec_id != b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+    )
+    SELECT vec_id, cluster, nn_id, cosine,
+           cosine >= {SEMDEDUP_EPS} AS is_dup
+    FROM p WHERE rn = 1
+    """.replace("{km_ctes}", _km_ctes()),
+    tags=("similarity", "dedup", "semantic"),
+)
+def ss_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means the
+    embedding space, then for every vector find its nearest same-cluster
+    neighbor by cosine; vectors whose neighbor exceeds EPS are duplicate
+    candidates (drop the higher id in a real pipeline).
+
+    The clustering is ss_kmeans' exact fixed-point pipeline, so the oracle
+    replays it CTE-for-CTE and the within-cluster pair set is identical by
+    construction. Ranking is on ROUND(cosine, 6) with an id tie-break —
+    the same float-proofing as every ss_* operator.
+
+    Plan shape (100 TB): this is the POINT of SemDeDup — the quadratic
+    pair search is confined within clusters (Σ|c|² work instead of n²);
+    K grows with the corpus so cluster sizes stay bounded. One shuffle by
+    cluster for the self-join, one window by vec_id for the nearest
+    neighbor; singleton clusters drop out (no pair rows) identically in
+    both engines.
+    """
+    vfix = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    seeds = vfix.filter(F.col("vec_id") < KM_K).select("vec_id", "x").collect()
+    centroids = sorted(
+        (int(r["vec_id"]), [int(val) for val in r["x"]]) for r in seeds
+    )
+    for _ in range(KM_ITERS):
+        centroids = _km_update(vfix, centroids)
+    assigned = _km_assign(vfix, centroids).select("vec_id", "cluster")
+
+    emb = _vectors(spark, sf_dir)
+    a = assigned.join(emb, "vec_id")
+    b = a.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("cluster").alias("b_cluster"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("cluster") == F.col("b_cluster"))
+        & (F.col("vec_id") != F.col("nn_id")),
+    ).withColumn(
+        "cosine",
+        F.round(
+            _cosine(F.col("emb"), F.col("b_emb"), F.col("nrm"), F.col("b_nrm")), 6
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cluster",
+            "nn_id",
+            "cosine",
+            (F.col("cosine") >= SEMDEDUP_EPS).alias("is_dup"),
+        )
+    )
