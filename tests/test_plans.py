@@ -138,3 +138,22 @@ def test_new_text_ops_prune_and_avoid_shuffles(spark, sf_dir):
         assert X.read_schemas(df) == ["struct<doc_id:bigint,text:string>"], name
     split = _df(spark, sf_dir, "tx_split_assign")
     assert X.read_schemas(split) == ["struct<doc_id:bigint>"], "split reads more than the id"
+
+
+def test_round4_dedup_ops_not_cartesian(spark, sf_dir):
+    for name in ("dd_segment_dup", "dd_ngram_jaccard_prefix", "ss_semantic_dedup"):
+        df = _df(spark, sf_dir, name)
+        assert not X.has_cartesian_product(df), f"{name} degraded to cartesian"
+
+
+def test_unigram_logprob_partial_agg_and_pruning(spark, sf_dir):
+    df = _df(spark, sf_dir, "tx_unigram_logprob")
+    assert X.has_partial_aggregate(df), "vocab count has no map-side combine"
+    schema = " ".join(X.read_schemas(df))
+    assert "lang" not in schema, "reads unused documents columns"
+
+
+def test_source_mix_broadcasts_rates(spark, sf_dir):
+    df = _df(spark, sf_dir, "tx_source_mix")
+    assert X.uses_broadcast_join(df), "per-source rates should broadcast"
+    assert not X.has_cartesian_product(df)
