@@ -104,3 +104,126 @@ def ht_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_analytics_conf(spark)
     e = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
     return hierarchical_rollup(e, "ts", ("event_type",), "value")
+
+
+# --- gap fill + linear interpolation ------------------------------------------------
+
+GAP_FILL_USERS_LT = 10  # bound the demo grid; the plan is per-key generic
+
+
+@register(
+    "ht_gap_fill",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events WHERE user_id < {GAP_FILL_USERS_LT}
+        GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+        SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    g AS (
+        SELECT grid.user_id, grid.h, hourly.cents
+        FROM grid LEFT JOIN hourly USING (user_id, h)
+    ),
+    w AS (
+        SELECT user_id, h, cents,
+               LAST_VALUE(cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               LAST_VALUE(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+               FIRST_VALUE(cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        FROM g
+    )
+    SELECT user_id, h AS hour,
+           ROUND(
+               CASE WHEN cents IS NOT NULL THEN cents::DOUBLE
+                    ELSE pv::DOUBLE + (nv - pv)::DOUBLE *
+                         ((epoch_us(h) - epoch_us(ph))::DOUBLE
+                          / (epoch_us(nh) - epoch_us(ph))::DOUBLE)
+               END / 100.0, 6) AS value_filled,
+           CASE WHEN cents IS NOT NULL THEN 'observed' ELSE 'interp' END AS src
+    FROM w
+    """,
+    tags=("timeseries", "gap-fill", "interpolation"),
+)
+def ht_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timescale-style gap filling: densify each user's hourly series onto
+    a complete grid and linearly interpolate missing buckets between their
+    nearest observed neighbors (`locf`+`interpolate` of a timeseries DB).
+
+    Grid generation is sequence()-per-key (no cross join with a calendar
+    table); neighbor lookup is two IGNORE NULLS window passes over the
+    SAME (user, hour) sort — one shuffle total for windows after the
+    hourly rollup shuffle. Interpolation arithmetic is fixed structure
+    (pv + (nv−pv)·ratio on exact cents/epoch-micros ints) so both engines
+    produce bit-identical doubles before the shared ROUND.
+
+    At 100 TB the grid is |keys|·|hours| rows — dense but tiny next to the
+    raw events (the hourly rollup already shrank the data); windows
+    partition by key, so no single-task ordering bottleneck.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < GAP_FILL_USERS_LT
+    )
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    g = grid.join(hourly, ["user_id", "h"], "left")
+
+    from pyspark.sql import Window
+
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("cents").isNotNull(), F.col("h"))
+    g = (
+        g.withColumn("pv", F.last("cents", ignorenulls=True).over(wprev))
+        .withColumn("ph", F.last(obs_h, ignorenulls=True).over(wprev))
+        .withColumn("nv", F.first("cents", ignorenulls=True).over(wnext))
+        .withColumn("nh", F.first(obs_h, ignorenulls=True).over(wnext))
+    )
+    ratio = (
+        (F.unix_micros(F.col("h")) - F.unix_micros(F.col("ph"))).cast("double")
+        / (F.unix_micros(F.col("nh")) - F.unix_micros(F.col("ph"))).cast("double")
+    )
+    filled = F.when(
+        F.col("cents").isNotNull(), F.col("cents").cast("double")
+    ).otherwise(
+        F.col("pv").cast("double")
+        + (F.col("nv") - F.col("pv")).cast("double") * ratio
+    )
+    src = F.when(F.col("cents").isNotNull(), "observed").otherwise("interp")
+    return g.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.round(filled / 100.0, 6).alias("value_filled"),
+        src.alias("src"),
+    )

@@ -768,15 +768,22 @@ def ss_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The clustering is ss_kmeans' exact fixed-point pipeline, so the oracle
     replays it CTE-for-CTE and the within-cluster pair set is identical by
     construction. Ranking is on ROUND(cosine, 6) with an id tie-break —
-    the same float-proofing as every ss_* operator.
+    the same float-proofing as every ss_* operator (the rounding uses the
+    half-away-from-zero convention both SQL engines share).
 
     Plan shape (100 TB): this is the POINT of SemDeDup — the quadratic
     pair search is confined within clusters (Σ|c|² work instead of n²);
-    K grows with the corpus so cluster sizes stay bounded. One shuffle by
-    cluster for the self-join, one window by vec_id for the nearest
-    neighbor; singleton clusters drop out (no pair rows) identically in
-    both engines.
+    K grows with the corpus so cluster sizes stay bounded. The search is
+    ONE shuffle (groupBy cluster → applyInPandas) with a vectorized
+    Gram-matrix per cluster — an expression-level pair join evaluated
+    500k interpreted 64-dim cosines here and was 5× slower; a cluster too
+    big for one task's memory is exactly a cluster k-means should have
+    split further (raise K), which is the documented SemDeDup operating
+    rule. Singleton clusters emit no rows, identically in both engines.
     """
+    import numpy as np
+    import pandas as pd
+
     vfix = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
     seeds = vfix.filter(F.col("vec_id") < KM_K).select("vec_id", "x").collect()
     centroids = sorted(
@@ -786,33 +793,46 @@ def ss_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = _km_update(vfix, centroids)
     assigned = _km_assign(vfix, centroids).select("vec_id", "cluster")
 
-    emb = _vectors(spark, sf_dir)
-    a = assigned.join(emb, "vec_id")
-    b = a.select(
-        F.col("vec_id").alias("nn_id"),
-        F.col("cluster").alias("b_cluster"),
-        F.col("emb").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("cluster") == F.col("b_cluster"))
-        & (F.col("vec_id") != F.col("nn_id")),
-    ).withColumn(
-        "cosine",
-        F.round(
-            _cosine(F.col("emb"), F.col("b_emb"), F.col("nrm"), F.col("b_nrm")), 6
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    ensure_analytics_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def nearest(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                columns=["vec_id", "cluster", "nn_id", "cosine", "is_dup"]
+            )
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((E * E).sum(axis=1))
+        denom = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = (E @ E.T) / denom
+        C[denom == 0] = -np.inf  # zero-norm rows never become neighbors
+        np.fill_diagonal(C, -np.inf)
+        # half-away-from-zero rounding to 6 decimals (numpy's round is
+        # half-even; the SQL engines round half away from zero)
+        R = np.sign(C) * np.floor(np.abs(C) * 1e6 + 0.5) / 1e6
+        # nearest = max rounded cosine; ties -> smallest nn_id. Columns are
+        # sorted by vec_id, so argmax's first-hit rule IS the id tie-break.
+        best = np.where(R == R.max(axis=1, keepdims=True), 1, 0).argmax(axis=1)
+        ids = pdf["vec_id"].to_numpy()
+        cos = R[np.arange(n), best]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].to_numpy(),
+                "nn_id": ids[best],
+                "cosine": cos,
+                "is_dup": cos >= SEMDEDUP_EPS,
+            }
+        )
+
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "cluster",
-            "nn_id",
-            "cosine",
-            (F.col("cosine") >= SEMDEDUP_EPS).alias("is_dup"),
+        assigned.join(emb, "vec_id")
+        .groupBy("cluster")
+        .applyInPandas(
+            nearest,
+            schema="vec_id long, cluster long, nn_id long, cosine double, is_dup boolean",
         )
     )
