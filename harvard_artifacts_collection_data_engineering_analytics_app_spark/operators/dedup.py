@@ -487,9 +487,44 @@ def dd_minhash_lsh_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("doc_id")
         .localCheckpoint(eager=True)
     )
-    bands = d.select(
+    # Signatures via explode + 32 codegen'd MIN aggregates rather than 32
+    # interpreted transform/array_min lambdas (higher-order functions get
+    # no whole-stage codegen): the relation is already hash-partitioned by
+    # doc_id, so the groupBy introduces NO exchange, and each of the 32
+    # affine minhashes is a flat map-side-combined aggregate — the exact
+    # formulation a 100 TB run wants anyway. Same integers as
+    # minhash_signature/band_hashes (and the DuckDB oracle) by
+    # construction. Modest locally (2.4 s → 2.1 s at sf0.1: the shared
+    # shingle/md5 checkpoint dominates there), but the agg formulation
+    # removes the 32-wide interpreted array materialization per row,
+    # which is the term that grows with document size.
+    minh = (
+        d.select("doc_id", F.explode("hs").alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    ((F.col("h") % MINHASH_MOD) * a + c) % MINHASH_MOD
+                ).alias(f"m{i}")
+                for i, (a, c) in enumerate(_AFFINE[:NUM_HASHES])
+            ]
+        )
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        )
+        for b in range(NUM_BANDS)
+    ]
+    bands = minh.select(
         "doc_id",
-        F.posexplode(band_hashes(F.col("hs"))).alias("band_idx", "band_hash"),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
     )
     ba, bb = bands.alias("ba"), bands.alias("bb")
     candidates = (
