@@ -934,3 +934,65 @@ def tx_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept")
         )
     )
+
+
+# --- deterministic epoch ordering ----------------------------------------------------
+
+ORDER_BUCKETS = 64  # two-level global-position computation (the scale pattern)
+
+
+@register(
+    "tx_epoch_order",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT doc_id, h % {ORDER_BUCKETS} AS bucket,
+           ROW_NUMBER() OVER (ORDER BY h % {ORDER_BUCKETS}, h, doc_id) - 1
+               AS global_pos
+    FROM h
+    """,
+    tags=("text", "ordering", "sampling"),
+)
+def tx_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle order: every document gets a
+    stable global position in a pseudo-random permutation (seeded hash),
+    reproducible across runs, engines, and cluster sizes.
+
+    The oracle is the naive formulation — one global ROW_NUMBER over the
+    whole corpus, which on a cluster would funnel every row through a
+    single task. The Spark plan computes the IDENTICAL positions with the
+    two-level pattern a 100 TB run needs: a windowed row_number PER hash
+    bucket (parallel, one shuffle), plus an exclusive running-sum of
+    bucket counts (64-row relation) broadcast back — global_pos =
+    bucket_offset + local_rank. The driver's value-hash check proves the
+    decomposition exact, which is the point of registering it.
+    """
+    d = _t(spark, sf_dir, "documents")
+    h = T.portable_hash60(
+        F.concat(F.lit("order:"), F.col("doc_id").cast("string"))
+    )
+    hd = d.select("doc_id", h.alias("h")).withColumn(
+        "bucket", F.col("h") % ORDER_BUCKETS
+    )
+    wlocal = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    ranked = hd.withColumn("rn", F.row_number().over(wlocal))
+    counts = ranked.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    woff = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "bucket", (F.sum("cnt").over(woff) - F.col("cnt")).alias("offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "bucket",
+            (F.col("offset") + F.col("rn") - 1).alias("global_pos"),
+        )
+    )

@@ -155,3 +155,172 @@ def rj_price_tier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tier_agg(
         range_join_bucketed(o, "o_totalprice", _tiers_df(spark), bucket_width=25_000.0)
     )
+
+
+# --- interval × interval overlap join -----------------------------------------------
+
+OVERLAP_USERS_LT = 20  # session side bound (mirrors tw_session_30m)
+
+
+@register(
+    "rj_interval_overlap",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE user_id < 20
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR ts >= prev_ts + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged
+        )
+        GROUP BY user_id, sid
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+        FROM events WHERE event_type = 'error'
+        GROUP BY date_trunc('hour', ts)
+    ),
+    stats AS (SELECT SUM(cnt) AS total, COUNT(*) AS nh FROM hourly),
+    busy AS (
+        SELECT h, epoch_us(h) // 3600000000 AS hb
+        FROM hourly, stats WHERE 2 * cnt * nh >= 3 * total
+    ),
+    runs AS (
+        SELECT MIN(h) AS e_start, MAX(h) + INTERVAL '1 hour' AS e_end
+        FROM (
+            SELECT h, hb - ROW_NUMBER() OVER (ORDER BY hb) AS grp FROM busy
+        )
+        GROUP BY grp
+    )
+    SELECT s.user_id, s.s_start, s.s_end, r.e_start, r.e_end,
+           ROUND((epoch_us(LEAST(s.s_end, r.e_end))
+                  - epoch_us(GREATEST(s.s_start, r.e_start)))::DOUBLE
+                 / 1000000.0, 6) AS overlap_s
+    FROM sess s JOIN runs r
+      ON s.s_start <= r.e_end AND r.e_start <= s.s_end
+    """,
+    tags=("range-join", "interval", "timeseries"),
+)
+def rj_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join: user sessions (30-min
+    gaps-and-islands, same construction the session-window oracle uses)
+    against corpus-wide error-burst windows (hours with >= 1.5x the mean
+    error rate, contiguous hours merged into runs), reporting the overlap
+    duration of every intersecting pair.
+
+    Both interval sets are DERIVED deterministically from the events
+    table (exact integer threshold: 2*cnt*nh >= 3*total), so the operator
+    is self-contained and value-checked end to end.
+
+    Plan shape (100 TB): the join is NOT a theta-join — each interval
+    explodes into the day buckets it covers (sequence() per row, bounded
+    by interval length), the sides equi-join on the bucket, pairs dedup,
+    and the inclusive overlap predicate verifies. That is the bucketed
+    interval-join pattern of rj_price_tier_bucketed extended to
+    interval×interval; shuffles stay keyed and bounded. The burst-run
+    islands window is a single ordered pass over the busy-HOURS relation
+    — time-bounded and tiny relative to events (720 rows/month), the same
+    deliberate compromise as any calendar-dimension build.
+    """
+    ensure_analytics_conf(spark)
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+
+    s_ev = e.filter(F.col("user_id") < OVERLAP_USERS_LT)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = s_ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w_ord).isNull()
+            | (
+                F.col("ts")
+                >= F.lag("ts").over(w_ord) + F.expr("INTERVAL 30 MINUTES")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+        "event_id",
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        flagged.withColumn("sid", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .drop("sid")
+    )
+
+    hourly = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = hourly.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("nh")
+    )
+    busy = (
+        hourly.crossJoin(F.broadcast(stats))
+        .filter(2 * F.col("cnt") * F.col("nh") >= 3 * F.col("total"))
+        .select(
+            "h", (F.unix_micros("h") / F.lit(3600000000)).cast("long").alias("hb")
+        )
+    )
+    w_isl = Window.orderBy("hb")
+    runs = (
+        busy.withColumn("grp", F.col("hb") - F.row_number().over(w_isl))
+        .groupBy("grp")
+        .agg(
+            F.min("h").alias("e_start"),
+            F.expr("max(h) + INTERVAL 1 HOUR").alias("e_end"),
+        )
+        .drop("grp")
+    )
+
+    s_b = sess.withColumn(
+        "bucket", F.explode(F.sequence(F.to_date("s_start"), F.to_date("s_end")))
+    )
+    r_b = runs.withColumn(
+        "bucket", F.explode(F.sequence(F.to_date("e_start"), F.to_date("e_end")))
+    )
+    pairs = (
+        s_b.join(r_b, "bucket")
+        .drop("bucket")
+        .distinct()
+        .filter(
+            (F.col("s_start") <= F.col("e_end"))
+            & (F.col("e_start") <= F.col("s_end"))
+        )
+    )
+    overlap = (
+        (
+            F.unix_micros(F.least("s_end", "e_end"))
+            - F.unix_micros(F.greatest("s_start", "e_start"))
+        ).cast("double")
+        / 1000000.0
+    )
+    return pairs.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        "e_start",
+        "e_end",
+        F.round(overlap, 6).alias("overlap_s"),
+    )
