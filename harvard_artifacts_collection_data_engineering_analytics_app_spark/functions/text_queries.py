@@ -996,3 +996,150 @@ def tx_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("rn") - 1).alias("global_pos"),
         )
     )
+
+
+# --- staged quality-filter funnel ----------------------------------------------------
+
+REP_MAX_RATIO = 0.2  # stage-2 bound on the bigram repetition ratio
+
+_FUNNEL_STAGES = ("1_gopher", "2_repetition", "3_language", "4_exact_dedup")
+
+
+def _funnel_oracle() -> str:
+    scores = ",\n               ".join(
+        f"{_sql_lang_score(lang)} AS score_{lang}" for lang in T.LANG_ORDER
+    )
+    return f"""
+    WITH sig AS (
+        SELECT doc_id, text,
+               CAST(len({SQL_TOKENS}) AS BIGINT) AS n_words,
+               ROUND(list_sum(list_transform({SQL_TOKENS}, t -> length(t)))::DOUBLE
+                     / nullif(len({SQL_TOKENS}), 0), 6) AS mean_word_len,
+               ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                     / nullif(length(text), 0), 6) AS symbol_ratio,
+               CAST(len(list_intersect({SQL_TOKENS}, [{_EN}])) AS BIGINT)
+                   AS stopword_hits,
+               ROUND(1.0 - len(list_distinct(list_transform(
+                         range(1, len({SQL_TOKENS})),
+                         i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i + 1])))::DOUBLE
+                     / nullif(len({SQL_TOKENS}) - 1, 0), 6) AS rep_ratio,
+               {scores}
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id,
+               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND mean_word_len BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
+                AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS g,
+               (rep_ratio IS NULL OR rep_ratio <= {REP_MAX_RATIO}) AS r,
+               ({_sql_lang_case()}) = 'en' AS l,
+               doc_id = MIN(doc_id) OVER (
+                   PARTITION BY md5(lower(trim(text)))) AS u
+        FROM sig
+    ),
+    f AS (
+        SELECT COUNT(*) AS n0,
+               COUNT(*) FILTER (WHERE g) AS n1,
+               COUNT(*) FILTER (WHERE g AND r) AS n2,
+               COUNT(*) FILTER (WHERE g AND r AND l) AS n3,
+               COUNT(*) FILTER (WHERE g AND r AND l AND u) AS n4
+        FROM flags
+    )
+    SELECT '1_gopher' AS stage, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM f
+    UNION ALL
+    SELECT '2_repetition', n1, n1 - n2, n2 FROM f
+    UNION ALL
+    SELECT '3_language', n2, n2 - n3, n3 FROM f
+    UNION ALL
+    SELECT '4_exact_dedup', n3, n3 - n4, n4 FROM f
+    """
+
+
+@register(
+    "tx_filter_pipeline",
+    oracle=_funnel_oracle(),
+    tags=("text", "quality", "pipeline"),
+)
+def tx_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end quality funnel a training pipeline runs before
+    tokenization: Gopher rules → repetition cut → language filter → exact
+    dedup (keep the min-doc_id copy), reported as a per-stage funnel
+    (n_in / n_dropped / n_out) — the observability artifact data teams
+    actually review.
+
+    Stage predicates reuse the SAME constants and rounded signals as
+    tx_gopher_quality / tx_repetition / tx_lang_id, so a constant change
+    shows up in both the per-doc operators and this funnel. All four
+    flags come out of ONE scan (one projection + one fingerprint window);
+    the funnel itself is a single 5-counter aggregate — at 100 TB this is
+    a pass over the corpus plus one tiny shuffle for the dedup window and
+    nothing else. The 4 report rows are a broadcast cross join of the
+    one-row aggregate with a literal stage table (no re-scan per stage).
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    mean_len = F.round(sum_len.cast("double") / F.nullif(F.size(toks), F.lit(0)), 6)
+    symbol_ratio = F.round(
+        F.length(F.regexp_replace("text", r"[A-Za-z\d\s]", "")).cast("double")
+        / F.nullif(F.length("text"), F.lit(0)),
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in T.LANG_STOPWORDS["en"]]))
+    ).cast("long")
+    bigrams = T.word_shingles("text", 2, distinct=False)
+    rep_ratio = F.round(
+        1.0
+        - F.size(F.array_distinct(bigrams)).cast("double")
+        / F.nullif(F.size(bigrams), F.lit(0)).cast("double"),
+        6,
+    )
+    g = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    r = rep_ratio.isNull() | (rep_ratio <= REP_MAX_RATIO)
+    lang = T.lang_id("text") == "en"
+    from pyspark.sql import Window
+
+    u = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(T.fingerprint_md5("text"))
+    )
+    flags = d.select(
+        g.alias("g"), r.alias("r"), lang.alias("l"), u.alias("u")
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        cnt(F.col("g")).alias("n1"),
+        cnt(F.col("g") & F.col("r")).alias("n2"),
+        cnt(F.col("g") & F.col("r") & F.col("l")).alias("n3"),
+        cnt(F.col("g") & F.col("r") & F.col("l") & F.col("u")).alias("n4"),
+    )
+    stages = spark.createDataFrame(
+        [(s,) for s in _FUNNEL_STAGES], schema="stage string"
+    )
+    ns = [F.col(f"n{i}") for i in range(5)]
+    pick_in = (
+        F.when(F.col("stage") == "1_gopher", ns[0])
+        .when(F.col("stage") == "2_repetition", ns[1])
+        .when(F.col("stage") == "3_language", ns[2])
+        .otherwise(ns[3])
+    )
+    pick_out = (
+        F.when(F.col("stage") == "1_gopher", ns[1])
+        .when(F.col("stage") == "2_repetition", ns[2])
+        .when(F.col("stage") == "3_language", ns[3])
+        .otherwise(ns[4])
+    )
+    return stages.crossJoin(F.broadcast(agg)).select(
+        "stage",
+        pick_in.alias("n_in"),
+        (pick_in - pick_out).alias("n_dropped"),
+        pick_out.alias("n_out"),
+    )

@@ -959,3 +959,88 @@ def fx_pandas_udaf_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.round(rms_cents("o_totalprice"), 6).alias("rms_price")
     )
+
+
+# --- multiset ops + unpivot (round 4: relational-surface completion) ----------------
+
+
+@register(
+    "fx_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_custkey < 50
+    INTERSECT ALL
+    SELECT c_custkey AS custkey FROM customer WHERE c_custkey < 80
+    """,
+    tags=("setops", "multiset"),
+)
+def fx_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each custkey keeps
+    min(count_left, count_right) copies — Spark's intersectAll, which
+    plans as a counted hash join rather than a distinct-then-join."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 80).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return o.intersectAll(c)
+
+
+@register(
+    "fx_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_custkey < 50
+    EXCEPT ALL
+    SELECT c_custkey AS custkey FROM customer WHERE c_custkey < 80
+    """,
+    tags=("setops", "multiset"),
+)
+def fx_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): multiplicities subtract instead of the
+    whole group vanishing."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 80).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return o.exceptAll(c)
+
+
+@register(
+    "fx_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+        SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE) AS custkey_d
+        FROM orders WHERE o_orderkey < 200
+    )
+    UNPIVOT (val FOR metric IN (o_totalprice AS 'totalprice',
+                                custkey_d AS 'custkey'))
+    """,
+    tags=("reshape", "unpivot"),
+)
+def fx_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide metric columns to (key, metric, value) long
+    form — the inverse of fx_pivot, via the native unpivot operator (a
+    generator expression, no shuffle and no per-metric scan)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_custkey").cast("double").alias("custkey_d"),
+        )
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "custkey_d"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "o_totalprice", "totalprice").otherwise(
+            "custkey"
+        ),
+    )
