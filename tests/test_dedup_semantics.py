@@ -93,3 +93,31 @@ def test_simhash_numpy_matches_catalyst_expr(spark, sf_dir):
     }
     fast = {r["doc_id"]: r["simhash"] for r in _simhash_relation(d).collect()}
     assert fast == expr
+
+
+def test_numpy_signatures_bit_identical_to_expression(spark, oracle_sf_dir):
+    """The Arrow/numpy MinHash fast path (_signature_relation) must produce
+    exactly the band hashes of the canonical Catalyst formulation
+    (shingle_base_hashes -> band_hashes) — the bit-identity claim the fast
+    path's docstring makes, pinned here so neither side can drift."""
+    import pyspark.sql.functions as F
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators import (
+        dedup as D,
+    )
+
+    docs = D._docs(spark, oracle_sf_dir).limit(50)
+    expr_bands = {
+        (r["doc_id"], tuple(r["bands"]))
+        for r in D._shingle_relation(docs)
+        .select(
+            "doc_id",
+            D.band_hashes(D.shingle_base_hashes(F.col("sh"))).alias("bands"),
+        )
+        .collect()
+    }
+    numpy_bands = {
+        (r["doc_id"], tuple(r["bands"]))
+        for r in D._signature_relation(docs).select("doc_id", "bands").collect()
+    }
+    assert expr_bands == numpy_bands
