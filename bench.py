@@ -68,6 +68,7 @@ HEADLINE = [
     "ht_gap_fill",
     "dd_ngram_jaccard_prefix",
     "tx_filter_pipeline",
+    "gr_pagerank",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

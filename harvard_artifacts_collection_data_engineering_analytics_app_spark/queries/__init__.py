@@ -20,6 +20,7 @@ def load_all() -> None:
     from ..operators import components  # noqa: F401
     from ..operators import dedup  # noqa: F401
     from ..operators import similarity  # noqa: F401
+    from ..operators import graph  # noqa: F401
     from ..operators import multimodal  # noqa: F401
     from ..functions import text_queries  # noqa: F401
     from ..streaming import queries as streaming_queries  # noqa: F401
