@@ -63,39 +63,40 @@ _PRIORITY: tuple[str, ...] = (
     "rq20_join_agg_topk",
     "flagship_pricing_summary",
     "rq20_preagg_variant",
-    # deduplication
+    # deduplication (families: exact, shingle-Jaccard, MinHash-LSH,
+    # SimHash, embedding, clustering, segment)
     "dd_exact_stats",
-    "dd_exact_groups",
     "dd_ngram_jaccard",
     "dd_minhash_lsh",
-    "dd_simhash",
     "dd_simhash_pairs",
     "dd_containment",
-    "dd_embedding_topk_pairs",
     "dd_embedding_lsh_pairs",
     "dd_cluster_components",
-    "dd_cluster_keepers",
-    # similarity search
-    "ss_brute_topk",
+    "dd_segment_dup",
+    # similarity search + clustering
     "ss_ivf_topk",
     "ss_lsh_topk",
-    # text analysis
-    "tx_token_stats",
+    "ss_kmeans",
+    "ss_semantic_dedup",
+    # text analysis + pipeline
     "tx_lang_id",
     "tx_quality_score",
     "tx_tfidf_top_terms",
+    "tx_filter_pipeline",
     # streaming (AvailableNow replay ≡ batch oracle)
     "st_tumbling_hourly",
     "st_session_30m",
     # window functions
     "wf_topn_per_group",
     "wf_range_frame",
-    # as-of / range join / rollup / skew
+    # as-of / range join / rollup / gap-fill / skew / graph
     "aj_purchase_last_click",
     "rj_price_tier_bucketed",
+    "rj_interval_overlap",
     "ht_rollup_multigrain",
-    "sk_salted_group_agg",
+    "ht_gap_fill",
     "sk_salted_join",
+    "gr_pagerank",
     # multimodal (deterministic decode pipeline, oracled)
     "mm_decode_pipeline",
 )
