@@ -93,6 +93,11 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_analytics_conf(spark)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # No materialization barrier here: both union branches project the
+    # IDENTICAL aggregate subplan, so ReuseExchange computes the groupBy
+    # shuffle once (verified — an eager checkpoint measured slower). The
+    # SCALE.md signature-reuse rule applies when consumer projections
+    # differ; here they do not.
     raw = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy(
