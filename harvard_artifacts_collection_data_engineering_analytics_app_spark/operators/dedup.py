@@ -1358,3 +1358,102 @@ def dd_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.filter(F.col("jac") >= t)
         .select("a_id", "b_id", F.round("jac", 6).alias("jaccard"))
     )
+
+
+# --- incremental (batch-vs-corpus) MinHash dedup ---------------------------------
+
+# The production dedup shape: a new crawl batch is checked against the
+# existing corpus, never against itself. Batch membership is the same
+# deterministic hash split as tx_split_assign ('split:' domain), so the
+# operator composes with the split and both engines agree on membership.
+INCR_BATCH_GE = 90  # buckets [90,100) are "incoming"; [0,90) the corpus
+
+_DUCK_INCREMENTAL = f"""
+    WITH {DUCK_LSH_PAIR_CTES},
+    split AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 >= {INCR_BATCH_GE} AS incoming
+        FROM documents
+    ),
+    cross_pairs AS (
+        SELECT CASE WHEN sa.incoming THEN v.a_id ELSE v.b_id END AS in_id,
+               CASE WHEN sa.incoming THEN v.b_id ELSE v.a_id END AS ex_id,
+               v.jac
+        FROM verified v
+        JOIN split sa ON sa.doc_id = v.a_id
+        JOIN split sb ON sb.doc_id = v.b_id
+        WHERE sa.incoming != sb.incoming AND v.jac >= {JACCARD_THRESHOLD}
+    )
+    SELECT in_id AS incoming_doc_id,
+           MIN(ex_id) AS matched_doc_id,
+           COUNT(DISTINCT ex_id) AS n_matches,
+           ROUND(MAX(jac), 6) AS best_jaccard
+    FROM cross_pairs
+    GROUP BY in_id
+"""
+
+
+@register(
+    "dd_incremental_minhash",
+    oracle=_DUCK_INCREMENTAL,
+    tags=("dedup", "minhash", "incremental"),
+)
+def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: which INCOMING documents (the 10% hash
+    split standing in for a new crawl batch) near-duplicate an EXISTING
+    corpus document — the query a production ingestion pipeline runs on
+    every batch, where incoming×incoming pairs are deliberately not
+    generated (they dedup among themselves on a later compaction).
+
+    Plan shape (100 TB): identical signature pass as dd_minhash_lsh (one
+    corpus scan, checkpointed), but the band join is incoming-bands ⋈
+    corpus-bands — the shuffled candidate volume scales with the BATCH,
+    not the corpus squared; in production the corpus band index is a
+    bucketed table maintained across batches so only incoming bands
+    shuffle at all. Verification joins then touch candidate pairs only.
+    The oracle builds on the composable verified-LSH-pair CTE, filtered
+    to cross-split pairs, so candidate recall is value-checked end to
+    end.
+    """
+    ensure_analytics_conf(spark)
+    sig = _signature_relation(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    incoming = (
+        T.portable_hash60(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        % 100
+        >= INCR_BATCH_GE
+    )
+    sig = sig.withColumn("incoming", incoming)
+    bands = sig.select(
+        "doc_id", "incoming", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    bi = bands.filter(F.col("incoming")).select(
+        F.col("doc_id").alias("in_id"), "band_idx", "band_hash"
+    )
+    be = bands.filter(~F.col("incoming")).select(
+        F.col("doc_id").alias("ex_id"), "band_idx", "band_hash"
+    )
+    cand = (
+        bi.join(be, ["band_idx", "band_hash"])
+        .select("in_id", "ex_id")
+        .distinct()
+    )
+    sh_i = sig.select(F.col("doc_id").alias("in_id"), F.col("sh").alias("sh_i"))
+    sh_e = sig.select(F.col("doc_id").alias("ex_id"), F.col("sh").alias("sh_e"))
+    jac = F.size(F.array_intersect("sh_i", "sh_e")).cast("double") / F.nullif(
+        F.size(F.array_union("sh_i", "sh_e")).cast("double"), F.lit(0.0)
+    )
+    return (
+        cand.join(sh_i, "in_id")
+        .join(sh_e, "ex_id")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .groupBy(F.col("in_id").alias("incoming_doc_id"))
+        .agg(
+            F.min("ex_id").alias("matched_doc_id"),
+            F.countDistinct("ex_id").alias("n_matches"),
+            F.round(F.max("jac"), 6).alias("best_jaccard"),
+        )
+    )
