@@ -1,15 +1,20 @@
-"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+"""Similarity search + clustering over the ``embeddings`` table
+(array<float>, dim 64).
 
-Three operators:
-
-- ``ss_brute_topk``  — exact cosine top-k (the correctness baseline)
+- ``ss_brute_topk`` / ``ss_brute_topk_numpy`` — exact cosine top-k (the
+  correctness baseline; expression and Arrow formulations)
 - ``ss_ivf_topk``    — IVF: deterministic coarse quantizer (every 25th
   vector is a centroid), assign → probe nearest 3 lists → search only
   those lists. The scale path: candidate set shrinks ~nprobe/nlist.
+- ``ss_ivf_kmeans_topk`` — IVF with the TRAINED quantizer (ss_kmeans
+  centroids): train → build lists → probe, the real pipeline.
 - ``ss_lsh_topk``    — multi-table random-hyperplane LSH: 8 tables × 6
   pseudo-random ±1 hyperplanes (weights derived from md5, inlined as
   literals) → per-table sign bucket → candidates = union of same-bucket
   vectors across tables (OR-amplification).
+- ``ss_kmeans`` / ``ss_semantic_dedup`` — fixed-point Lloyd's clustering
+  and the SemDeDup near-dup pass built on it.
+- ``ss_quantize_int8`` — symmetric int8 vector quantization.
 
 Everything is deterministic (centroid choice, hyperplanes, tie-breaks), so
 each operator has a full value-level DuckDB oracle — including the ANN
@@ -836,3 +841,110 @@ def ss_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="vec_id long, cluster long, nn_id long, cosine double, is_dup boolean",
         )
     )
+
+
+# --- IVF with a k-means-trained quantizer --------------------------------------------
+
+IVF_KM_NPROBE = 2
+
+
+@register(
+    "ss_ivf_kmeans_topk",
+    oracle=f"""
+    WITH {{km_ctes}},
+    {SQL_V},
+    qd AS (
+        SELECT vec_id, cluster FROM (
+            SELECT v.vec_id, c.j AS cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_km_dist_sql("v.x", "c.m")}, c.j
+                   ) AS rn
+            FROM x v CROSS JOIN c{KM_ITERS} c
+            WHERE v.vec_id < {N_QUERIES}
+        ) WHERE rn <= {IVF_KM_NPROBE}
+    ),
+    scored AS (
+        SELECT DISTINCT qd.vec_id AS q_id, a.vec_id AS neighbor_id,
+               ROUND({SQL_COS.format(a="vq", b="vc")}, 6) AS cosine
+        FROM qd
+        JOIN a{KM_ITERS} a ON a.cluster = qd.cluster
+                          AND a.vec_id != qd.vec_id
+        JOIN v vq ON vq.vec_id = qd.vec_id
+        JOIN v vc ON vc.vec_id = a.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """.replace("{km_ctes}", _km_ctes()),
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def ss_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a TRAINED coarse quantizer: the ss_kmeans centroids
+    replace ss_ivf_topk's every-Nth-vector heuristic — the composition a
+    real vector pipeline runs (train quantizer → build inverted lists →
+    probe). Probing the IVF_KM_NPROBE nearest centroids per query uses
+    the same exact fixed-point distances as training, so list membership
+    and probe choice are bit-deterministic; the final ranking is the
+    shared ROUND(cosine,6)+id contract.
+
+    Plan shape (100 TB): corpus assignment is the shuffle-free Arrow pass
+    (inverted lists = the assignment relation, in practice written out
+    bucketed by cluster); each query probes nprobe/K of the corpus via an
+    equi-join on cluster — the candidate volume ratio IVF promises. Query
+    probe selection is O(K·DIM) driver arithmetic on exact ints (queries
+    are a handful; at scale this is the broadcast side).
+    """
+    vfix = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    seeds = vfix.filter(F.col("vec_id") < KM_K).select("vec_id", "x").collect()
+    centroids = sorted(
+        (int(r["vec_id"]), [int(val) for val in r["x"]]) for r in seeds
+    )
+    for _ in range(KM_ITERS):
+        centroids = _km_update(vfix, centroids)
+    assigned = _km_assign(vfix, centroids).select("vec_id", "cluster")
+
+    # probe lists for the query vectors: exact integer argsort, driver-side
+    q_rows = vfix.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "x").collect()
+    probes = []
+    for r in q_rows:
+        x = [int(v) for v in r["x"]]
+        dists = sorted(
+            (sum((xi - mi) * (xi - mi) for xi, mi in zip(x, m)), j)
+            for j, m in centroids
+        )
+        for _, j in dists[:IVF_KM_NPROBE]:
+            probes.append((int(r["vec_id"]), int(j)))
+    probe_df = spark.createDataFrame(probes, schema="q_id long, cluster long")
+
+    emb = _vectors(spark, sf_dir)
+    cand = (
+        F.broadcast(probe_df)
+        .join(assigned, "cluster")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "q_id")
+        .join(emb, "vec_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")),
+                6,
+            ),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .distinct()
+    )
+    return _ranked_topk(scored, TOP_K)
