@@ -428,7 +428,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint (not persist): checkpoint blocks are reclaimed by the
     # ContextCleaner when the result goes out of scope, whereas a persisted
     # plan stays pinned in the CacheManager for the session lifetime — a
-    # leak across this engine's ~110-query verify/bench sessions.
+    # leak across this engine's 130+-query verify/bench sessions.
     sig = _signature_relation(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
