@@ -282,3 +282,68 @@ def run_merge_sink(
         .start()
         .awaitTermination()
     )
+
+
+# --- latest-record-per-key compaction (CDC) -----------------------------------------
+
+LATEST_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_ts", TimestampType()),
+        StructField("last_event_type", StringType()),
+        StructField("last_value", DoubleType()),
+    ]
+)
+LATEST_STATE = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def latest_per_user(events: DataFrame) -> DataFrame:
+    """CDC-style compaction: one state row per key holding the latest
+    record by (ts, event_id) — the streaming form of `QUALIFY
+    ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC, id DESC) = 1`.
+    State size scales with #keys, not #events; late rows older than the
+    kept one are absorbed without emitting."""
+    import numpy as np  # noqa: F401  (parity with sibling operators)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        best = state.get if state.exists else None  # (ts_us, id, type, value)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+            cand = (
+                int(top["ts"].value // 1_000),
+                int(top["event_id"]),
+                str(top["event_type"]),
+                float(top["value"]),
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_event_id": [best[1]],
+                "last_ts": [pd.Timestamp(best[0] * 1_000)],
+                "last_event_type": [best[2]],
+                "last_value": [best[3]],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=LATEST_SCHEMA,
+        stateStructType=LATEST_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

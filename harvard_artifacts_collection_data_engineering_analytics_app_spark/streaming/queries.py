@@ -27,6 +27,7 @@ from ..queries.registry import register
 from ..session import ensure_analytics_conf
 from .pipelines import (
     dedup_events,
+    latest_per_user,
     read_events_stream,
     run_to_memory,
     sliding_counts,
@@ -257,3 +258,37 @@ def st_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, stream, "st_enrich_mem", "complete").select(
         "c_mktsegment", "cnt", "total_value"
     )
+
+
+@register(
+    "st_latest_per_key",
+    # Under AvailableNow (one file, one micro-batch) update-mode output is
+    # one final row per user; the kept record is the (ts, event_id) argmax,
+    # which is batching-order independent — that is what makes a custom
+    # stateful operator batch-oracle-checkable.
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           ts AS last_ts,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+    tags=("streaming", "stateful", "cdc", "pandas-udf"),
+)
+def st_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction as a custom stateful stream: per user, keep only the
+    latest record by (ts, event_id) in the state store — the streaming
+    form of materializing a changelog into current state. Values pass
+    through untouched (no arithmetic), so the batch QUALIFY-style oracle
+    matches bit-for-bit."""
+    ensure_analytics_conf(spark)
+    stream = latest_per_user(read_events_stream(spark, sf_dir))
+    return _drain(spark, stream, "st_latest_mem", "update")
