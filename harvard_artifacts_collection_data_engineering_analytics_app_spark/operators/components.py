@@ -44,21 +44,28 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    algorithm: str = "label-propagation",
+    algorithm: str = "auto",
+    propagation_rounds: int = 8,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
     member id.
 
-    ``algorithm="label-propagation"`` (default): min-label propagation to
-    fixpoint — rounds = graph diameter, the right choice for near-clique
-    dedup graphs (diameter 1–3). Raises ``RuntimeError`` if the fixpoint is
-    not reached within ``max_iter`` rather than silently returning partial
-    (wrong) labels.
+    ``algorithm="auto"`` (default): min-label propagation for up to
+    ``propagation_rounds`` rounds — rounds = graph diameter, the right
+    choice for near-clique dedup graphs (diameter 1–3) — then, if the
+    fixpoint was not reached (an adversarial long-chain graph, e.g. a path
+    from transitive near-dups), falls back to star contraction on the same
+    edge set instead of failing. Correctness is preserved trivially: the
+    fallback restarts from the original edges, so at most
+    ``propagation_rounds`` cheap rounds are discarded.
+
+    ``algorithm="label-propagation"``: propagation only, up to ``max_iter``
+    rounds; raises ``RuntimeError`` on non-convergence rather than silently
+    returning partial (wrong) labels. For callers that want the failure.
 
     ``algorithm="star"``: alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-    O(log² n) rounds regardless of diameter, the fallback for adversarial
-    long-chain graphs where propagation would need O(diameter) rounds.
+    O(log² n) rounds regardless of diameter.
 
     Runs Spark actions (one per round for the convergence check). Caller
     sees a small materialized result — the expected use is a cluster
@@ -69,8 +76,33 @@ def connected_components(
     )
     if algorithm == "star":
         return _star_contraction(e, max_iter)
+    if algorithm == "auto":
+        labels = _propagate(e, propagation_rounds)
+        if labels is None:
+            return _star_contraction(e, max_iter)
+        return labels.select("node", F.col("label").alias("component"))
     if algorithm != "label-propagation":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
+    labels = _propagate(e, max_iter)
+    if labels is None:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_iter} rounds "
+            f"(graph diameter > {max_iter}); use algorithm='star' for "
+            "long-chain graphs"
+        )
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def _propagate(e: DataFrame, rounds: int) -> DataFrame | None:
+    """Min-label propagation; returns the (node, label) fixpoint or None
+    if not converged within ``rounds``.
+
+    Convergence check: labels only ever *decrease* (new = min over self ∪
+    neighbors), so the label sum strictly decreases until the fixpoint —
+    comparing one decimal(38,0) aggregate per round replaces the former
+    old-vs-new shuffle join (one fewer shuffle per round; the agg is a
+    single scan over the just-checkpointed labels).
+    """
     both = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -82,33 +114,23 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    _sig = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_sig).first()[0]
+    for _ in range(rounds):
         neighbor_labels = both.join(
             labels, both["a"] == labels["node"]
         ).select(F.col("b").alias("node"), "label")
-        new_labels = (
+        labels = (
             neighbor_labels.union(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components: no fixpoint within {max_iter} rounds "
-            f"(graph diameter > {max_iter}); use algorithm='star' for "
-            "long-chain graphs"
-        )
-    return labels.select("node", F.col("label").alias("component"))
+        new_sum = labels.agg(_sig).first()[0]
+        if new_sum == prev_sum:
+            return labels
+        prev_sum = new_sum
+    return None
 
 
 def _star_contraction(e: DataFrame, max_iter: int) -> DataFrame:

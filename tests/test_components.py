@@ -71,14 +71,23 @@ def test_cluster_keepers_consistent_with_components(spark, sf_dir):
 
 
 def test_propagation_raises_instead_of_partial_labels(spark):
-    """Diameter > max_iter must raise, not silently return wrong labels."""
+    """Explicit label-propagation with diameter > max_iter must raise, not
+    silently return wrong labels."""
     import pytest
 
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(49)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(df, max_iter=5)
+        connected_components(df, max_iter=5, algorithm="label-propagation")
+
+
+def test_default_api_falls_back_to_star_on_long_chain(spark):
+    """50-node path through the DEFAULT API: propagation cannot converge in
+    its capped rounds, so auto falls back to star contraction and still
+    produces the right labels (VERDICT r4 #7)."""
+    got = _cc(spark, [(i, i + 1) for i in range(49)], propagation_rounds=3)
+    assert got == {i: 0 for i in range(50)}
 
 
 def test_star_contraction_path_graph_olog2_rounds(spark):
