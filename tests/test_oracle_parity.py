@@ -25,9 +25,10 @@ def test_oracle_match(spark, oracle_sf_dir, name):
     assert not errs, f"{name}: " + "; ".join(errs)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
-def test_rows_only_runs(spark, oracle_sf_dir, name):
-    spec = SPECS[name]
-    df = spec.builder(spark, oracle_sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_is_oracle_checked():
+    """All 130+ registered queries carry a DuckDB oracle — the rows-only
+    escape hatch (oracle=None) is intentionally unused. If a future query
+    genuinely can't be SQL-expressed, drop this test and restore the
+    parametrized rows-only runner it replaced (pre-round-5 history); until
+    then an empty ROWS_ONLY_CASES is an invariant, not a skipped test."""
+    assert ROWS_ONLY_CASES == []
