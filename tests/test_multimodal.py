@@ -43,9 +43,63 @@ def test_decode_pipeline_deterministic(blobs):
     assert r[3]["thumbnail"] == b"plain text bytes"[:16]
 
 
-def test_real_decoder_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def _ppm(width, height, pixels, maxval=255):
+    return f"P6\n{width} {height}\n{maxval}\n".encode() + bytes(pixels)
+
+
+def test_ppm_decode_basic():
+    # 2x2 rgb: distinct pixels, known mean
+    pix = [
+        10, 20, 30,   40, 50, 60,
+        70, 80, 90,  100, 110, 120,
+    ]
+    d = M.decode_image(_ppm(2, 2, pix))
+    assert (d["width"], d["height"], d["n_pixels"]) == (2, 2, 4)
+    assert d["thumbnail"] == bytes(pix)  # image smaller than thumb grid
+    assert d["mean_sample"] == sum(pix) / len(pix)
+
+
+def test_ppm_decode_header_comments_and_whitespace():
+    blob = b"P6 # inline comment\n# full line\n 3\t1 \n255\n" + bytes(9)
+    d = M.decode_image(blob)
+    assert (d["width"], d["height"]) == (3, 1)
+
+
+def test_ppm_decode_16bit_and_pgm():
+    # P5 grayscale, maxval 65535 → 2 big-endian bytes per sample
+    blob = b"P5\n2 1\n65535\n" + bytes([0x01, 0x00, 0x00, 0x02])
+    d = M.decode_image(blob)
+    assert d["n_pixels"] == 2
+    assert d["mean_sample"] == (256 + 2) / 2
+
+
+def test_ppm_decode_thumbnail_nearest_neighbor():
+    # 16x1 gradient, thumb_side=4 → picks columns 0,4,8,12
+    pix = bytes(v for x in range(16) for v in (x, x, x))
+    d = M.decode_image(_ppm(16, 1, pix), thumb_side=4)
+    assert d["thumbnail"] == bytes(
+        v for x in (0, 4, 8, 12) for v in (x, x, x)
+    )
+
+
+def test_ppm_decode_rejects_bad_payloads():
+    with pytest.raises(ValueError, match="magic"):
         M.decode_image(b"\x89PNGxxxx")
+    with pytest.raises(ValueError, match="truncated raster"):
+        M.decode_image(_ppm(4, 4, [0] * 10))
+    with pytest.raises(ValueError, match="header"):
+        M.decode_image(b"P6\n2")
+
+
+def test_real_decoder_through_spark_pipeline(spark):
+    """decode_images with the REAL decoder over Catalyst-built PPM blobs."""
+    df = spark.createDataFrame(
+        [(1, _ppm(2, 3, [7] * 18)), (2, _ppm(5, 4, [9] * 60))],
+        "doc_id long, blob binary",
+    )
+    rows = {r["doc_id"]: r for r in M.decode_images(df, decoder=M.decode_image).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_pixels"]) == (2, 3, 6)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["n_pixels"]) == (5, 4, 20)
 
 
 def test_frame_plan_counts_and_offsets(spark):
