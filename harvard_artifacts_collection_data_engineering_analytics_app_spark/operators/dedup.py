@@ -1442,6 +1442,14 @@ def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh_i = sig.select(F.col("doc_id").alias("in_id"), F.col("sh").alias("sh_i"))
     sh_e = sig.select(F.col("doc_id").alias("ex_id"), F.col("sh").alias("sh_e"))
+    return _verify_incremental(cand, sh_i, sh_e)
+
+
+def _verify_incremental(
+    cand: DataFrame, sh_i: DataFrame, sh_e: DataFrame
+) -> DataFrame:
+    """Shared verification tail for the incremental dedup paths: exact
+    Jaccard on candidate pairs only, then the per-incoming-doc match agg."""
     jac = F.size(F.array_intersect("sh_i", "sh_e")).cast("double") / F.nullif(
         F.size(F.array_union("sh_i", "sh_e")).cast("double"), F.lit(0.0)
     )
@@ -1456,4 +1464,146 @@ def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("ex_id").alias("n_matches"),
             F.round(F.max("jac"), 6).alias("best_jaccard"),
         )
+    )
+
+
+# --- persisted corpus index (steady-state incremental dedup) ---------------------
+
+BAND_INDEX_TABLE = "corpus_band_index"
+CORPUS_SIG_TABLE = "corpus_signatures"
+
+
+def corpus_index_names(sf_dir: str) -> tuple[str, str]:
+    """Index table names keyed by source dir, so a session that touches
+    several scale factors (the test suite does) never joins a batch
+    against a stale index built from different data."""
+    import hashlib
+
+    h = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    return f"{BAND_INDEX_TABLE}_{h}", f"{CORPUS_SIG_TABLE}_{h}"
+
+
+def _incoming_pred() -> F.Column:
+    return (
+        T.portable_hash60(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        % 100
+        >= INCR_BATCH_GE
+    )
+
+
+def build_corpus_dedup_index(
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: int = 8,
+    band_table: str = BAND_INDEX_TABLE,
+    sig_table: str = CORPUS_SIG_TABLE,
+) -> tuple[str, str]:
+    """Persist the corpus side of the incremental MinHash index as two
+    bucketed tables — the steady-state artifact SCALE.md describes, now
+    real (VERDICT r4 #5):
+
+    - ``band_table`` (ex_id, band_idx, band_hash), bucketed+sorted by
+      (band_idx, band_hash): the LSH candidate join reads it with NO
+      Exchange — only the (small) incoming batch shuffles;
+    - ``sig_table`` (ex_id, sh_e), bucketed by ex_id: the verification
+      join's corpus side, likewise shuffle-free on the stored side.
+
+    In production this pair is appended per ingestion batch (new docs'
+    bands/shingles land in the same bucket layout); here it is rebuilt
+    from the split's corpus half, which exercises the identical plan.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    # a managed-table LOCATION can survive a session whose catalog forgot
+    # the table (fresh driver session, same cwd) — clear both, else
+    # saveAsTable fails with LOCATION_ALREADY_EXISTS
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in (band_table, sig_table):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+    sig = (
+        _signature_relation(
+            _docs(spark, sf_dir).filter(~_incoming_pred())
+        )
+        .localCheckpoint(eager=True)
+    )
+    (
+        sig.select(
+            F.col("doc_id").alias("ex_id"),
+            F.posexplode("bands").alias("band_idx", "band_hash"),
+        )
+        .write.bucketBy(buckets, "band_idx", "band_hash")
+        .sortBy("band_idx", "band_hash")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(band_table)
+    )
+    (
+        sig.select(F.col("doc_id").alias("ex_id"), F.col("sh").alias("sh_e"))
+        .write.bucketBy(buckets, "ex_id")
+        .sortBy("ex_id")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(sig_table)
+    )
+    return band_table, sig_table
+
+
+def incremental_minhash_against_index(
+    spark: SparkSession,
+    sf_dir: str,
+    band_table: str = BAND_INDEX_TABLE,
+    sig_table: str = CORPUS_SIG_TABLE,
+) -> DataFrame:
+    """The steady-state batch dedup: signature-hash ONLY the incoming
+    batch (the corpus Arrow pass is amortized into the stored index),
+    then candidate-join against the bucketed band index and verify
+    against the bucketed signature table.
+
+    Plan shape: both index scans are Exchange-free (bucketed on their
+    join keys); the only shuffles move incoming-batch-sized relations —
+    the property that makes per-batch dedup cost independent of corpus
+    size (plan-asserted in tests/test_warehouse.py).
+    """
+    sig_i = _signature_relation(
+        _docs(spark, sf_dir).filter(_incoming_pred())
+    ).localCheckpoint(eager=True)
+    bi = sig_i.select(
+        F.col("doc_id").alias("in_id"),
+        F.posexplode("bands").alias("band_idx", "band_hash"),
+    )
+    cand = (
+        bi.join(spark.table(band_table), ["band_idx", "band_hash"])
+        .select("in_id", "ex_id")
+        .distinct()
+    )
+    sh_i = sig_i.select(F.col("doc_id").alias("in_id"), F.col("sh").alias("sh_i"))
+    return _verify_incremental(cand, sh_i, spark.table(sig_table))
+
+
+@register(
+    "dd_incremental_minhash_indexed",
+    oracle=_DUCK_INCREMENTAL,
+    tags=("dedup", "minhash", "incremental", "bucketed-index"),
+)
+def dd_incremental_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-STORED-index incremental dedup — same oracle as
+    dd_incremental_minhash, proving the persisted bucketed index returns
+    exactly what recomputing the corpus signatures would. Builds the
+    index on first use in a session (a production pipeline maintains it
+    across batches)."""
+    ensure_analytics_conf(spark)
+    band_table, sig_table = corpus_index_names(sf_dir)
+    if not (
+        spark.catalog.tableExists(band_table)
+        and spark.catalog.tableExists(sig_table)
+    ):
+        build_corpus_dedup_index(
+            spark, sf_dir, band_table=band_table, sig_table=sig_table
+        )
+    return incremental_minhash_against_index(
+        spark, sf_dir, band_table=band_table, sig_table=sig_table
     )
