@@ -152,6 +152,86 @@ def test_user_running_totals_state(spark, sf_dir, events_stream, tmp_path):
         assert abs(total - r["total"]) < 1e-4
 
 
+def test_watermark_actually_drops_late_event(spark, tmp_path):
+    """Observe a REAL late-data drop at the query level (VERDICT r4 #6).
+
+    The other streaming oracles use AvailableNow one-shot replay, where
+    stream ≡ batch by construction; here three micro-batches
+    (maxFilesPerTrigger=1, distinct file mtimes fix the order) make the
+    declared watermark semantics visible:
+
+    - batch 0: events at 10:00, 10:05, 12:00 → watermark after it is
+      12:00 − 30 min = 11:30;
+    - batch 1: on-time event at 12:30; during it the 11:30 watermark
+      closes window [10:00, 11:00), which (append mode) emits finalized
+      with cnt=2 — its state is then evicted;
+    - batch 2: a LATE event at 10:15 (< 11:30, window already closed):
+      Spark must DROP it — numRowsDroppedByWatermark records 1, the
+      emitted window stays at cnt=2, where a naive batch query over all
+      five events would say 3.
+
+    (A late row landing in the SAME batch whose watermark first closes
+    its window still merges before eviction — that is why the late event
+    arrives only after the window emitted.)
+    """
+    import datetime as dt
+    import time
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    schema = "ts timestamp, event_type string, value double"
+    batches = [
+        [(t(10, 0), "a", 1.0), (t(10, 5), "a", 3.0), (t(12, 0), "a", 5.0)],
+        [(t(12, 30), "a", 7.0)],
+        [(t(10, 15), "a", 100.0)],  # LATE: behind the 11:30 watermark
+    ]
+    src = tmp_path / "late_src"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+        time.sleep(1.1)  # file-source ordering is by modification time
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        P.tumbling_counts(stream, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1, "the late event must be dropped by the watermark"
+    got = {
+        r["window_start"]: (r["cnt"], r["avg_value"])
+        for r in spark.table("t_late_drop").collect()
+    }
+    # only the closed window emitted, WITHOUT the late 10:15 event
+    assert got == {t(10, 0): (2, 2.0)}
+    # a naive batch over the same five events disagrees — proof the
+    # watermark, not the data, produced the 2
+    naive = (
+        spark.createDataFrame(sum(batches, []), schema)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("window.start") == t(10, 0))
+        .collect()[0]["cnt"]
+    )
+    assert naive == 3
+
+
 def test_foreach_batch_merge_sink_is_replay_idempotent(spark, sf_dir, tmp_path):
     """Streaming → MERGE warehouse sink: draining the events stream twice
     (fresh checkpoint = full replay, as after a checkpoint loss) must not
