@@ -77,6 +77,44 @@ def query(spark: SparkSession, workdir: str, name: str) -> DataFrame:
     return spark.sql(AT.spark_sql(name))
 
 
+def chart_spec(
+    df: DataFrame, max_bars: int = 20, width: int = 40
+) -> list[dict]:
+    """T-chart: headless equivalent of the reference's auto bar chart
+    (harvard_artifacts_app.py:433-439 renders st.bar_chart of the first
+    two result columns when the second is numeric).
+
+    Returns [{label, value, bar}] with bar lengths normalized to the max
+    |value| in the charted window — deterministic, terminal-renderable,
+    and empty (never an error) when the result has no chartable shape,
+    matching the reference's silent skip.
+    """
+    cols = df.columns
+    if len(cols) < 2:
+        return []
+    rows = df.select(cols[0], cols[1]).limit(max_bars).collect()
+    vals = [
+        r[1]
+        for r in rows
+        if r[1] is not None and isinstance(r[1], (int, float)) and r[1] == r[1]
+    ]
+    if not vals:
+        return []
+    mx = max(abs(v) for v in vals) or 1
+    return [
+        {
+            "label": str(r[0]),
+            "value": r[1],
+            "bar": (
+                "#" * round(abs(r[1]) / mx * width)
+                if isinstance(r[1], (int, float)) and r[1] is not None and r[1] == r[1]
+                else ""
+            ),
+        }
+        for r in rows
+    ]
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workdir", required=True)
@@ -86,6 +124,11 @@ def main(argv: list[str] | None = None) -> None:
     sub.add_parser("insert")
     qp = sub.add_parser("query")
     qp.add_argument("name", help="q1..q20 or 'all'")
+    qp.add_argument(
+        "--chart",
+        action="store_true",
+        help="also emit the reference-style bar chart of the first two columns",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(app_name="harvard-artifacts-app")
@@ -103,11 +146,14 @@ def main(argv: list[str] | None = None) -> None:
         for name in names:
             df = query(spark, args.workdir, name)
             rows = df.limit(10).collect()
-            print(json.dumps({
+            out = {
                 "query": name,
                 "sql": AT.spark_sql(name),
                 "rows": [r.asDict() for r in rows],
-            }, default=str))
+            }
+            if args.chart:
+                out["chart"] = chart_spec(df)
+            print(json.dumps(out, default=str))
 
 
 if __name__ == "__main__":

@@ -32,3 +32,27 @@ def test_insert_is_idempotent_like_insert_ignore(spark, tmp_path):
     first = app.insert(spark, wd)
     second = app.insert(spark, wd)
     assert first == second
+
+
+def test_chart_spec_matches_reference_auto_bar(spark):
+    """The reference auto-renders a bar chart of the first two result
+    columns (harvard_artifacts_app.py:433-439); chart_spec is the headless
+    twin: proportional bars, max bar = full width, non-numeric second
+    column → empty (the reference's silent skip)."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.app import (
+        chart_spec,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 40), ("c", 20)], "label string, cnt long"
+    )
+    spec = chart_spec(df, width=40)
+    assert [s["label"] for s in spec] == ["a", "b", "c"]
+    assert [len(s["bar"]) for s in spec] == [10, 40, 20]
+
+    not_numeric = spark.createDataFrame(
+        [("a", "x")], "label string, other string"
+    )
+    assert chart_spec(not_numeric) == []
+    one_col = spark.createDataFrame([("a",)], "label string")
+    assert chart_spec(one_col) == []
