@@ -96,6 +96,16 @@ def main() -> None:
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             failed.append(name)
             timings[name] = -1.0
+            try:  # distinguish one bad query from a dead JVM: without
+                # this probe every later query "fails" with a misleading
+                # connection error and the cascade hides the real culprit
+                spark.sql("SELECT 1").collect()
+            except Exception:
+                print(
+                    f"bench: session died during {name}; aborting",
+                    file=sys.stderr,
+                )
+                break
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {

@@ -33,6 +33,15 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{DEFAULT_CPUS}]")
+        # local mode = the driver JVM IS the cluster: Spark's 1g default
+        # heap GC-thrashes to death under 32 concurrent Arrow tasks at
+        # sf>=1 (measured: JVM killed mid-bench). Size it to the machine;
+        # on a real cluster this would be executor memory instead.
+        # Only effective at JVM launch — a no-op on an existing session.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
