@@ -69,6 +69,10 @@ HEADLINE = [
     "dd_ngram_jaccard_prefix",
     "tx_filter_pipeline",
     "gr_pagerank",
+    # round-5 additions
+    "dd_incremental_minhash",
+    "dd_incremental_minhash_indexed",
+    "mm_ppm_decode",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

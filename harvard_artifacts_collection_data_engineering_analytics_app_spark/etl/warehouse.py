@@ -192,6 +192,83 @@ def scd2_apply(
     return untouched.select(*rebuilt.columns).unionByName(rebuilt)
 
 
+def zorder_value(cols: list, bits: int = 10):
+    """Interleave ``bits`` low bits of each integer cell coordinate into
+    one Morton (z-order) value — pure Catalyst (shift/or tree), so the
+    layout pass is JVM-side and codegen'd.
+
+    Callers pass already-normalized cell coordinates in [0, 2**bits);
+    use :func:`write_zordered` for the end-to-end layout write.
+    """
+    import pyspark.sql.functions as F
+
+    z = F.lit(0).cast("long")
+    for b in range(bits - 1, -1, -1):
+        for c in cols:
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = F.shiftleft(z, 1).bitwiseOR(bit)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    out_dir: str,
+    cols: tuple[str, ...],
+    n_files: int = 16,
+    bits: int = 10,
+) -> str:
+    """Write ``df`` clustered by the z-order curve over ``cols``.
+
+    The multi-dimensional locality layout for large scan-heavy tables
+    (Delta OPTIMIZE ZORDER BY, Hudi/Iceberg z-ordering do the same):
+    a single sort key can cluster ONE dimension — a selective predicate
+    on any other dimension then touches every file — while the z-curve
+    interleaves dimensions so a range predicate on ANY z-ed column
+    confines matches to a small fraction of files (min/max row-group
+    stats + file pruning do the skipping at read time).
+
+    Coordinates are QUANTILE-normalized: per column, 2**bits − 1 cut
+    points from the distributed Greenwald-Khanna sketch (`approxQuantile`,
+    driver receives only the tiny boundary list) define rank-uniform
+    cells — min/max normalization would waste most of the grid on skewed
+    columns (events.value is right-tailed) and de-localize the curve.
+    Cell lookup is an `F.aggregate` count over the literal boundary
+    array; that lambda is interpreted, which is acceptable for a
+    maintenance-pass write (bits=10 → ≤1023 comparisons/row) — the read
+    path this layout accelerates contains no Python and no HOFs. Rows
+    are then range-partitioned by z-value into ``n_files`` write tasks —
+    range, not hash, so each file owns a contiguous z-range (a compact
+    hyper-rectangle soup, which is what makes min/max stats selective).
+
+    At 100 TB this is a maintenance pass exactly like compaction: rewrite
+    cold partitions z-ordered; the scan plan needs no change to benefit.
+    """
+    import pyspark.sql.functions as F
+
+    n_cells = 1 << bits
+    cells = []
+    for c in cols:
+        qs = [i / n_cells for i in range(1, n_cells)]
+        bounds = sorted(set(df.approxQuantile(c, qs, 0.001)))
+        cells.append(
+            F.aggregate(
+                F.lit(bounds),
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+            )
+        )
+    zed = df.withColumn("_z", zorder_value(cells, bits))
+    (
+        zed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
 def compact_parquet(
     spark: SparkSession,
     in_dir: str,

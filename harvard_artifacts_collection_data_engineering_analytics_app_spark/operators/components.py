@@ -263,6 +263,83 @@ def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_quality_keepers_sql() -> str:
+    # imported lazily at registration: text_queries holds the shared SQL
+    # fragments so quality math stays defined exactly once per engine
+    from ..functions.text_queries import SQL_PUNCT_RATIO, SQL_STOPWORD_RATIO
+
+    quality = f"""ROUND(
+               0.4 * least(length(text)::DOUBLE / 500.0, 1.0)
+               + 0.3 * (1.0 - COALESCE({SQL_PUNCT_RATIO}, 0))
+               + 0.3 * least(COALESCE({SQL_STOPWORD_RATIO}, 0) / 0.10, 1.0),
+               6
+           )"""
+    return f"""
+    WITH RECURSIVE {_DUCK_COMPONENTS_CTES},
+    members AS (
+        SELECT c.component_id, c.doc_id, {quality} AS quality
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY component_id
+                   ORDER BY quality DESC, doc_id
+               ) AS rn
+        FROM members
+    )
+    SELECT component_id,
+           COUNT(*) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper_doc_id,
+           ROUND(MAX(CASE WHEN rn = 1 THEN quality END), 6) AS keeper_quality
+    FROM ranked
+    GROUP BY component_id
+    """
+
+
+@register(
+    "dd_cluster_quality_keepers",
+    oracle=_duck_quality_keepers_sql(),
+    tags=("dedup", "graph", "connected-components", "quality"),
+)
+def dd_cluster_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup decision: per near-dup cluster keep the
+    HIGHEST-quality member (tie → min doc_id) — the policy real training
+    pipelines use instead of keep-first, composed from the components
+    operator and the oracled quality heuristic. One window pass over the
+    (tiny) cluster relation; the corpus-sized quality scan stays a
+    per-row Catalyst projection joined onto cluster members only."""
+    from pyspark.sql import Window
+
+    from ..catalog import load_table
+    from ..functions import text as T
+
+    comp = connected_components(
+        _lsh_pairs(spark, sf_dir), src="a_id", dst="b_id"
+    )
+    quality = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
+    )
+    members = comp.select(
+        F.col("component").alias("component_id"),
+        F.col("node").alias("doc_id"),
+    ).join(quality, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("component_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+            "keeper_doc_id"
+        ),
+        F.round(
+            F.max(F.when(F.col("rn") == 1, F.col("quality"))), 6
+        ).alias("keeper_quality"),
+    )
+
+
 @register(
     "dd_cluster_keepers",
     oracle=f"""

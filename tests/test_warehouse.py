@@ -189,3 +189,46 @@ def test_scd2_apply_closes_current_and_is_idempotent(spark):
     got4 = {(r["k"], r["valid_from"]): (r["valid_to"], r["status"], r["is_current"])
             for r in h4.collect()}
     assert got4[(1, d(2024, 2, 1))] == (None, "returned", 1)
+
+
+def test_zorder_layout_localizes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered layout vs single-key sort: a selective range filter on
+    the SECONDARY dimension must touch strictly fewer files under z-order
+    (single-sort clusters only its own key), while both layouts hold the
+    same rows. This is the file-skipping property that pays at 100 TB."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    n_files = 16
+
+    z_dir = str(tmp_path / "zorder")
+    W.write_zordered(e, z_dir, cols=("user_id", "value"), n_files=n_files)
+    s_dir = str(tmp_path / "sorted")
+    (
+        e.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(s_dir)
+    )
+
+    lo, hi = e.approxQuantile("value", [0.40, 0.45], 0.0)
+    pred = (F.col("value") >= lo) & (F.col("value") < hi)
+
+    def touched(path):
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    z_touched, s_touched = touched(z_dir), touched(s_dir)
+    # same data either way
+    assert (
+        spark.read.parquet(z_dir).filter(pred).count()
+        == spark.read.parquet(s_dir).filter(pred).count()
+        == e.filter(pred).count()
+    )
+    # user_id-sorted layout scatters a value-range over ~every file;
+    # z-order confines it
+    assert z_touched < s_touched, (z_touched, s_touched)
+    assert z_touched <= n_files // 2, f"z-order barely localized: {z_touched}"
