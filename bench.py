@@ -92,6 +92,11 @@ def main() -> None:
         builder = specs[name].builder
         try:
             builder(spark, SF_DIR).count()  # warm-up (JIT, listing, AQE stats)
+            # drain garbage left by the previous query before timing: a
+            # heavy Arrow/numpy query otherwise taxes its successors'
+            # numbers (measured: a 24 s quadratic pair query inflated the
+            # next window-agg 8x at sf1; isolated it was flat)
+            spark._jvm.System.gc()
             t0 = time.perf_counter()
             builder(spark, SF_DIR).count()
             timings[name] = round(time.perf_counter() - t0, 4)

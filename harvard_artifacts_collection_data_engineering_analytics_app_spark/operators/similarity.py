@@ -8,6 +8,9 @@
   those lists. The scale path: candidate set shrinks ~nprobe/nlist.
 - ``ss_ivf_kmeans_topk`` — IVF with the TRAINED quantizer (ss_kmeans
   centroids): train → build lists → probe, the real pipeline.
+- ``ss_ivf_persisted_topk`` — the serving shape: quantizer + inverted
+  lists PERSISTED (lists bucketed by cluster), probe filter pushed to
+  the scan so non-probed lists are skipped at the storage layer.
 - ``ss_lsh_topk``    — multi-table random-hyperplane LSH: 8 tables × 6
   pseudo-random ±1 hyperplanes (weights derived from md5, inlined as
   literals) → per-table sign bucket → candidates = union of same-bucket
@@ -455,6 +458,87 @@ def ss_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topk(scored, TOP_K)
 
 
+@register(
+    "ss_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH {SQL_V},
+    w AS (SELECT {_duck_weights_literal()} AS W),
+    b AS (
+        SELECT v.vec_id, v.emb, v.nrm, tb.tbl,
+               list_sum(list_transform(range(1, {LSH_BITS} + 1), j ->
+                   CASE WHEN list_sum(list_transform(range(1, len(v.emb) + 1), k ->
+                              v.emb[k] * w.W[tb.tbl + 1][j][k])) >= 0
+                        THEN 1 << (j - 1) ELSE 0 END)) AS bucket
+        FROM v, (SELECT UNNEST(range(0, {LSH_TABLES})) AS tbl) tb, w
+    ),
+    q AS (
+        SELECT vec_id, emb, nrm, tbl, xor(bucket, m.m) AS probe
+        FROM b, (SELECT UNNEST([{", ".join(str(m) for m in [0] + [1 << j for j in range(LSH_BITS)])}]) AS m) m
+        WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               ROUND({SQL_COS.format(a="q", b="c")}, 6) AS cosine
+        FROM q JOIN b c
+          ON q.tbl = c.tbl AND q.probe = c.bucket AND c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "lsh", "multiprobe"),
+)
+def ss_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al.): each query probes its own bucket PLUS
+    the LSH_BITS one-bit-flip neighbors per table — near-miss vectors
+    that landed one hyperplane away become candidates, buying recall
+    without more tables (more tables = more corpus-side rows; more
+    probes = more rows only on the tiny broadcast query side — the right
+    trade at 100 TB). Corpus side is the identical single scan as
+    ss_lsh_topk; the probe expansion is a (1 + LSH_BITS)× explode of the
+    broadcast side only. The oracle replays the exact probe set, so the
+    recall gain is value-checked, and tests assert multiprobe recall ≥
+    single-probe recall against the brute-force truth.
+    """
+    v = _vectors(spark, sf_dir).withColumn("buckets", F.expr(_spark_buckets_expr()))
+    ex = v.select(
+        "vec_id", "emb", "nrm", F.posexplode("buckets").alias("tbl", "bucket")
+    )
+    masks = F.array([F.lit(m) for m in [0] + [1 << j for j in range(LSH_BITS)]])
+    q = (
+        ex.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("tbl").alias("q_tbl"),
+            F.explode(
+                F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m))
+            ).alias("q_probe"),
+        )
+    )
+    scored = (
+        ex.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_probe"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(_cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .distinct()
+    )
+    return _ranked_topk(scored, TOP_K)
+
+
 # --- int8 quantization ---------------------------------------------------------------
 
 QUANT_LEVELS = 127  # symmetric int8 range
@@ -848,9 +932,38 @@ def ss_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_KM_NPROBE = 2
 
 
-@register(
-    "ss_ivf_kmeans_topk",
-    oracle=f"""
+def _train_centroids(vfix: DataFrame) -> list[tuple[int, list[int]]]:
+    """KM_ITERS Lloyd rounds from the deterministic low-id seeds — shared
+    by the ad-hoc trained-IVF query and the persisted-index build so both
+    quantizers are bit-identical."""
+    seeds = vfix.filter(F.col("vec_id") < KM_K).select("vec_id", "x").collect()
+    centroids = sorted(
+        (int(r["vec_id"]), [int(val) for val in r["x"]]) for r in seeds
+    )
+    for _ in range(KM_ITERS):
+        centroids = _km_update(vfix, centroids)
+    return centroids
+
+
+def _probe_pairs(
+    q_rows, centroids: list[tuple[int, list[int]]]
+) -> list[tuple[int, int]]:
+    """(q_id, cluster) probe list: exact integer argsort over centroid
+    distances, ties to the lower centroid id — driver arithmetic on a
+    handful of query vectors (the broadcast side at scale)."""
+    probes = []
+    for r in q_rows:
+        x = [int(v) for v in r["x"]]
+        dists = sorted(
+            (sum((xi - mi) * (xi - mi) for xi, mi in zip(x, m)), j)
+            for j, m in centroids
+        )
+        for _, j in dists[:IVF_KM_NPROBE]:
+            probes.append((int(r["vec_id"]), int(j)))
+    return probes
+
+
+_IVF_KM_ORACLE = f"""
     WITH {{km_ctes}},
     {SQL_V},
     qd AS (
@@ -881,7 +994,12 @@ IVF_KM_NPROBE = 2
         FROM scored
     )
     SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
-    """.replace("{km_ctes}", _km_ctes()),
+    """.replace("{km_ctes}", _km_ctes())
+
+
+@register(
+    "ss_ivf_kmeans_topk",
+    oracle=_IVF_KM_ORACLE,
     tags=("similarity", "ann", "ivf", "kmeans"),
 )
 def ss_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -901,26 +1019,14 @@ def ss_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a handful; at scale this is the broadcast side).
     """
     vfix = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
-    seeds = vfix.filter(F.col("vec_id") < KM_K).select("vec_id", "x").collect()
-    centroids = sorted(
-        (int(r["vec_id"]), [int(val) for val in r["x"]]) for r in seeds
-    )
-    for _ in range(KM_ITERS):
-        centroids = _km_update(vfix, centroids)
+    centroids = _train_centroids(vfix)
     assigned = _km_assign(vfix, centroids).select("vec_id", "cluster")
 
     # probe lists for the query vectors: exact integer argsort, driver-side
     q_rows = vfix.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "x").collect()
-    probes = []
-    for r in q_rows:
-        x = [int(v) for v in r["x"]]
-        dists = sorted(
-            (sum((xi - mi) * (xi - mi) for xi, mi in zip(x, m)), j)
-            for j, m in centroids
-        )
-        for _, j in dists[:IVF_KM_NPROBE]:
-            probes.append((int(r["vec_id"]), int(j)))
-    probe_df = spark.createDataFrame(probes, schema="q_id long, cluster long")
+    probe_df = spark.createDataFrame(
+        _probe_pairs(q_rows, centroids), schema="q_id long, cluster long"
+    )
 
     emb = _vectors(spark, sf_dir)
     cand = (
@@ -937,6 +1043,117 @@ def ss_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(F.broadcast(qe), "q_id")
         .join(emb, "vec_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")),
+                6,
+            ),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .distinct()
+    )
+    return _ranked_topk(scored, TOP_K)
+
+
+# --- persisted IVF index (ANN serving shape) -----------------------------------------
+
+
+def ivf_index_names(sf_dir: str) -> tuple[str, str]:
+    """(inverted-list table, centroid table) keyed by source dir — same
+    staleness guard as the dedup corpus index."""
+    import hashlib
+
+    h = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    return f"ivf_lists_{h}", f"ivf_centroids_{h}"
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, idx_table: str, cent_table: str
+) -> None:
+    """Train the quantizer once and persist BOTH halves of an IVF index:
+
+    - ``idx_table`` (cluster, vec_id, emb, nrm): the inverted lists,
+      bucketed by cluster with KM_K buckets, so a probe-time
+      ``cluster IN (...)`` filter prunes non-probed lists at the SCAN
+      (Spark bucket pruning — SelectedBucketsCount in the plan), the
+      storage-level analogue of FAISS reading only nprobe lists;
+    - ``cent_table`` (j, m): the K trained centroids (fixed-point ints),
+      so serving never retrains — probe selection reads K tiny rows.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in (idx_table, cent_table):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+    vfix = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    centroids = _train_centroids(vfix)
+    assigned = _km_assign(vfix, centroids).select("vec_id", "cluster")
+    (
+        assigned.join(_vectors(spark, sf_dir), "vec_id")
+        .select("cluster", "vec_id", "emb", "nrm")
+        .write.bucketBy(KM_K, "cluster")
+        .sortBy("cluster")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(idx_table)
+    )
+    spark.createDataFrame(
+        [(j, m) for j, m in centroids], schema="j long, m array<long>"
+    ).write.mode("overwrite").format("parquet").saveAsTable(cent_table)
+
+
+@register(
+    "ss_ivf_persisted_topk",
+    oracle=_IVF_KM_ORACLE,
+    tags=("similarity", "ann", "ivf", "bucketed-index"),
+)
+def ss_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN SERVING shape: identical results to ss_ivf_kmeans_topk
+    (same oracle) but answered from the PERSISTED index — stored
+    centroids pick the probe lists (no training at query time), and the
+    probed ``cluster IN (...)`` predicate is pushed to the inverted-list
+    scan, which skips non-probed lists at the storage layer (bucket
+    pruning when the planner keeps the bucketed scan — plan-asserted in
+    tests/test_plans.py — and parquet row-group min/max skipping on the
+    cluster-sorted bucket files otherwise). Per-query IO is nprobe/K of
+    the corpus either way, not just post-scan join selectivity."""
+    ensure_analytics_conf(spark)
+    idx_table, cent_table = ivf_index_names(sf_dir)
+    if not (
+        spark.catalog.tableExists(idx_table)
+        and spark.catalog.tableExists(cent_table)
+    ):
+        build_ivf_index(spark, sf_dir, idx_table, cent_table)
+    centroids = sorted(
+        (int(r["j"]), [int(v) for v in r["m"]])
+        for r in spark.table(cent_table).collect()
+    )
+    q_rows = (
+        _km_fixed_vectors(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "x")
+        .collect()
+    )
+    probes = _probe_pairs(q_rows, centroids)
+    probe_df = spark.createDataFrame(probes, schema="q_id long, cluster long")
+    probed_clusters = sorted({c for _, c in probes})
+    lists = spark.table(idx_table).filter(
+        F.col("cluster").isin(probed_clusters)
+    )
+    emb = _vectors(spark, sf_dir)
+    qe = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    ).filter(F.col("q_id") < N_QUERIES)
+    scored = (
+        F.broadcast(probe_df)
+        .join(lists, "cluster")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(qe), "q_id")
         .withColumn(
             "cosine",
             F.round(

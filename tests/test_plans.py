@@ -157,3 +157,35 @@ def test_source_mix_broadcasts_rates(spark, sf_dir):
     df = _df(spark, sf_dir, "tx_source_mix")
     assert X.uses_broadcast_join(df), "per-source rates should broadcast"
     assert not X.has_cartesian_product(df)
+
+
+def test_ivf_persisted_probe_prunes_buckets(spark, oracle_sf_dir):
+    """The persisted IVF index must prune non-probed inverted lists at the
+    SCAN: the cluster IN (...) probe filter over the cluster-bucketed table
+    shows SelectedBucketsCount < total — nprobe/K IO, FAISS-style."""
+    import re
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators import (
+        similarity as S,
+    )
+
+    idx_table, cent_table = S.ivf_index_names(oracle_sf_dir)
+    if not spark.catalog.tableExists(idx_table):
+        S.build_ivf_index(spark, oracle_sf_dir, idx_table, cent_table)
+    import pyspark.sql.functions as F
+
+    # autoBucketedScan disables bucketed reading (and with it bucket
+    # pruning) for plans with no shuffle to avoid — pin it off so the
+    # probe filter exercises the pruning path a serving query relies on
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        probed = spark.table(idx_table).filter(F.col("cluster").isin([0, 3]))
+        plan = X.formatted_plan(probed)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+        )
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"no bucket pruning in plan:\n{plan}"
+    assert int(m.group(1)) < int(m.group(2)), m.group(0)
