@@ -66,6 +66,24 @@ def read_ndjson(
     )
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """ORC scan with enforced schema — the other columnar landing format
+    (Hive-ecosystem drops arrive as ORC as often as parquet). Spark's
+    native vectorized ORC reader gives the same pushdown/pruning as
+    parquet; schema is still explicit (a mismatched file fails loudly at
+    read, not at the first bad join). ORC is self-describing, so there is
+    no PERMISSIVE corrupt-row capture — structural corruption surfaces as
+    a read error, which is the correct failure mode for a binary format.
+    """
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> str:
+    """ORC sink (snappy, Spark default) — interop with Hive-side readers."""
+    df.write.mode("overwrite").orc(path)
+    return path
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean_rows_without_quarantine_col, corrupt_rows) — route the second
     to a dead-letter sink; never drop it silently.

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from harvard_artifacts_collection_data_engineering_analytics_app_spark.etl import (
     artifacts as A,
 )
@@ -192,3 +194,29 @@ def test_http_fetcher_empty_records_stops():
 
     f = HttpPageFetcher("k", "Coins", transport=transport, sleep_fn=lambda s: None)
     assert fetch_serial(f, target_records=100) == []
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    """ORC write → enforced-schema read must be lossless, and the
+    vectorized ORC scan must push filters and prune columns exactly like
+    the parquet path (it is the same landing contract, different codec)."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.catalog import (
+        load_table,
+    )
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.plans.explain import (
+        formatted_plan,
+    )
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.sources import (
+        files as FS,
+    )
+
+    src = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    FS.write_orc(src, path)
+    back = FS.read_orc(spark, path, src.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    q = back.filter(F.col("n_regionkey") == 1).select("n_name")
+    plan = formatted_plan(q)
+    assert "PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)]" in plan
+    assert "n_comment" not in plan.split("ReadSchema")[1].splitlines()[0]
