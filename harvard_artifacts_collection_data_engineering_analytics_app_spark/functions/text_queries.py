@@ -868,6 +868,84 @@ def tx_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tx_nll_decile",
+    # decile ordering uses CAST(-s AS DOUBLE)/n_words, not the rounded
+    # avg_nll: both operands are exact integers, and IEEE division is
+    # correctly rounded, so BOTH engines order by bit-identical doubles —
+    # rounding first would manufacture ties at decile boundaries that the
+    # engines could break differently despite the doc_id tie-break.
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS t FROM documents
+    ),
+    tot AS (SELECT COUNT(*)::DOUBLE AS total FROM w),
+    v AS (
+        SELECT t,
+               CAST(floor(ln(COUNT(*)::DOUBLE / (SELECT total FROM tot))
+                          * {LOGPROB_SCALE} + 0.5) AS BIGINT) AS li
+        FROM w GROUP BY t
+    ),
+    d AS (
+        SELECT w.doc_id, COUNT(*) AS n_words, CAST(SUM(v.li) AS BIGINT) AS s
+        FROM w JOIN v USING (t) GROUP BY w.doc_id
+    )
+    SELECT doc_id,
+           ROUND(-(s::DOUBLE) / {LOGPROB_SCALE} / n_words, 6) AS avg_nll,
+           CAST(ntile(10) OVER (
+               ORDER BY CAST(-s AS DOUBLE) / n_words, doc_id
+           ) AS BIGINT) AS decile
+    FROM d
+    """,
+    tags=("text", "quality", "language-model", "curriculum"),
+)
+def tx_nll_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: documents cut into 10 fluency deciles by
+    their unigram-LM average NLL (decile 1 = most predictable text) — the
+    ordering step of easiest-first curriculum sampling or of a
+    quality-stratified mixture. The NLL is the fixed-point tx_unigram
+    relation, so the decile cut points are engine-exact; at scale ntile
+    over a global order is the one total sort this family ever does (and
+    a production run replaces it with the bucket-offset plan tx_epoch_order
+    demonstrates)."""
+    d = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    words = (
+        d.repartition(n)
+        .select("doc_id", F.explode(T.tokens("text")).alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    total = words.agg(F.count("*").cast("double").alias("total"))
+    vocab = (
+        words.groupBy("t")
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            F.floor(
+                F.log(F.col("cnt") / F.col("total")) * LOGPROB_SCALE + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("li"),
+        )
+    )
+    per_doc = (
+        words.join(vocab, "t")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.sum("li").alias("s"))
+    )
+    w = Window.orderBy(
+        (-F.col("s")).cast("double") / F.col("n_words"), F.asc("doc_id")
+    )
+    return per_doc.select(
+        "doc_id",
+        F.round(
+            -F.col("s").cast("double") / LOGPROB_SCALE / F.col("n_words"), 6
+        ).alias("avg_nll"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
 # --- source-mix rebalancing ----------------------------------------------------------
 
 MIX_PPM = 1_000_000  # keep-rate resolution (parts per million)

@@ -263,6 +263,52 @@ def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd_soft_weight",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_COMPONENTS_CTES},
+    sizes AS (
+        SELECT component_id, COUNT(*) AS n_members
+        FROM comp GROUP BY component_id
+    ),
+    member_sizes AS (
+        SELECT c.doc_id, s.n_members
+        FROM comp c JOIN sizes s USING (component_id)
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(m.n_members, 1) AS BIGINT) AS n_members,
+           ROUND(1.0 / COALESCE(m.n_members, 1), 6) AS weight
+    FROM documents d LEFT JOIN member_sizes m ON m.doc_id = d.doc_id
+    """,
+    tags=("dedup", "graph", "soft-dedup"),
+)
+def dd_soft_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of dropping near-duplicates, weight every
+    document by 1/|its near-dup cluster| (singletons keep weight 1) — the
+    down-weighting policy (SemDeDup appendix, "soft dedup") that
+    preserves corpus coverage while equalizing duplicated content's
+    gradient mass. The cluster relation is tiny, so the weights attach to
+    the corpus with one broadcast-able left join; sampling with these
+    weights composes with tx_source_mix's rebalancing."""
+    from ..catalog import load_table
+
+    comp = connected_components(
+        _lsh_pairs(spark, sf_dir), src="a_id", dst="b_id"
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_members"))
+    member_sizes = comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "n_members"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(F.broadcast(member_sizes), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_members"), F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.lit(1.0) / F.coalesce(F.col("n_members"), F.lit(1)), 6
+        ).alias("weight"),
+    )
+
+
 def _duck_quality_keepers_sql() -> str:
     # imported lazily at registration: text_queries holds the shared SQL
     # fragments so quality math stays defined exactly once per engine
