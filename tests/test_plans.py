@@ -189,3 +189,14 @@ def test_ivf_persisted_probe_prunes_buckets(spark, oracle_sf_dir):
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m, f"no bucket pruning in plan:\n{plan}"
     assert int(m.group(1)) < int(m.group(2)), m.group(0)
+
+
+def test_soft_weight_broadcasts_cluster_relation(spark, sf_dir):
+    df = _df(spark, sf_dir, "dd_soft_weight")
+    assert X.uses_broadcast_join(df), "cluster weights should broadcast"
+    assert not X.has_cartesian_product(df)
+
+
+def test_nll_decile_partial_agg(spark, sf_dir):
+    df = _df(spark, sf_dir, "tx_nll_decile")
+    assert X.has_partial_aggregate(df), "vocab count lost map-side combine"
