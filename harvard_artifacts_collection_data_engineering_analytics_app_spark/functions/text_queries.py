@@ -1221,3 +1221,70 @@ def tx_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pick_in - pick_out).alias("n_dropped"),
         pick_out.alias("n_out"),
     )
+
+
+# DuckDB trigram-shingle fragment (same construction as operators.dedup's
+# SQL_SHINGLES3; inlined because dedup imports this module — importing it
+# back would be circular at load time).
+SQL_SHINGLES3_LOCAL = f"""list_distinct(CASE WHEN len({SQL_TOKENS}) >= 3 THEN
+    list_transform(
+        range(1, len({SQL_TOKENS}) - 1),
+        i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i+1] || ' ' || {SQL_TOKENS}[i+2]
+    )
+ELSE [] END)"""
+
+
+@register(
+    "tx_novelty_score",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {SQL_SHINGLES3_LOCAL} AS s FROM documents
+    ),
+    inv AS (
+        SELECT doc_id, t.g FROM sh, LATERAL unnest(s) t(g) WHERE len(s) > 0
+    ),
+    dfreq AS (SELECT g, COUNT(*) AS df FROM inv GROUP BY g)
+    SELECT inv.doc_id,
+           COUNT(*) AS n_shingles,
+           ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+               AS novelty
+    FROM inv JOIN dfreq USING (g)
+    GROUP BY inv.doc_id
+    """,
+    tags=("text", "novelty", "dedup"),
+)
+def tx_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    trigram shingles that occur in NO other document.
+
+    The inverse of contamination/boilerplate scoring: low novelty means
+    the doc is assembled from corpus-common n-grams (template/spam
+    signal); high novelty marks fresh text worth keeping — a filter
+    feature alongside tx_quality_score in a curation funnel.
+
+    Plan: one shingle pass → explode → document-frequency groupBy on the
+    shingle (high-cardinality, low-skew — the same shuffle profile as the
+    dedup inverted index) → join back on the shingle → per-doc ratio. At
+    100 TB both shuffles are map-side combined and the groupBy key
+    cardinality grows with corpus vocabulary, not corpus size².
+    """
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", T.word_shingles("text", 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .localCheckpoint(eager=True)  # feeds both sides of the df join
+    )
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )

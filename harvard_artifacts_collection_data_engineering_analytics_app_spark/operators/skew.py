@@ -152,3 +152,82 @@ def sk_salted_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         salt_cols=("l_orderkey", "l_partkey", "l_linenumber", "l_quantity"),
     )
+
+
+# --- runtime bloom-filter semi-join reduction --------------------------------
+
+_BLOOM_CONFS = {
+    # At 100 TB the lineitem scan is far past the 10 GiB default, so the
+    # optimizer injects the filter on its own; locally the scan is tiny and
+    # the threshold must be dropped to observe the same plan.
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # The filtered orders side must count as "cheap to pre-aggregate".
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "500MB",
+    # Bloom filters target SHUFFLE joins: on a cluster the orders side is
+    # nowhere near broadcastable, so the real plan is a shuffle join.
+    # Locally everything broadcasts, which suppresses injection — disable
+    # broadcast while the logical plan is optimized to reproduce the
+    # cluster-shaped plan. (AQE may still convert the join to broadcast at
+    # runtime; the injected bloom subquery survives that conversion.)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register(
+    "sk_bloom_prune_join",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "bloom", "runtime-filter"),
+)
+def sk_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim join with Spark's runtime bloom-filter semi-join reduction.
+
+    The selective filter on orders (1 of 5 priorities) means ~80% of
+    lineitem rows can never find a match — but a plain shuffle join still
+    shuffles all of them. Spark's `InjectRuntimeFilter` rule builds a
+    bloom filter over the filtered orders keys (`bloom_filter_agg`) and
+    pushes a `BloomFilterMightContain` predicate into the lineitem scan,
+    so non-matching rows die before the exchange. This is the single
+    biggest shuffle-volume lever for selective fact⋈fact joins at 100 TB;
+    pruning is probabilistic (false positives pass, false negatives
+    impossible) so the join result — and the oracle comparison — is exact.
+
+    The builder pins the optimized plan while cluster-realistic thresholds
+    are in force, then restores the session confs so no other query's
+    plan is affected; `tests/test_plans.py` asserts the bloom filter is
+    actually present.
+    """
+    ensure_analytics_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                ).alias("revenue_cents"),
+            )
+        )
+        # Force logical optimization NOW (plan is cached on the
+        # QueryExecution) so the bloom injection happens under the pinned
+        # confs, not whenever the caller first runs an action.
+        df._jdf.queryExecution().optimizedPlan()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return df

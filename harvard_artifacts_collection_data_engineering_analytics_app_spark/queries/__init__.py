@@ -19,6 +19,8 @@ def load_all() -> None:
     from ..operators import skew  # noqa: F401
     from ..operators import components  # noqa: F401
     from ..operators import dedup  # noqa: F401
+    from ..operators import substring  # noqa: F401
+    from ..operators import sketches  # noqa: F401
     from ..operators import similarity  # noqa: F401
     from ..operators import graph  # noqa: F401
     from ..operators import multimodal  # noqa: F401

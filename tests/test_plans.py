@@ -200,3 +200,36 @@ def test_soft_weight_broadcasts_cluster_relation(spark, sf_dir):
 def test_nll_decile_partial_agg(spark, sf_dir):
     df = _df(spark, sf_dir, "tx_nll_decile")
     assert X.has_partial_aggregate(df), "vocab count lost map-side combine"
+
+
+def test_bloom_prune_join_injects_runtime_filter(spark, sf_dir):
+    """sk_bloom_prune_join must carry the injected bloom filter: a
+    bloom_filter_agg subquery over the filtered orders keys and a
+    might_contain predicate on the lineitem side."""
+    df = _df(spark, sf_dir, "sk_bloom_prune_join")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+    assert "might_contain" in plan.lower(), "bloom probe missing on fact side"
+    # and the pinned confs must not leak into the session afterwards
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_cms_heavy_hitters_plan_shape(spark, sf_dir):
+    """The CMS path must never shuffle the vocabulary: no cartesian, the
+    sketch build partial-aggregates map-side, and every join that touches
+    the token stream is a broadcast of a small relation."""
+    df = _df(spark, sf_dir, "tx_heavy_hitters_cms")
+    assert not X.has_cartesian_product(df)
+    assert X.has_partial_aggregate(df)
+    assert X.uses_broadcast_join(df)
+
+
+def test_winnow_pairs_partial_agg_and_no_cartesian(spark, sf_dir):
+    df = _df(spark, sf_dir, "dd_winnow_pairs")
+    assert not X.has_cartesian_product(df)
+
+
+def test_novelty_no_cartesian_and_partial_agg(spark, sf_dir):
+    df = _df(spark, sf_dir, "tx_novelty_score")
+    assert not X.has_cartesian_product(df)
+    assert X.has_partial_aggregate(df)
