@@ -73,6 +73,10 @@ HEADLINE = [
     "dd_incremental_minhash",
     "dd_incremental_minhash_indexed",
     "mm_ppm_decode",
+    "dd_winnow_pairs",
+    "tx_heavy_hitters_cms",
+    "tx_novelty_score",
+    "sk_bloom_prune_join",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -35,7 +35,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from ..functions.text import portable_hash60
 from ..queries.registry import register
 from ..session import ensure_analytics_conf
 
@@ -71,7 +70,14 @@ def winnow_fingerprints(hashes: F.Column) -> F.Column:
 
 
 def kgram_hashes(text: F.Column) -> F.Column:
-    """array<bigint>: portable 60-bit hash of each K-char gram of ``text``.
+    """array<bigint>: hash of each K-char gram of ``text``.
+
+    Uses the native ``xxhash64`` rather than the portable md5 scheme: the
+    fingerprint hashes never cross the engine boundary (the DuckDB oracle
+    recomputes ground truth brute-force, and the T-window verification
+    compares raw substrings), so the only requirement is determinism
+    within Spark — and xxhash64 is ~10× cheaper per gram than
+    md5→hex→conv on the O(corpus chars) hot path.
 
     Documents shorter than T emit an empty array — they cannot contain a
     T-char substring, so they can never appear in the output, and skipping
@@ -80,7 +86,7 @@ def kgram_hashes(text: F.Column) -> F.Column:
     n_grams = F.length(text) - (WINNOW_K - 1)
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: portable_hash60(F.substr(text, i, F.lit(WINNOW_K))),
+        lambda i: F.xxhash64(F.substr(text, i, F.lit(WINNOW_K))),
     )
     return F.when(F.length(text) >= WINNOW_T, grams).otherwise(
         F.array().cast("array<bigint>")
@@ -157,13 +163,22 @@ def dd_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    windows = docs.join(cand_ids, "doc_id", "left_semi").select(
-        "doc_id", _t_windows(F.col("text")).alias("w")
+    # The semi-join output is small, so AQE coalesces it to one partition —
+    # which would serialize the O(L)-per-doc window generation AND the
+    # per-pair overlap probes onto a single task (measured 2.5× the whole
+    # query). Round-robin repartitions spread both; the checkpoint
+    # materializes the window arrays once instead of once per join side.
+    windows = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .repartition(n)
+        .select("doc_id", _t_windows(F.col("text")).alias("w"))
+        .localCheckpoint(eager=True)
     )
     wa = windows.select(F.col("doc_id").alias("a_id"), F.col("w").alias("wa"))
     wb = windows.select(F.col("doc_id").alias("b_id"), F.col("w").alias("wb"))
     return (
-        cand.join(wa, "a_id")
+        cand.repartition(n)
+        .join(wa, "a_id")
         .join(wb, "b_id")
         .filter(F.arrays_overlap("wa", "wb"))
         .select("a_id", "b_id")
