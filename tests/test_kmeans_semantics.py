@@ -60,3 +60,28 @@ def test_semantic_dedup_nn_is_symmetric_member(spark, oracle_sf_dir):
     for r in rows:
         assert r["nn_id"] != r["vec_id"]
         assert by_id.get(r["nn_id"]) == r["cluster"]
+
+
+def test_pq_adc_approximates_exact_topk(spark, oracle_sf_dir):
+    """PQ@8-codes-per-subspace is lossy by design, but on this corpus the
+    ADC ranking must still recover a solid fraction of the exact top-10 —
+    a quantization bug (wrong slice offsets, scrambled codes) drops recall
+    to chance and fails this bound."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries import (
+        registry,
+    )
+
+    specs = registry.all_specs()
+    exact = specs["ss_brute_topk"].builder(spark, oracle_sf_dir).collect()
+    pq = specs["ss_pq_adc_topk"].builder(spark, oracle_sf_dir).collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    pq_sets: dict[int, set[int]] = {}
+    for r in pq:
+        pq_sets.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    assert set(pq_sets) == set(exact_sets)
+    recalls = [
+        len(pq_sets[q] & exact_sets[q]) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4, f"mean recall collapsed: {recalls}"
