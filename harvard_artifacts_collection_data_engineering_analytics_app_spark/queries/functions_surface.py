@@ -1044,3 +1044,146 @@ def fx_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey"
         ),
     )
+
+
+@register(
+    "fx_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ROUND(
+                   ln((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
+                       + 1) / 1152921504606846976.0)
+                   / n_chars,
+                   6
+               ) AS priority
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, priority
+    FROM keyed
+    ORDER BY priority DESC, doc_id
+    LIMIT 50
+    """,
+    tags=("sample", "weighted"),
+)
+def fx_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES keys).
+
+    Efraimidis & Spirakis (IPL 2006): draw u ~ U(0,1] per row and keep the
+    top-k by u^(1/w) — equivalent to, and computed as, ln(u)/w. Rows with
+    larger weights (here: document length, a proxy for "sample long docs
+    proportionally more") win more often, and because u comes from the
+    portable hash rather than rand(), the sample is reproducible across
+    engines, runs, and partitionings — the property a training-data
+    pipeline needs for auditable subsampling. The priority is rounded to
+    6 decimals with a doc_id tie-break, the repo-wide contract that keeps
+    cross-engine float ulps from reordering the selection. Plan: one scan
+    + TakeOrderedAndProject (per-partition heaps, k rows to the driver) —
+    no global sort at any scale.
+    """
+    from ..functions.text import portable_hash60
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (portable_hash60(F.col("doc_id").cast("string")) + 1) / F.lit(
+        float(1 << 60)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.round(F.log(u) / F.col("n_chars"), 6).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+@register(
+    "fx_snapshot_diff",
+    oracle="""
+    WITH oldsnap AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    newsnap AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN (cents * 11) // 10 ELSE cents END AS cents
+        FROM (SELECT o.*, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders o)
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)
+        UNION ALL
+        SELECT o_orderkey + 10000000000, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    diff AS (
+        SELECT CASE
+                   WHEN o.o_orderkey IS NULL THEN 'added'
+                   WHEN n.o_orderkey IS NULL THEN 'removed'
+                   WHEN o.o_orderstatus != n.o_orderstatus
+                        OR o.cents != n.cents THEN 'changed'
+                   ELSE 'unchanged'
+               END AS change_type
+        FROM oldsnap o FULL OUTER JOIN newsnap n USING (o_orderkey)
+    )
+    SELECT change_type, COUNT(*) AS n FROM diff GROUP BY change_type
+    """,
+    tags=("etl", "diff", "versioning"),
+)
+def fx_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: classify every key as added/removed/changed/unchanged.
+
+    The data-versioning primitive (what Delta's CDF / iceberg's changelog
+    computes between table versions): one full outer join on the primary
+    key with a value comparison on the carried columns. The "new" snapshot
+    is derived deterministically from orders (simulated deletes of F-status
+    keys, a 10% urgent-order price bump in exact integer cents, inserts
+    with shifted keys) so both engines diff identical inputs. At 100 TB
+    the join shuffles both snapshots on the PK once; with both snapshots
+    bucketed by PK (etl/warehouse.py) it is shuffle-free, and the
+    comparison columns prune to exactly those carried here.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    oldsnap = o.select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents")
+    )
+    newsnap = (
+        o.select("o_orderkey", "o_orderstatus", "o_orderpriority", cents.alias("cents"))
+        .filter(~((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 0)))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.expr("(cents * 11) div 10"),
+            )
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .union(
+            o.filter(F.col("o_orderkey") % 100 == 0).select(
+                (F.col("o_orderkey") + 10000000000).alias("o_orderkey"),
+                "o_orderstatus",
+                cents.alias("cents"),
+            )
+        )
+    )
+    old_a, new_a = oldsnap.alias("o"), newsnap.alias("n")
+    diff = old_a.join(
+        new_a, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    ).select(
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+            | (F.col("o.cents") != F.col("n.cents")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return diff.groupBy("change_type").agg(F.count("*").alias("n"))
