@@ -1305,21 +1305,27 @@ def _pq_encode(
     )
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(include_x: bool = True) -> str:
     """Oracle CTEs: PQ_M unrolled sub-space trainings + the code relation.
 
     Ends in ``codes (vec_id, k0..k{PQ_M-1})`` and per-sub-space trained
     codebooks ``cb{s} (j, m)`` — the exact relations the Spark side
     materializes, so ADC scoring is replayed value-for-value.
+    ``include_x=False`` lets a composing oracle (ss_ivf_pq_topk) supply
+    the shared fixed-point ``x`` CTE once.
     """
-    ctes = [
-        f"""x AS (
+    ctes = (
+        [
+            f"""x AS (
         SELECT vec_id,
                list_transform(embedding::DOUBLE[],
                    e -> CAST(floor(e * {KM_SCALE} + 0.5) AS BIGINT)) AS x
         FROM embeddings
     )"""
-    ]
+        ]
+        if include_x
+        else []
+    )
     for s in range(PQ_M):
         lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
         ctes.append(f"xs{s} AS MATERIALIZED (SELECT vec_id, x[{lo}:{hi}] AS x FROM x)")
@@ -1422,7 +1428,19 @@ def ss_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vfix = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
     books = _pq_train(vfix)
     codes = _pq_encode(vfix, books)
+    lut, qn = _pq_query_tables(spark, vfix, books)
+    exploded = codes.select("vec_id", F.posexplode("codes").alias("s", "k"))
+    return _ranked_topk(_adc_score(exploded, lut, qn), TOP_K)
 
+
+def _pq_query_tables(
+    spark: SparkSession, vfix: DataFrame, books: list[list[tuple[int, list[int]]]]
+) -> tuple[DataFrame, DataFrame]:
+    """(lut, qn): per-query ADC lookup table + query squared norms.
+
+    Driver arithmetic over N_QUERIES × PQ_M × PQ_KS exact ints — the
+    constant-sized broadcast side of ADC at any corpus scale.
+    """
     q_rows = sorted(
         (int(r["vec_id"]), [int(e) for e in r["x"]])
         for r in vfix.filter(F.col("vec_id") < N_QUERIES).collect()
@@ -1447,10 +1465,20 @@ def ss_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lut_rows, schema="q_id long, s int, k long, pdot long, msq long"
     )
     qn = spark.createDataFrame(qn_rows, schema="q_id long, qsq long")
+    return lut, qn
 
-    scored = (
-        codes.select("vec_id", F.posexplode("codes").alias("s", "k"))
-        .join(F.broadcast(lut), ["s", "k"])
+
+def _adc_score(exploded: DataFrame, lut: DataFrame, qn: DataFrame) -> DataFrame:
+    """(q_id, neighbor_id, cosine) from an exploded (vec_id, s, k[, q_id])
+    code relation: broadcast-LUT join → partial-aggregated sums → one
+    sqrt+divide. If ``exploded`` carries a q_id column (IVF-pruned
+    candidates), the LUT join is per-(query, code); otherwise every query
+    scores every vector."""
+    join_keys = (
+        ["q_id", "s", "k"] if "q_id" in exploded.columns else ["s", "k"]
+    )
+    return (
+        exploded.join(F.broadcast(lut), join_keys)
         .groupBy("q_id", "vec_id")
         .agg(F.sum("pdot").alias("dot"), F.sum("msq").alias("nsq"))
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -1468,4 +1496,109 @@ def ss_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
     )
-    return _ranked_topk(scored, TOP_K)
+
+
+_IVF_PQ_ORACLE = f"""
+    WITH {{km_ctes}},
+    {_pq_ctes(include_x=False)},
+    q AS (
+        SELECT vec_id AS q_id, x, {_SQL_ISQ.format(a="x")} AS qsq
+        FROM x WHERE vec_id < {N_QUERIES}
+    ),
+    probe AS (
+        SELECT q_id, cluster FROM (
+            SELECT v.vec_id AS q_id, c.j AS cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_km_dist_sql("v.x", "c.m")}, c.j
+                   ) AS rn
+            FROM x v CROSS JOIN c{KM_ITERS} c
+            WHERE v.vec_id < {N_QUERIES}
+        ) WHERE rn <= {IVF_KM_NPROBE}
+    ),
+    cand AS (
+        SELECT p.q_id, a.vec_id
+        FROM probe p JOIN a{KM_ITERS} a ON a.cluster = p.cluster
+        WHERE a.vec_id != p.q_id
+    ),
+    luts AS ({{luts}}),
+    scored AS (
+        SELECT q.q_id, cd.vec_id AS neighbor_id,
+               ROUND(
+                   ({" + ".join(f"l{s}.pdot" for s in range(PQ_M))})::DOUBLE
+                   / nullif(sqrt((q.qsq * ({" + ".join(f"l{s}.msq" for s in range(PQ_M))}))::DOUBLE), 0),
+                   6
+               ) AS cosine
+        FROM cand ca
+        JOIN codes cd ON cd.vec_id = ca.vec_id
+        JOIN q ON q.q_id = ca.q_id
+        {" ".join(
+            f"JOIN luts l{s} ON l{s}.q_id = q.q_id AND l{s}.s = {s} AND l{s}.k = cd.k{s}"
+            for s in range(PQ_M)
+        )}
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _pq_luts_sql() -> str:
+    return " UNION ALL ".join(
+        f"""SELECT q.q_id, {s} AS s, cb.j AS k,
+               {_SQL_IDOT.format(a=f"q.x[{s * PQ_SUBDIM + 1}:{(s + 1) * PQ_SUBDIM}]", b="cb.m")} AS pdot,
+               {_SQL_ISQ.format(a="cb.m")} AS msq
+        FROM q CROSS JOIN cb{s} cb"""
+        for s in range(PQ_M)
+    )
+
+
+@register(
+    "ss_ivf_pq_topk",
+    oracle=_IVF_PQ_ORACLE.replace("{km_ctes}", _km_ctes()).replace(
+        "{luts}", _pq_luts_sql()
+    ),
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def ss_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the faiss serving recipe end-to-end — coarse k-means
+    quantizer prunes the corpus to nprobe inverted lists, PQ-ADC scores
+    only the surviving candidates.
+
+    Composition of two independently-oracled trainings: the ss_kmeans
+    coarse quantizer (probe selection = exact integer argsort, broadcast)
+    and the ss_pq_adc_topk codebooks (ADC lookup tables, broadcast). At
+    100 TB this is the shape that serves: candidates shrink by
+    nprobe/nlist via the cluster equi-join, then each candidate costs
+    PQ_M table lookups instead of a DIM-float dot product, and the
+    shuffled state is (vec_id, cluster, codes) — never a raw vector.
+    Both prunings are deterministic, so the oracle replays coarse
+    training, probe selection, PQ training, encoding, and ADC scoring
+    value-for-value.
+    """
+    vfix = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    coarse = _train_centroids(vfix)
+    assigned = _km_assign(vfix, coarse).select("vec_id", "cluster")
+    q_rows = vfix.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "x").collect()
+    probe_df = spark.createDataFrame(
+        _probe_pairs(q_rows, coarse), schema="q_id long, cluster long"
+    )
+    books = _pq_train(vfix)
+    codes = _pq_encode(vfix, books)
+    lut, qn = _pq_query_tables(spark, vfix, books)
+
+    cand = (
+        F.broadcast(probe_df)
+        .join(assigned, "cluster")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    exploded = cand.join(codes, "vec_id").select(
+        "q_id", "vec_id", F.posexplode("codes").alias("s", "k")
+    )
+    return _ranked_topk(_adc_score(exploded, lut, qn), TOP_K)
