@@ -1187,3 +1187,108 @@ def fx_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change_type")
     )
     return diff.groupBy("change_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "fx_quality_checks",
+    oracle="""
+    WITH checks AS (
+        SELECT 'orders_pk_unique' AS check_name,
+               (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS violations
+        UNION ALL
+        SELECT 'orders_custkey_not_null',
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+        UNION ALL
+        SELECT 'orders_price_positive',
+               (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+        UNION ALL
+        SELECT 'orders_customer_fk',
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'lineitem_orders_fk',
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'lineitem_qty_range',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_quantity < 1 OR l_quantity > 50)
+    )
+    SELECT check_name, violations, violations = 0 AS passed FROM checks
+    """,
+    tags=("etl", "data-quality"),
+)
+def fx_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality suite: PK uniqueness,
+    completeness, value ranges, and referential integrity as one report.
+
+    The gate a production pipeline runs before publishing a snapshot.
+    Each constraint is a violation COUNT, so the whole suite is scans +
+    anti-joins that AQE executes together; none of the checks collects
+    rows, so the report costs one pass per constraint table at any scale
+    (and the two FK checks broadcast the smaller key side).
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    checks = [
+        one(
+            "orders_pk_unique",
+            o.agg(
+                (F.count("*") - F.countDistinct("o_orderkey")).alias("violations")
+            ),
+        ),
+        one(
+            "orders_custkey_not_null",
+            o.agg(
+                F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+                    "violations"
+                )
+            ),
+        ),
+        one(
+            "orders_price_positive",
+            o.agg(
+                F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+                    "violations"
+                )
+            ),
+        ),
+        one(
+            "orders_customer_fk",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+                F.count("*").alias("violations")
+            ),
+        ),
+        one(
+            "lineitem_orders_fk",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+                F.count("*").alias("violations")
+            ),
+        ),
+        one(
+            "lineitem_qty_range",
+            li.agg(
+                F.sum(
+                    F.when(
+                        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+                    ).otherwise(0)
+                ).alias("violations")
+            ),
+        ),
+    ]
+    report = checks[0]
+    for df in checks[1:]:
+        report = report.union(df)
+    return report.select(
+        "check_name", "violations", (F.col("violations") == 0).alias("passed")
+    )
