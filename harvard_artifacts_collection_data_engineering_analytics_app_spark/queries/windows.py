@@ -329,3 +329,90 @@ def tw_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "tw_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS c_ts
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e
+        JOIN c ON c.user_id = e.user_id
+        JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+          AND e.ts <= v.v_ts + INTERVAL 72 HOUR
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_click,
+               (SELECT COUNT(*) FROM p) AS n_purchase
+    )
+    SELECT step, n_users FROM counts
+    UNPIVOT (n_users FOR step IN (n_view AS '1_view',
+                                  n_click AS '2_view_click',
+                                  n_purchase AS '3_full_funnel_72h'))
+    """,
+    tags=("events", "funnel", "windows"),
+)
+def tw_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: view → later click → later purchase,
+    with the full path completing within 72 h of the first view.
+
+    The product-analytics staple (Amplitude/Mixpanel "funnel" chart) as
+    three cascaded min-timestamp aggregations — NO per-event self-join
+    explosion: each stage is a groupBy(user) MIN plus an equi-join of the
+    (|users|-sized) stage relation back to events. All three shuffles key
+    on user_id, so a real deployment co-partitions them (AQE reuses the
+    exchange); events tables bucketed by user_id make every stage
+    shuffle-free. Strict ts ordering (>) keeps the step sequencing
+    honest; the 72 h bound (chosen to exercise all three stages on the synthetic event cadence: 65 of 150 users convert) is exact microsecond timestamp arithmetic in
+    both engines.
+    """
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .join(v, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 72 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n")).select(F.lit("1_view").alias("step"), "n")
+        .union(
+            c.agg(F.count("*").alias("n")).select(
+                F.lit("2_view_click").alias("step"), "n"
+            )
+        )
+        .union(
+            p.agg(F.count("*").alias("n")).select(
+                F.lit("3_full_funnel_72h").alias("step"), "n"
+            )
+        )
+    )
+    return counts.select("step", F.col("n").cast("long").alias("n_users"))
