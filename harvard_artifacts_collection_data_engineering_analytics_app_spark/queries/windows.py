@@ -416,3 +416,59 @@ def tw_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return counts.select("step", F.col("n").cast("long").alias("n_users"))
+
+
+@register(
+    "tw_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               f.cohort_week,
+               CAST(datediff('week', f.cohort_week,
+                             date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def tw_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    once per (cohort, weeks-since-cohort) they were active in.
+
+    The other product-analytics staple next to tw_funnel_conversion. Two
+    shuffles, both on user_id-derived keys: a first-seen MIN per user,
+    then a distinct (user, week_offset) before the cohort count — the
+    DISTINCT is what keeps a user with 50 events in a week counted once.
+    Week truncation is ISO-Monday in both engines (Spark date_trunc /
+    DuckDB date_trunc agree), and the offset is computed on truncated
+    week starts so partial weeks cannot skew the bucket.
+    """
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
