@@ -77,6 +77,10 @@ HEADLINE = [
     "tx_heavy_hitters_cms",
     "tx_novelty_score",
     "sk_bloom_prune_join",
+    "fx_snapshot_diff",
+    "fx_quality_checks",
+    "tw_funnel_conversion",
+    "tw_cohort_retention",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -233,3 +233,19 @@ def test_novelty_no_cartesian_and_partial_agg(spark, sf_dir):
     df = _df(spark, sf_dir, "tx_novelty_score")
     assert not X.has_cartesian_product(df)
     assert X.has_partial_aggregate(df)
+
+
+def test_pq_adc_broadcasts_lut_no_cartesian(spark, oracle_sf_dir):
+    """ADC scoring must join the broadcast LUT and partial-aggregate the
+    per-(query, vector) sums; the corpus side never nested-loops."""
+    df = _df(spark, oracle_sf_dir, "ss_pq_adc_topk")
+    assert not X.has_cartesian_product(df)
+    assert X.uses_broadcast_join(df)
+    assert X.has_partial_aggregate(df)
+
+
+def test_funnel_and_cohort_partial_agg_no_cartesian(spark, sf_dir):
+    for name in ("tw_funnel_conversion", "tw_cohort_retention"):
+        df = _df(spark, sf_dir, name)
+        assert not X.has_cartesian_product(df), name
+        assert X.has_partial_aggregate(df), name
