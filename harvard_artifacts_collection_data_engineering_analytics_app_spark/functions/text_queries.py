@@ -1262,29 +1262,42 @@ def tx_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal); high novelty marks fresh text worth keeping — a filter
     feature alongside tx_quality_score in a curation funnel.
 
-    Plan: one shingle pass → explode → document-frequency groupBy on the
-    shingle (high-cardinality, low-skew — the same shuffle profile as the
-    dedup inverted index) → join back on the shingle → per-doc ratio. At
-    100 TB both shuffles are map-side combined and the groupBy key
-    cardinality grows with corpus vocabulary, not corpus size².
+    Plan: one shingle pass feeds two aggregations — per-doc shingle
+    counts, and the document-frequency groupBy on the shingle
+    (high-cardinality, low-skew — the same shuffle profile as the dedup
+    inverted index). The naive formulation then joins document
+    frequencies BACK onto the exploded shingle relation (a second
+    shingle-cardinality shuffle); unnecessary, because a shingle with
+    df = 1 belongs to exactly ONE document — min(doc_id) of its group IS
+    that document. So unique-shingle counts come straight off the df
+    aggregate, and the only join left is doc-level (|docs| rows, not
+    |shingle occurrences|). At 100 TB both shuffles are map-side combined
+    and key cardinality grows with corpus vocabulary, not corpus size².
     """
     d = _t(spark, sf_dir, "documents")
+    n = d.sparkSession.sparkContext.defaultParallelism
     sh = (
-        d.select("doc_id", T.word_shingles("text", 3).alias("sh"))
+        # round-robin exchange BEFORE the shingle projection: the corpus
+        # often arrives as few large files, and the HOF tokenize/shingle
+        # work is the expensive part — spread it across all cores
+        d.repartition(n)
+        .select("doc_id", T.word_shingles("text", 3).alias("sh"))
         .filter(F.size("sh") > 0)
         .select("doc_id", F.explode("sh").alias("s"))
-        .localCheckpoint(eager=True)  # feeds both sides of the df join
+        .localCheckpoint(eager=True)  # feeds both aggregations
     )
-    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
-    return (
-        sh.join(dfreq, "s")
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    uniq = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("df") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.round(
-                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-                / F.count("*"),
-                6,
-            ).alias("novelty"),
-        )
+        .agg(F.count("*").alias("n_uniq"))
+    )
+    return per_doc.join(uniq, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.round(
+            F.coalesce(F.col("n_uniq"), F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("novelty"),
     )
