@@ -1602,3 +1602,86 @@ def ss_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "vec_id", F.posexplode("codes").alias("s", "k")
     )
     return _ranked_topk(_adc_score(exploded, lut, qn), TOP_K)
+
+
+# --- persisted PQ index (compressed serving shape) -------------------------------
+
+
+def pq_index_names(sf_dir: str) -> tuple[str, str]:
+    """(codes table, codebook table) keyed by source dir — same staleness
+    guard as the IVF and dedup-corpus indexes."""
+    import hashlib
+
+    h = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    return f"pq_codes_{h}", f"pq_codebooks_{h}"
+
+
+def build_pq_index(
+    spark: SparkSession, sf_dir: str, codes_table: str, books_table: str
+) -> None:
+    """Train codebooks once and persist BOTH halves of the PQ index:
+
+    - ``codes_table`` (vec_id, codes): the compressed corpus — PQ_M
+      small ints per vector instead of KM_DIM floats. This is the 16×
+      (64× at byte codes) memory reduction that makes the RAM-resident
+      serving tier possible; at 100 TB the codes table is the ONLY
+      corpus-sized state a query touches.
+    - ``books_table`` (s, j, m): PQ_M × PQ_KS trained centroids — the
+      constant-sized half a server loads to build per-query LUTs.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in (codes_table, books_table):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+    vfix = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    books = _pq_train(vfix)
+    (
+        _pq_encode(vfix, books)
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(codes_table)
+    )
+    spark.createDataFrame(
+        [(s, j, m) for s in range(PQ_M) for j, m in books[s]],
+        schema="s int, j long, m array<long>",
+    ).write.mode("overwrite").format("parquet").saveAsTable(books_table)
+
+
+@register(
+    "ss_pq_persisted_topk",
+    oracle=_PQ_ORACLE,
+    tags=("similarity", "ann", "pq", "persisted-index"),
+)
+def ss_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ SERVING shape: identical results to ss_pq_adc_topk (same
+    oracle) answered from the PERSISTED index — no training, no
+    encoding, and no raw-vector access at query time. The query path
+    reads the stored codebooks (constant size) to build the LUT
+    driver-side, fetches the raw query vectors only (N_QUERIES rows via
+    a pushed-down vec_id filter), and streams the compressed codes table
+    through the broadcast-LUT ADC join. This is the complement of
+    ss_ivf_persisted_topk: IVF persistence prunes IO by cluster; PQ
+    persistence shrinks the per-vector bytes the scan moves at all.
+    """
+    ensure_analytics_conf(spark)
+    codes_table, books_table = pq_index_names(sf_dir)
+    if not (
+        spark.catalog.tableExists(codes_table)
+        and spark.catalog.tableExists(books_table)
+    ):
+        build_pq_index(spark, sf_dir, codes_table, books_table)
+    book_rows = spark.table(books_table).collect()
+    books: list[list[tuple[int, list[int]]]] = [[] for _ in range(PQ_M)]
+    for r in book_rows:
+        books[int(r["s"])].append((int(r["j"]), [int(e) for e in r["m"]]))
+    for b in books:
+        b.sort()
+    vq = _km_fixed_vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES)
+    lut, qn = _pq_query_tables(spark, vq, books)
+    exploded = spark.table(codes_table).select(
+        "vec_id", F.posexplode("codes").alias("s", "k")
+    )
+    return _ranked_topk(_adc_score(exploded, lut, qn), TOP_K)

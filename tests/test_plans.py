@@ -249,3 +249,16 @@ def test_funnel_and_cohort_partial_agg_no_cartesian(spark, sf_dir):
         df = _df(spark, sf_dir, name)
         assert not X.has_cartesian_product(df), name
         assert X.has_partial_aggregate(df), name
+
+
+def test_pq_persisted_serving_path_never_retrains(spark, oracle_sf_dir):
+    """Once the PQ index exists, the query plan must contain no Arrow
+    training/encoding stages (MapInPandas) and no raw-embedding scan —
+    only the compressed codes table + broadcast LUT."""
+    df = _df(spark, oracle_sf_dir, "ss_pq_persisted_topk")  # builds if absent
+    df.count()
+    df2 = _df(spark, oracle_sf_dir, "ss_pq_persisted_topk")  # warm path
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, "serving path re-encodes the corpus"
+    assert "pq_codes_" in plan, "serving path not reading the persisted codes"
+    assert not X.has_cartesian_product(df2)
