@@ -79,3 +79,52 @@ def test_no_cartesian_in_plan(spark, oracle_sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_fingerprints_match_reference_definition(spark):
+    """The Catalyst winnow expression must equal the paper definition
+    (min of every G-window of the k-gram hash sequence, deduplicated)
+    computed by a direct Python reference — across random hash arrays,
+    including ties, short arrays, and constant runs. One Spark job
+    evaluates all cases."""
+    import random
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.substring import (
+        WINNOW_G,
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(42)
+    cases = []
+    for i in range(60):
+        n = rng.randrange(0, 40)
+        # small value range → frequent ties; sprinkle constant runs
+        hs = [rng.randrange(0, 9) for _ in range(n)]
+        if n > 10 and i % 3 == 0:
+            hs[2:7] = [hs[2]] * 5
+        cases.append((i, hs))
+
+    def reference(hs):
+        if len(hs) < WINNOW_G:
+            return []
+        out = []
+        for j in range(len(hs) - WINNOW_G + 1):
+            out.append(min(hs[j : j + WINNOW_G]))
+        seen, dedup = set(), []
+        for v in out:
+            if v not in seen:
+                seen.add(v)
+                dedup.append(v)
+        return dedup
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(cases, "i long, hs array<bigint>")
+    got = {
+        r["i"]: list(r["fp"])
+        for r in df.select(
+            "i", winnow_fingerprints(F.col("hs")).alias("fp")
+        ).collect()
+    }
+    for i, hs in cases:
+        assert got[i] == reference(hs), f"case {i}: {hs}"
