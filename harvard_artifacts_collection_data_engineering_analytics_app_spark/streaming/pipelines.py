@@ -347,3 +347,98 @@ def latest_per_user(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming anomaly detection (custom stateful, exact-integer z-score) -------
+
+ANOMALY_MIN_PRIOR = 30  # observations required before a row can be flagged
+ANOMALY_K = 3  # flag when |v − mean_prior| > K · σ_prior
+
+ANOMALY_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+ANOMALY_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s_cents", LongType()),
+        StructField("ssq_cents", LongType()),
+    ]
+)
+
+
+def anomaly_flags(events: DataFrame) -> DataFrame:
+    """Per-event-type streaming anomaly detector: flag each event whose
+    value deviates from the running mean of all PRIOR events by more than
+    K standard deviations.
+
+    Exactness across engines and replays comes from two choices:
+
+    - prefix semantics over a deterministic order — each row is judged
+      against the (count, sum, sum-of-squares) of rows strictly before it
+      in (ts, event_id) order, so the batch oracle is a plain window
+      aggregate with the same frame;
+    - all-integer state — values in cents, the K·σ test cleared of
+      divisions: |v − s/n| > K·σ  ⟺  (n·v − s)² > K²·(n·ssq − s²),
+      evaluated in int64 (magnitudes ~1e13, far under 2⁶³), so no float
+      accumulation order can flip a boundary row.
+
+    State per event_type is three BIGINTs — constant, regardless of
+    stream length. The kernel sorts each group's micro-batch rows by
+    (ts, event_id) before folding them into the prefix, and the state
+    carries the fold across micro-batches — so the stream equals the
+    batch window oracle whenever batch boundaries respect event-time
+    order (trivially true for the registered AvailableNow replay of one
+    file). A row arriving in a LATER batch than a bigger timestamp is
+    judged against the stats seen so far — the defining property of an
+    online detector, not a defect; the watermarked variants upstream
+    bound how late that can happen.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, s, ssq = state.get if state.exists else (0, 0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.rint(rows["value"].to_numpy(dtype="float64") * 100).astype(
+            np.int64
+        )
+        flagged_ids, flagged_vals = [], []
+        eids = rows["event_id"].to_numpy(dtype="int64")
+        vals = rows["value"].to_numpy(dtype="float64")
+        k2 = ANOMALY_K * ANOMALY_K
+        for i in range(len(rows)):
+            v = int(cents[i])
+            if n >= ANOMALY_MIN_PRIOR:
+                lhs = (n * v - s) ** 2
+                rhs = k2 * (n * ssq - s * s)
+                if lhs > rhs:
+                    flagged_ids.append(int(eids[i]))
+                    flagged_vals.append(float(vals[i]))
+            n += 1
+            s += v
+            ssq += v * v
+        state.update((n, s, ssq))
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series(flagged_ids, dtype="int64"),
+                "event_type": pd.Series(
+                    [key[0]] * len(flagged_ids), dtype="object"
+                ),
+                "value": pd.Series(flagged_vals, dtype="float64"),
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=ANOMALY_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

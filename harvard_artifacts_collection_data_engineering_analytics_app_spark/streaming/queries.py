@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..queries.registry import register
 from ..session import ensure_analytics_conf
 from .pipelines import (
+    anomaly_flags,
     dedup_events,
     latest_per_user,
     read_events_stream,
@@ -292,3 +293,42 @@ def st_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_analytics_conf(spark)
     stream = latest_per_user(read_events_stream(spark, sf_dir))
     return _drain(spark, stream, "st_latest_mem", "update")
+
+
+@register(
+    "st_anomaly_flags",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, event_type, value,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents, ts
+        FROM events
+    ),
+    pre AS (
+        SELECT event_id, event_type, value, cents,
+               COUNT(*)      OVER w AS n_prior,
+               SUM(cents)     OVER w AS s_prior,
+               SUM(cents * cents) OVER w AS ssq_prior
+        FROM c
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_id, event_type, value
+    FROM pre
+    WHERE n_prior >= 30
+      AND (n_prior * cents - s_prior) * (n_prior * cents - s_prior)
+          > 9 * (n_prior * ssq_prior - s_prior * s_prior)
+    """,
+    tags=("streaming", "stateful", "anomaly"),
+)
+def st_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection: per-event-type prefix z-score flags
+    via a custom applyInPandasWithState operator (exact integer state),
+    drained with AvailableNow replay. The batch oracle is the same
+    prefix test as a window aggregate over (ts, event_id) order —
+    value-identical because every comparison is int64 on both sides.
+    """
+    ensure_analytics_conf(spark)
+    stream = anomaly_flags(read_events_stream(spark, sf_dir))
+    return _drain(spark, stream, "st_anomaly_mem", "update")

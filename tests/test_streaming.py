@@ -264,3 +264,51 @@ def test_foreach_batch_merge_sink_is_replay_idempotent(spark, sf_dir, tmp_path):
             expected = n
         else:
             assert n == expected, "replay changed the table"
+
+
+def test_anomaly_flags_state_carries_across_batches(spark, sf_dir, tmp_path):
+    """Two in-event-time-order micro-batches must produce exactly the
+    flags of a single-batch replay: the (n, s, ssq) state carries the
+    prefix fold across the batch boundary."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.catalog import (
+        load_table,
+    )
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.streaming.pipelines import (
+        anomaly_flags,
+        run_to_memory,
+    )
+
+    events = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    rows = events.count()
+    first = events.limit(rows // 2)
+    second = events.subtract(first)
+    src = tmp_path / "anom_src"
+    first.coalesce(1).write.parquet(str(src / "b0"))
+    time.sleep(1.1)
+    second.coalesce(1).write.parquet(str(src / "b1"))
+
+    schema = first.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    run_to_memory(anomaly_flags(stream), "t_anom_2batch", output_mode="update")
+    two_batch = {
+        r["event_id"] for r in spark.table("t_anom_2batch").collect()
+    }
+
+    run_to_memory(
+        anomaly_flags(
+            spark.readStream.schema(schema).parquet(f"{src}/b*")
+        ),
+        "t_anom_1batch",
+        output_mode="update",
+    )
+    one_batch = {r["event_id"] for r in spark.table("t_anom_1batch").collect()}
+    assert two_batch == one_batch
+    assert len(one_batch) > 0
