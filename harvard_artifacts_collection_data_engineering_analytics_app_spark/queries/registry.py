@@ -73,24 +73,26 @@ _PRIORITY: tuple[str, ...] = (
     "ht_gap_fill",
     "sk_salted_join",
     "gr_pagerank",
-    # --- round-5 rotation: 25 never-recorded queries ---
+    # --- round-5 rotation: 25 never-recorded queries (incl. 6 built this
+    # round: winnowing dedup, CMS heavy hitters, novelty, bloom-prune,
+    # PQ-ADC, streaming anomaly) ---
     # scalar/relational function surface
     "fx_hash_sample",
     "fx_stratified_sample",
     "fx_scd2_intervals",
     "fx_hll_sketch_merge",
     "fx_pandas_udaf_rms",
-    "fx_unpivot",
+    "tx_novelty_score",
     # window functions (remainder)
     "wf_rank_dense",
     "wf_lag_delta",
-    "wf_ntile_cume",
+    "sk_bloom_prune_join",
     # batch time windows
     "tw_tumbling_hourly",
     "tw_session_30m",
     # as-of / range join variants
-    "aj_purchase_next_click",
-    "rj_price_tier_broadcast",
+    "dd_winnow_pairs",
+    "tx_heavy_hitters_cms",
     # dedup (decontamination, incremental, prefix-filtered)
     "dd_decontam",
     "dd_incremental_minhash",
@@ -101,13 +103,13 @@ _PRIORITY: tuple[str, ...] = (
     "ss_ivf_kmeans_topk",
     # multimodal (real PPM decode, frame/feature extraction)
     "mm_ppm_decode",
-    "mm_frame_extract",
+    "ss_pq_adc_topk",
     "mm_feature_extract",
     # streaming (CDC compaction, stream-stream join)
     "st_latest_per_key",
     "st_stream_stream_join",
     # text quality (Gopher rules)
-    "tx_gopher_quality",
+    "st_anomaly_flags",
 )
 
 
