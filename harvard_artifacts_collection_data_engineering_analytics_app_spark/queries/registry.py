@@ -95,8 +95,8 @@ _PRIORITY: tuple[str, ...] = (
     "tx_heavy_hitters_cms",
     # dedup (decontamination, incremental, prefix-filtered)
     "dd_decontam",
-    "dd_incremental_minhash",
-    "dd_incremental_minhash_indexed",
+    "aj_purchase_next_click",
+    "rj_price_tier_broadcast",
     "dd_ngram_jaccard_prefix",
     # similarity (quantization, trained-IVF)
     "ss_quantize_int8",
