@@ -1607,3 +1607,67 @@ def dd_incremental_minhash_indexed(spark: SparkSession, sf_dir: str) -> DataFram
     return incremental_minhash_against_index(
         spark, sf_dir, band_table=band_table, sig_table=sig_table
     )
+
+
+# --- fuzzy entity join (FastSS deletion-neighborhood blocking) -------------------
+
+
+@register(
+    "dd_fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT c_name FROM customer)
+    SELECT a.c_name AS a_name, b.c_name AS b_name,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM names a JOIN names b ON a.c_name < b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    tags=("dedup", "fuzzy", "entity-resolution"),
+)
+def dd_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer-name pairs within edit distance 1, without an all-pairs
+    levenshtein — FastSS deletion-neighborhood blocking (Bocek et al.,
+    2007), the entity-resolution primitive for typo/OCR variants.
+
+    Exactness: for k = 1, two strings with ed(a,b) <= 1 ALWAYS share an
+    element of their deletion neighborhoods D(s) = {s} ∪ {s minus one
+    char} — equality shares s itself, a substitution at position i shares
+    the string with position i deleted, an insertion/deletion shares the
+    shorter string. So the variant equi-join is a lossless candidate
+    generator, and the exact levenshtein filter removes the false
+    positives (e.g. "ab"/"ba" share the deletion "a" at distance 2). The
+    oracle is the brute-force quadratic join.
+
+    Scale: |name| + 1 variant rows per name shuffle on the variant string
+    (high cardinality); candidates are bucket-bounded; levenshtein runs
+    on candidates only — the same prune-then-verify contract as MinHash,
+    winnowing, and CMS. An all-pairs formulation is Θ(n²) string DP and
+    unrunnable at 100 TB; this is an equi-join plus per-candidate DP.
+    """
+    ensure_analytics_conf(spark)
+    names = (
+        load_table(spark, sf_dir, "customer").select("c_name").distinct()
+    )
+    s = F.col("c_name")
+    variants = F.concat(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substr(s, F.lit(1), i - 1),
+                F.substr(s, i + 1, F.length(s)),
+            ),
+        ),
+    )
+    inv = names.select(s.alias("name"), F.explode(variants).alias("v"))
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(F.col("a.name").alias("a_name"), F.col("b.name").alias("b_name"))
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("a_name", "b_name").cast("bigint")
+    ).filter(F.col("dist") <= 1)
