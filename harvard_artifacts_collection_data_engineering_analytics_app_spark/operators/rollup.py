@@ -227,3 +227,68 @@ def ht_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(filled / 100.0, 6).alias("value_filled"),
         src.alias("src"),
     )
+
+
+@register(
+    "ht_m4_downsample",
+    oracle="""
+    WITH b AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket,
+               ts, event_id, value,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'view'
+    ),
+    ranked AS (
+        SELECT bucket, ts, event_id, value, cents,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ts, event_id)
+                   AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ts DESC,
+                                  event_id DESC) AS rn_last
+        FROM b
+    )
+    SELECT bucket,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents,
+           CAST(MIN(CASE WHEN rn_first = 1 THEN cents END) AS BIGINT)
+               AS first_cents,
+           CAST(MIN(CASE WHEN rn_last = 1 THEN cents END) AS BIGINT)
+               AS last_cents,
+           COUNT(*) AS n
+    FROM ranked
+    GROUP BY bucket
+    """,
+    tags=("timeseries", "downsample", "m4"),
+)
+def ht_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per time
+    bucket keep min, max, first, and last — the four values that make a
+    line chart of the bucket pixel-identical to plotting every raw point.
+
+    The visualization-tier standard (Grafana/Timescale serve exactly
+    this) and a pure decomposable aggregate: min/max directly, first/last
+    as min/max over (ts, event_id)-keyed structs — so the whole
+    downsample is ONE map-side-combined aggregation, no window function
+    and no second shuffle at any scale. Values carried in exact integer
+    cents per the repo convention.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    key = F.struct(F.col("ts"), F.col("event_id"), cents.alias("c"))
+    return (
+        e.select(
+            F.window("ts", "1 hour").start.alias("bucket"),
+            cents.alias("cents"),
+            key.alias("k"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.min("k").getField("c").alias("first_cents"),
+            F.max("k").getField("c").alias("last_cents"),
+            F.count("*").alias("n"),
+        )
+    )
