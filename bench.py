@@ -83,6 +83,9 @@ HEADLINE = [
     "tw_cohort_retention",
     "dd_fuzzy_name_pairs",
     "st_anomaly_flags",
+    "gr_triangles",
+    "ht_ewma_smooth",
+    "tx_classifier_score",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

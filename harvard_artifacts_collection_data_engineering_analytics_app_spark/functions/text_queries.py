@@ -1301,3 +1301,80 @@ def tx_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_uniq"), F.lit(0)) / F.col("n_shingles"), 6
         ).alias("novelty"),
     )
+
+
+CLS_DIM = 512  # hashing-trick feature space
+CLS_WMOD = 1601  # weight grid: hash % WMOD - WMOD//2 → integer milli-weights
+CLS_BIAS = -1200  # milli-logit bias
+
+
+@register(
+    "tx_classifier_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({CLS_BIAS} + list_sum(list_transform(
+               {SQL_TOKENS},
+               t -> CAST(('0x' || substr(md5('w:' ||
+                        CAST(CAST(('0x' || substr(md5('feat:' || t), 1, 15))
+                             AS BIGINT) % {CLS_DIM} AS VARCHAR)), 1, 15))
+                        AS BIGINT) % {CLS_WMOD} - {CLS_WMOD // 2}
+           )) AS BIGINT) AS logit_milli,
+           ({CLS_BIAS} + list_sum(list_transform(
+               {SQL_TOKENS},
+               t -> CAST(('0x' || substr(md5('w:' ||
+                        CAST(CAST(('0x' || substr(md5('feat:' || t), 1, 15))
+                             AS BIGINT) % {CLS_DIM} AS VARCHAR)), 1, 15))
+                        AS BIGINT) % {CLS_WMOD} - {CLS_WMOD // 2}
+           ))) > 0 AS keep
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "classifier", "quality"),
+)
+def tx_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE: hashing-trick
+    bag-of-words features (token → md5 hash mod {CLS_DIM}), a weight
+    vector addressed by feature id, and a per-document logit =
+    bias + Σ w[feat(token)].
+
+    This is the exact runtime shape of the quality classifiers real
+    pretraining pipelines sweep over their corpus (CCNet/DCLM-style): the
+    model is a broadcast-sized array of weights and scoring is a single
+    embarrassingly-parallel scan — no shuffle, no UDF, no model server.
+    Here the weight vector is DERIVED from a keyed portable hash of the
+    feature id (so the DuckDB oracle replays inference exactly); swapping
+    in trained weights changes one expression, not the plan. The logit
+    stays on an integer milli-grid end to end, so no exp/sigmoid float
+    boundary exists — the keep decision is logit > 0, bit-identical in
+    both engines.
+
+    Plan shape (100 TB): one corpus scan; per row a transform+aggregate
+    over the token array inside whole-stage codegen. Tokens never leave
+    their row — the classic hashing-trick win: feature extraction and
+    scoring fuse into the scan.
+    """
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+
+    def _weight(t):
+        feat = T.portable_hash60(F.concat(F.lit("feat:"), t)) % CLS_DIM
+        return (
+            T.portable_hash60(F.concat(F.lit("w:"), feat.cast("string")))
+            % CLS_WMOD
+            - CLS_WMOD // 2
+        )
+
+    logit = (
+        F.lit(CLS_BIAS)
+        + F.aggregate(
+            F.transform(toks, _weight),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        logit.alias("logit_milli"),
+        (logit > 0).alias("keep"),
+    ).orderBy("doc_id")

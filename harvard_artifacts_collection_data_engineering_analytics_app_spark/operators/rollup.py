@@ -292,3 +292,91 @@ def ht_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+EWMA_N = 16  # lookback horizon (latest N events per user)
+EWMA_TOP = 20
+
+
+@register(
+    "ht_ewma_smooth",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    tail AS (SELECT * FROM ranked WHERE rn <= {EWMA_N}),
+    agg AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(cents * (CAST(1 AS BIGINT) << ({EWMA_N} - rn)))
+                    AS BIGINT) AS ewma_num,
+               CAST(SUM(CAST(1 AS BIGINT) << ({EWMA_N} - rn))
+                    AS BIGINT) AS ewma_den
+        FROM tail GROUP BY user_id
+    )
+    SELECT user_id, n_events, ewma_num,
+           ewma_num // ewma_den AS ewma_cents
+    FROM agg
+    ORDER BY ewma_cents DESC, user_id
+    LIMIT {EWMA_TOP}
+    """,
+    tags=("timeseries", "ewma", "window"),
+)
+def ht_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) of each user's
+    event values over their latest {EWMA_N} events; top-20 users by the
+    smoothed value.
+
+    EWMA is an order-dependent recurrence, which normally makes it both
+    a sequential scan AND a float-summation-order hazard. Both are
+    dissolved by the same trick: with α = 1/2 the weights are exact
+    powers of two, so truncating the horizon at N events turns the
+    recurrence into a plain weighted SUM with integer weights
+    2^(N-rn) — a decomposable aggregate over exact BIGINTs (cents ≤
+    ~2^16 times 2^15 max weight stays far under 2^63). The smoothed
+    value is reported as the exact integer quotient num DIV den
+    (den = 2^N − 2^(N-n)), so no float division can disagree between
+    engines.
+
+    Plan shape (100 TB): one row_number window partitioned by user_id
+    (high cardinality — no skew), one map-side-combined groupBy on the
+    same key (the sort-window output is already co-partitioned, so AQE
+    plans the agg without a second exchange), and a TakeOrdered top-k.
+    The horizon bound N caps per-key state exactly like a streaming
+    last-N buffer would.
+    """
+    from pyspark.sql import Window
+
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = e.select(
+        "user_id", "cents", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= EWMA_N)
+    weight = F.expr(f"shiftleft(CAST(1 AS BIGINT), {EWMA_N} - rn)")
+    agg = ranked.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("cents") * weight).alias("ewma_num"),
+        F.sum(weight).alias("ewma_den"),
+    )
+    return (
+        agg.select(
+            "user_id",
+            "n_events",
+            "ewma_num",
+            F.expr("ewma_num DIV ewma_den").alias("ewma_cents"),
+        )
+        .orderBy(F.desc("ewma_cents"), F.asc("user_id"))
+        .limit(EWMA_TOP)
+    )

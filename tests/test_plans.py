@@ -262,3 +262,48 @@ def test_pq_persisted_serving_path_never_retrains(spark, oracle_sf_dir):
     assert "MapInPandas" not in plan, "serving path re-encodes the corpus"
     assert "pq_codes_" in plan, "serving path not reading the persisted codes"
     assert not X.has_cartesian_product(df2)
+
+
+def test_classifier_score_is_single_pass(spark, sf_dir):
+    """Hashing-trick inference must fuse into the corpus scan: zero
+    shuffles (the ORDER BY plans as a range partition only on the final
+    presentation sort, which AQE keeps out of the scoring stage), no
+    Python, and a pruned two-column read."""
+    df = _df(spark, sf_dir, "tx_classifier_score")
+    plan = X.formatted_plan(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    scoring = plan.split("Sort")[0]
+    assert "Exchange" not in scoring, "scoring stage shuffles"
+    assert any(
+        "doc_id" in s and "text" in s and "lang" not in s
+        for s in X.read_schemas(df)
+    ), "documents scan reads more than (doc_id, text)"
+
+
+def test_ewma_single_shuffle_and_takeordered(spark, sf_dir):
+    """The window sort and the groupBy share the user_id partitioning —
+    exactly one Exchange — and the top-k is a TakeOrdered, not a global
+    sort."""
+    df = _df(spark, sf_dir, "ht_ewma_smooth")
+    plan = X.formatted_plan(df)
+    # formatted mode lists each node once in the tree and once in the
+    # details — count the numbered detail headers, one per physical node
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    # bonus property: Spark pushes the rn<=N filter into the pre-shuffle
+    # sort as WindowGroupLimit, so each map task ships at most N rows per
+    # key — the plan the streaming-last-N design claim relies on
+    assert "WindowGroupLimit" in plan
+    assert X.uses_take_ordered(df)
+
+
+def test_triangles_all_equijoins_no_cartesian(spark, sf_dir):
+    """Degree-oriented triangle counting must plan every join as a hash
+    equi-join (wedge join included) and combine the per-node counts
+    map-side."""
+    df = _df(spark, sf_dir, "gr_triangles")
+    assert not X.has_cartesian_product(df)
+    assert not X.has_operator(df, "BroadcastNestedLoopJoin")
+    assert X.has_partial_aggregate(df)
