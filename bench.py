@@ -86,6 +86,8 @@ HEADLINE = [
     "gr_triangles",
     "ht_ewma_smooth",
     "tx_classifier_score",
+    "gr_edge_jaccard",
+    "tw_rolling_active_users",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

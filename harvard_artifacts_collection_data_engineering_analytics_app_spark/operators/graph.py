@@ -368,3 +368,176 @@ def gr_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+EJ_TOP = 20
+
+
+def _edge_jaccard_oracle() -> str:
+    return f"""
+    WITH os AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderdate >= TIMESTAMP '{TRI_MONTH_LO}'
+          AND o_orderdate <  TIMESTAMP '{TRI_MONTH_HI}'
+    ),
+    e AS (
+        SELECT DISTINCT a.s AS x, b.s AS y
+        FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+    ),
+    sym AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+    deg AS (SELECT x AS node, COUNT(*) AS d FROM sym GROUP BY x),
+    oe AS (
+        SELECT CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.x ELSE e.y END AS u,
+               CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.y ELSE e.x END AS v,
+               CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN dy.d ELSE dx.d END AS dv
+        FROM e
+        JOIN deg dx ON dx.node = e.x
+        JOIN deg dy ON dy.node = e.y
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM oe e1
+        JOIN oe e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+        JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    common AS (
+        SELECT LEAST(p, q) AS x, GREATEST(p, q) AS y, COUNT(*) AS cm
+        FROM (
+            SELECT a AS p, b AS q FROM tri
+            UNION ALL SELECT a AS p, c AS q FROM tri
+            UNION ALL SELECT b AS p, c AS q FROM tri
+        ) GROUP BY LEAST(p, q), GREATEST(p, q)
+    )
+    SELECT e.x, e.y,
+           COALESCE(common.cm, 0) AS common_neighbors,
+           dx.d + dy.d - 2 - COALESCE(common.cm, 0) AS union_neighbors,
+           (1000 * COALESCE(common.cm, 0))
+               // (dx.d + dy.d - 2 - COALESCE(common.cm, 0)) AS jaccard_milli
+    FROM e
+    JOIN deg dx ON dx.node = e.x
+    JOIN deg dy ON dy.node = e.y
+    LEFT JOIN common ON common.x = e.x AND common.y = e.y
+    WHERE dx.d + dy.d - 2 - COALESCE(common.cm, 0) > 0
+    ORDER BY jaccard_milli DESC, e.x, e.y
+    LIMIT {EJ_TOP}
+    """
+
+
+@register(
+    "gr_edge_jaccard",
+    oracle=_edge_jaccard_oracle(),
+    tags=("graph", "similarity", "triangles"),
+)
+def gr_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard similarity of every CONNECTED supplier pair
+    (edge embeddedness) on the January-1995 co-service graph; top-20
+    most-embedded pairs.
+
+    Node-similarity over arbitrary pairs is the deg²-wedge blowup that
+    kills collaborative-filtering jobs on hub nodes; restricting to
+    connected pairs (the graph-sparsification / local-clustering form)
+    makes common-neighbor counting exactly per-edge triangle counting,
+    which the degree orientation bounds at O(|E|^1.5) total. The
+    triangle enumeration is reused verbatim: each triangle contributes
+    its three edges, LEAST/GREATEST canonicalization puts the count on
+    the undirected edge, and Jaccard = common / (d(u)+d(v)−2−common)
+    stays on an exact integer milli-grid (no float division).
+
+    Plan shape (100 TB): the triangle pipeline (three hash equi-joins)
+    plus one map-side-combined group count and a left join back to the
+    edge list — no new shuffle classes beyond gr_triangles.
+    """
+    ensure_analytics_conf(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= TRI_MONTH_LO)
+            & (F.col("o_orderdate") < TRI_MONTH_HI)
+        )
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    os_ = li.join(o, li["ok"] == o["o_orderkey"]).select("ok", "s").distinct()
+    e = (
+        os_.alias("a")
+        .join(
+            os_.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .distinct()
+        # e feeds four consumers (sym/deg, orientation join, final edge
+        # list) — materialize once per the signature-reuse rule
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = sym.groupBy("x").agg(F.count("*").alias("d")).select(
+        F.col("x").alias("node"), "d"
+    )
+    ed = (
+        e.join(
+            deg.select(F.col("node").alias("x"), F.col("d").alias("dx")), "x"
+        ).join(
+            deg.select(F.col("node").alias("y"), F.col("d").alias("dy")), "y"
+        )
+    )
+    lower_first = F.struct(
+        F.col("dx").alias("d"), F.col("x").alias("n")
+    ) < F.struct(F.col("dy").alias("d"), F.col("y").alias("n"))
+    oe = (
+        ed.select(
+            F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+            F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("v"),
+            F.when(lower_first, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wedge_ord = F.struct(
+        F.col("e1.dv").alias("d"), F.col("e1.v").alias("n")
+    ) < F.struct(F.col("e2.dv").alias("d"), F.col("e2.v").alias("n"))
+    tri = (
+        oe.alias("e1")
+        .join(oe.alias("e2"), (F.col("e1.u") == F.col("e2.u")) & wedge_ord)
+        .join(
+            oe.alias("e3"),
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    pairs = (
+        tri.select(F.col("a").alias("p"), F.col("b").alias("q"))
+        .unionByName(tri.select(F.col("a").alias("p"), F.col("c").alias("q")))
+        .unionByName(tri.select(F.col("b").alias("p"), F.col("c").alias("q")))
+    )
+    common = (
+        pairs.groupBy(
+            F.least("p", "q").alias("x"), F.greatest("p", "q").alias("y")
+        )
+        .agg(F.count("*").alias("cm"))
+    )
+    cm = F.coalesce(F.col("cm"), F.lit(0)).cast("long")
+    union_n = (F.col("dx") + F.col("dy") - 2 - cm).cast("long")
+    return (
+        ed.join(common, ["x", "y"], "left")
+        .select(
+            "x",
+            "y",
+            cm.alias("common_neighbors"),
+            union_n.alias("union_neighbors"),
+            F.expr(
+                "(1000 * CAST(coalesce(cm, 0) AS BIGINT))"
+                " DIV (dx + dy - 2 - CAST(coalesce(cm, 0) AS BIGINT))"
+            ).alias("jaccard_milli"),
+        )
+        .filter(F.col("union_neighbors") > 0)
+        .orderBy(F.desc("jaccard_milli"), F.asc("x"), F.asc("y"))
+        .limit(EJ_TOP)
+    )

@@ -95,8 +95,12 @@ _PRIORITY: tuple[str, ...] = (
     "tx_heavy_hitters_cms",
     # dedup (decontamination, incremental, prefix-filtered)
     "dd_decontam",
-    "aj_purchase_next_click",
-    "rj_price_tier_broadcast",
+    # NEW operator families built this session take these two slots
+    # (the displaced aj_purchase_next_click / rj_price_tier_broadcast are
+    # direction/strategy variants of families already driver-recorded in
+    # r04 — they rotate in next round)
+    "gr_triangles",
+    "ht_ewma_smooth",
     "dd_ngram_jaccard_prefix",
     # similarity (quantization, trained-IVF)
     "ss_quantize_int8",

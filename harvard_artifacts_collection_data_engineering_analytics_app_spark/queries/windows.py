@@ -472,3 +472,85 @@ def tw_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_active")
     )
+
+
+AU_MAU_DAYS = 28
+AU_WAU_DAYS = 7
+
+
+@register(
+    "tw_rolling_active_users",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grid AS (SELECT DISTINCT d FROM ud),
+    exploded AS (
+        SELECT user_id,
+               CAST(d + off * INTERVAL 1 DAY AS DATE) AS day,
+               off
+        FROM ud CROSS JOIN (
+            SELECT UNNEST(range(0, {AU_MAU_DAYS})) AS off
+        )
+    ),
+    per_user_day AS (
+        SELECT day, user_id, MIN(off) AS min_off
+        FROM exploded GROUP BY day, user_id
+    )
+    SELECT p.day,
+           CAST(SUM(CASE WHEN min_off = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+           CAST(SUM(CASE WHEN min_off < {AU_WAU_DAYS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS wau,
+           COUNT(*) AS mau
+    FROM per_user_day p
+    JOIN grid ON grid.d = p.day
+    GROUP BY p.day
+    ORDER BY p.day
+    """,
+    tags=("timewindow", "active-users", "distinct"),
+)
+def tw_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU (trailing 7 d) / MAU (trailing 28 d) per day — the
+    rolling-distinct-user triple every product dashboard serves.
+
+    A naive trailing-window COUNT(DISTINCT) re-scans up to 28 days of
+    events per output day (28× read amplification) or holds a 28-day
+    distinct-set per day in window state. This plan does neither: dedup
+    events to (user, day) once, fan each pair out to the ≤28 future days
+    it can keep active (bounded explode — output is |user-days|·28 no
+    matter the event volume), then take MIN(offset) per (day, user) —
+    one map-side-combinable aggregate — from which all three tiers are
+    plain conditional sums: min_off=0 → active today, <7 → this week,
+    any → this month. COUNT DISTINCT never appears, so no Expand plan
+    and no per-day distinct state; both shuffles key on high-cardinality
+    (day, user) / day.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    grid = ud.select("d").distinct()
+    offs = F.array([F.lit(i) for i in range(AU_MAU_DAYS)])
+    exploded = ud.select(
+        "user_id", "d", F.explode(offs).alias("off")
+    ).select(
+        "user_id", F.expr("date_add(d, off)").alias("day"), "off"
+    )
+    per_user_day = exploded.groupBy("day", "user_id").agg(
+        F.min("off").alias("min_off")
+    )
+    return (
+        per_user_day.join(grid, per_user_day["day"] == grid["d"])
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("min_off") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("dau"),
+            F.sum(F.when(F.col("min_off") < AU_WAU_DAYS, 1).otherwise(0))
+            .cast("long")
+            .alias("wau"),
+            F.count("*").alias("mau"),
+        )
+        .orderBy("day")
+    )

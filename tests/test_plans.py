@@ -307,3 +307,20 @@ def test_triangles_all_equijoins_no_cartesian(spark, sf_dir):
     assert not X.has_cartesian_product(df)
     assert not X.has_operator(df, "BroadcastNestedLoopJoin")
     assert X.has_partial_aggregate(df)
+
+
+def test_edge_jaccard_no_cartesian(spark, sf_dir):
+    df = _df(spark, sf_dir, "gr_edge_jaccard")
+    assert not X.has_cartesian_product(df)
+    assert not X.has_operator(df, "BroadcastNestedLoopJoin")
+    assert X.has_partial_aggregate(df)
+
+
+def test_rolling_active_users_no_expand(spark, sf_dir):
+    """The min-offset rewrite must eliminate COUNT DISTINCT: no Expand
+    node (the multi-distinct plan shape) and a partial-aggregated
+    groupBy."""
+    df = _df(spark, sf_dir, "tw_rolling_active_users")
+    assert not X.has_operator(df, "Expand")
+    assert X.has_partial_aggregate(df)
+    assert not X.has_cartesian_product(df)
