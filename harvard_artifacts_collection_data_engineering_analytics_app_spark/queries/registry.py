@@ -90,21 +90,21 @@ _PRIORITY: tuple[str, ...] = (
     # batch time windows
     "tw_tumbling_hourly",
     "tw_session_30m",
-    # as-of / range join variants
     "dd_winnow_pairs",
     "tx_heavy_hitters_cms",
-    # dedup (decontamination, incremental, prefix-filtered)
+    # dedup (decontamination, winnowing)
     "dd_decontam",
-    # NEW operator families built this session take these two slots
-    # (the displaced aj_purchase_next_click / rj_price_tier_broadcast are
-    # direction/strategy variants of families already driver-recorded in
-    # r04 — they rotate in next round)
+    # as-of / range join: never-recorded variants keep the every-family
+    # window invariant (round-1 judge directive, pinned by
+    # tests/test_registry_meta.py) — a rotation must never empty a family
+    "aj_purchase_next_click",
+    "rj_price_tier_broadcast",
+    # graph / hypertable operators built this round
     "gr_triangles",
     "ht_ewma_smooth",
-    "dd_ngram_jaccard_prefix",
-    # similarity (quantization, trained-IVF)
+    # similarity (quantization, trained-IVF); dd_ngram_jaccard_prefix and
+    # ss_ivf_kmeans_topk rotate into round 6's window
     "ss_quantize_int8",
-    "ss_ivf_kmeans_topk",
     # multimodal (real PPM decode, frame/feature extraction)
     "mm_ppm_decode",
     "ss_pq_adc_topk",
