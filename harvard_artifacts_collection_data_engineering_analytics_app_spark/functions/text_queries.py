@@ -1378,3 +1378,206 @@ def tx_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.alias("logit_milli"),
         (logit > 0).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --- DSIR importance weighting ------------------------------------------------
+
+DSIR_B = 1024  # hashed-feature buckets (hashing trick over unigrams)
+DSIR_TARGET_SOURCE = "src0"  # stands in for the curated target corpus
+DSIR_SCALE = 1_000_000  # fixed-point grid for per-feature log-probs
+
+
+@register(
+    "tx_dsir_weight",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               source,
+               CAST(('0x' || substr(md5('dsir:' || t), 1, 15)) AS BIGINT)
+                   % {DSIR_B} AS f
+        FROM (SELECT doc_id, source, unnest({SQL_TOKENS}) AS t FROM documents)
+    ),
+    tot AS (
+        SELECT COUNT(*)::DOUBLE AS nr,
+               (COUNT(*) FILTER (WHERE source = '{DSIR_TARGET_SOURCE}'))::DOUBLE
+                   AS nt
+        FROM w
+    ),
+    li AS (
+        SELECT f,
+               CAST(floor(ln((COUNT(*) FILTER (WHERE source =
+                                  '{DSIR_TARGET_SOURCE}') + 1)::DOUBLE
+                             / ((SELECT nt FROM tot) + {DSIR_B}))
+                          * {DSIR_SCALE} + 0.5) AS BIGINT)
+               - CAST(floor(ln((COUNT(*) + 1)::DOUBLE
+                               / ((SELECT nr FROM tot) + {DSIR_B}))
+                            * {DSIR_SCALE} + 0.5) AS BIGINT) AS dli
+        FROM w GROUP BY f
+    ),
+    d AS (
+        SELECT w.doc_id, COUNT(*) AS n_toks, CAST(SUM(li.dli) AS BIGINT) AS s
+        FROM w JOIN li USING (f) GROUP BY w.doc_id
+    )
+    SELECT doc_id, n_toks,
+           ROUND(s::DOUBLE / {DSIR_SCALE} / n_toks, 6) AS dsir_logratio,
+           s > 0 AS keep
+    FROM d ORDER BY doc_id
+    """,
+    tags=("text", "quality", "importance-sampling", "language-model"),
+)
+def tx_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    weights: per-document log importance ratio
+    log p_target(doc) - log p_raw(doc) under two hashed-unigram bag
+    models — target = the curated source ('src0' stands in for Wikipedia/
+    books in the paper), raw = the whole corpus. Documents whose token
+    distribution looks more target-like than corpus-like get positive
+    weights; the paper then Gumbel-resamples by weight, here the
+    deterministic keep = (weight > 0) cut makes the decision oracle-exact.
+
+    Hashing trick (token → md5 % DSIR_B buckets) bounds BOTH models at
+    DSIR_B parameters regardless of vocabulary, exactly as in the paper —
+    and the per-feature log-probs (add-1 smoothed over the bucket space)
+    snap to a fixed-point 1e6 grid before any summation, so aggregation
+    order cannot move a result (same float-proofing as tx_unigram_logprob).
+
+    Plan shape (100 TB): one exploded-token pass (checkpointed) feeds a
+    single DSIR_B-group aggregation computing BOTH models' counts (the
+    target count is a conditional agg, not a second scan) and the per-doc
+    re-aggregation; the per-feature log-ratio relation is DSIR_B rows —
+    broadcast to the token join. Two shuffles total (bucket agg, per-doc
+    agg), both map-side combined; model size is constant, corpus passes
+    are linear.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    w = (
+        d.repartition(n)
+        .select("doc_id", "source", F.explode(T.tokens("text")).alias("t"))
+        .select(
+            "doc_id",
+            "source",
+            (T.portable_hash60(F.concat(F.lit("dsir:"), F.col("t"))) % DSIR_B)
+            .alias("f"),
+        )
+        .localCheckpoint(eager=True)  # feeds model build AND per-doc join
+    )
+    tot = w.agg(
+        F.count("*").cast("double").alias("nr"),
+        F.count(F.when(F.col("source") == DSIR_TARGET_SOURCE, True))
+        .cast("double")
+        .alias("nt"),
+    )
+
+    def _grid(num, den):
+        return F.floor(F.log(num / den) * DSIR_SCALE + F.lit(0.5)).cast("long")
+
+    li = (
+        w.groupBy("f")
+        .agg(
+            F.count("*").cast("double").alias("cr"),
+            F.count(F.when(F.col("source") == DSIR_TARGET_SOURCE, True))
+            .cast("double")
+            .alias("ct"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            (
+                _grid(F.col("ct") + 1, F.col("nt") + DSIR_B)
+                - _grid(F.col("cr") + 1, F.col("nr") + DSIR_B)
+            ).alias("dli"),
+        )
+    )
+    s = F.col("s")
+    return (
+        w.join(li, "f")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_toks"), F.sum("dli").alias("s"))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(
+                s.cast("double") / DSIR_SCALE / F.col("n_toks"), 6
+            ).alias("dsir_logratio"),
+            (s > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- BPE tokenizer training: first merge-step pair counts ---------------------
+
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "tx_bpe_first_merges",
+    oracle=f"""
+    WITH wf AS (
+        SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest({SQL_TOKENS}) AS w FROM documents)
+        GROUP BY w
+    ),
+    p AS (
+        SELECT unnest(list_transform(
+                   range(1, length(w)),
+                   i -> substr(w, i, 1) || substr(w, i + 1, 1)
+               )) AS pair,
+               cnt
+        FROM wf
+        WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT {BPE_TOP_PAIRS}
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def tx_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of BPE tokenizer training (Sennrich et al.):
+    adjacent-symbol pair frequencies over the corpus at the character
+    stage, i.e. the statistics that pick the first merge. Returns the
+    top-BPE_TOP_PAIRS(=20) pairs — argmax(cnt) is merge #1; subsequent
+    merges re-run the same plan on re-segmented words.
+
+    The industrial-strength detail is the word-frequency compression:
+    real BPE trainers never stream the corpus per merge — they collapse
+    it to a (word, count) dictionary once and count pairs over the
+    DICTIONARY weighted by count. Here that's one corpus groupBy to the
+    Zipf-small vocab relation, then the pair explosion runs over |vocab|
+    rows, not |corpus tokens| — at 100 TB the second stage's input drops
+    by the token/type ratio (~1000x). Both aggregations are map-side
+    combined; the pair space is bounded by alphabet², so the final
+    shuffle is tiny. No Python anywhere — the per-word pair fan-out is a
+    codegen'd transform over a character sequence.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    wf = (
+        d.repartition(n)
+        .select(F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.concat(
+                        F.col("w").substr(i, F.lit(1)),
+                        F.col("w").substr(i + F.lit(1), F.lit(1)),
+                    ),
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )

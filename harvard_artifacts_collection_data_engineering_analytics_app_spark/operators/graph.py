@@ -541,3 +541,141 @@ def gr_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_milli"), F.asc("x"), F.asc("y"))
         .limit(EJ_TOP)
     )
+
+
+# --- k-core decomposition -----------------------------------------------------
+
+KC_K = 15  # core order: dense-cluster membership on the co-service graph
+KC_PEELS = 8  # oracle replays this many peels; peeling a stable core is a no-op
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        f"""os AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderdate >= TIMESTAMP '{TRI_MONTH_LO}'
+          AND o_orderdate <  TIMESTAMP '{TRI_MONTH_HI}'
+    )""",
+        """e AS (
+        SELECT DISTINCT a.s AS x, b.s AS y
+        FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+    )""",
+        "sym AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e)",
+        "n0 AS (SELECT DISTINCT x AS node FROM sym)",
+    ]
+    for i in range(KC_PEELS):
+        ctes.append(
+            f"""n{i + 1} AS (
+        SELECT s.x AS node FROM sym s
+        JOIN n{i} a ON a.node = s.x
+        JOIN n{i} b ON b.node = s.y
+        GROUP BY s.x HAVING COUNT(*) >= {KC_K}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT s.x AS node, COUNT(*) AS core_deg
+    FROM sym s
+    JOIN n{KC_PEELS} a ON a.node = s.x
+    JOIN n{KC_PEELS} b ON b.node = s.y
+    GROUP BY s.x
+    ORDER BY node
+    """
+    )
+
+
+@register(
+    "gr_kcore",
+    oracle=_kcore_oracle(),
+    tags=("graph", "kcore", "iterative"),
+)
+def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KC_K(=15)-core of the January-1995 supplier co-service graph: the
+    maximal subgraph where every surviving node keeps >= KC_K surviving
+    neighbors, with each survivor's within-core degree. The classic
+    dense-community / influence-zone extraction (Seidman's k-core;
+    distributed peeling as in Montresor et al.).
+
+    Iterative peeling: drop all nodes of degree < k, recompute degrees on
+    the survivors, repeat to fixpoint. Exact and deterministic — only
+    integer degrees and set membership — so the DuckDB oracle replays
+    KC_PEELS peels as chained CTEs (extra peels past the fixpoint are
+    no-ops) and the result is value-checked like every other query.
+
+    Plan shape (100 TB): per round, two hash semi-joins of the (static,
+    checkpointed) symmetric edge list against the shrinking survivor set
+    and one map-side-combined degree count — all keyed on node id, so AQE
+    coalesces them onto one exchange profile; survivor sets only shrink,
+    so per-round cost is monotonically decreasing. The convergence probe
+    is a single count() per round (no data leaves the cluster), and the
+    loop raises past KC_PEELS rounds rather than silently diverging
+    from the oracle's replay depth. Peeling rounds on real graphs are
+    O(max coreness) — tens, not thousands; for full coreness
+    decomposition (every k at once) swap the constant threshold for the
+    current minimum degree, same plan per round.
+    """
+    ensure_analytics_conf(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= TRI_MONTH_LO)
+            & (F.col("o_orderdate") < TRI_MONTH_HI)
+        )
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    os_ = li.join(o, li["ok"] == o["o_orderkey"]).select("ok", "s").distinct()
+    e = (
+        os_.alias("a")
+        .join(
+            os_.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .distinct()
+    )
+    # the static edge list feeds every peel round — materialize once
+    sym = (
+        e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .localCheckpoint(eager=True)
+    )
+
+    def _core_degrees(nodes: DataFrame) -> DataFrame:
+        return (
+            sym.join(nodes.select(F.col("node").alias("x")), "x")
+            .join(nodes.select(F.col("node").alias("y")), "y")
+            .groupBy("x")
+            .agg(F.count("*").alias("core_deg"))
+        )
+
+    nodes = (
+        sym.select(F.col("x").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    prev = nodes.count()
+    for _ in range(KC_PEELS):
+        nodes = (
+            _core_degrees(nodes)
+            .filter(F.col("core_deg") >= KC_K)
+            .select(F.col("x").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        cur = nodes.count()
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"gr_kcore: no fixpoint within {KC_PEELS} peels — raise KC_PEELS "
+            "(and the oracle replay depth) for this graph"
+        )
+    return (
+        _core_degrees(nodes)
+        .select(F.col("x").alias("node"), "core_deg")
+        .orderBy("node")
+    )
