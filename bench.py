@@ -88,6 +88,11 @@ HEADLINE = [
     "tx_classifier_score",
     "gr_edge_jaccard",
     "tw_rolling_active_users",
+    "gr_kcore",
+    "tx_dsir_weight",
+    "tx_bpe_first_merges",
+    "fx_skyline_pareto",
+    "tw_event_transitions",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -657,3 +657,122 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
     return audio_chunk_plan(blobs)
+
+
+# --- perceptual-hash image near-dup -------------------------------------------
+
+AH_W, AH_H = 16, 8  # synthesized image dims; thumbnail grid is 8x8
+AH_SIDE = 8
+AH_PATTERNS = 8  # doc_id % AH_PATTERNS selects the pixel pattern
+AH_DOCS = 200
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ahash", StringType()),
+    ]
+)
+
+
+@register(
+    "mm_image_near_dup",
+    # The raster is synthesized (sample i = (p*37 + i*11) % 200 + b with
+    # p = doc_id % 8 the pattern, b = (doc_id//8) % 3 a global brightness
+    # shift), so the REAL decoder's thumbnail samples reduce to closed-form
+    # arithmetic: thumb cell k samples pixel (k//8)*16 + (k%8)*2. The
+    # brightness shift moves every sample AND the mean equally, so the
+    # aHash bits — 64*v >= sum(samples), all-integer — are invariant to b:
+    # the oracle states the perceptual-robustness property being tested.
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               list_transform(range(0, {AH_SIDE * AH_SIDE}), k ->
+                   ((doc_id % {AH_PATTERNS}) * 37
+                    + ((k // {AH_SIDE}) * {AH_W} + (k % {AH_SIDE}) * 2) * 11)
+                       % 200
+                   + (doc_id // {AH_PATTERNS}) % 3) AS sam
+        FROM documents WHERE doc_id < {AH_DOCS}
+    ),
+    h AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(sam, v -> CASE
+                       WHEN {AH_SIDE * AH_SIDE} * v >= list_aggregate(sam, 'sum')
+                       THEN '1' ELSE '0' END),
+                   '') AS ahash
+        FROM s
+    )
+    SELECT doc_id, ahash,
+           COUNT(*) OVER (PARTITION BY ahash) AS n_dups,
+           doc_id = MIN(doc_id) OVER (PARTITION BY ahash) AS keep
+    FROM h ORDER BY doc_id
+    """,
+    tags=("multimodal", "dedup", "perceptual-hash", "pandas-udf"),
+)
+def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by average-hash (aHash), end to end
+    on REAL decoded bytes: synthesize valid grayscale PGM (P5) images
+    JVM-side — patterned rasters where doc_id picks one of 8 pixel
+    patterns plus a per-doc global brightness shift — decode them with the
+    dependency-free ``decode_image`` in an Arrow pass, compute the 64-bit
+    average-hash from the decoder's 8x8 nearest-neighbor thumbnail, and
+    group by hash: images that differ only in brightness hash identically
+    (the point of a perceptual hash; an exact byte hash would separate
+    them), distinct patterns split apart.
+
+    The aHash bit test is all-integer (64*sample >= sum(samples)), so no
+    float mean can flip a bit between engines; the hash is a 64-char
+    bitstring (portable, no uint64 overflow games).
+
+    Plan shape (100 TB): decode + hash is one embarrassingly-parallel
+    Arrow pass (the same pass a real pipeline runs over jpeg bytes with
+    PIL behind the identical signature); grouping is one shuffle on the
+    hash value — |hash| cardinality, map-side combinable. For
+    Hamming-tolerant matching (near-identical rather than
+    identical-after-normalization), the SimHash pigeonhole blocking of
+    dd_simhash_pairs applies verbatim to these 64-bit hashes.
+    """
+    import pandas as pd
+
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < AH_DOCS)
+    p = F.col("doc_id") % AH_PATTERNS
+    b = (F.col("doc_id") / AH_PATTERNS).cast("long") % 3
+    idx = F.sequence(F.lit(0), F.lit(AH_W * AH_H - 1))
+    sample_hex = F.transform(
+        idx, lambda i: F.lpad(F.hex((p * 37 + i * 11) % 200 + b), 2, "0")
+    )
+    blobs = d.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit(f"P5\n{AH_W} {AH_H}\n255\n"), "utf-8"),
+            F.unhex(F.array_join(sample_hex, "")),
+        ).alias("blob"),
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for blob in pdf["blob"]:
+                thumb = decode_image(bytes(blob), thumb_side=AH_SIDE)[
+                    "thumbnail"
+                ]
+                total = sum(thumb)
+                n = len(thumb)
+                hashes.append(
+                    "".join("1" if n * v >= total else "0" for v in thumb)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "ahash": hashes}
+            )
+
+    hashed = blobs.mapInPandas(_hash, AHASH_SCHEMA)
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("ahash")
+    return hashed.select(
+        "doc_id",
+        "ahash",
+        F.count("*").over(wh).alias("n_dups"),
+        (F.col("doc_id") == F.min("doc_id").over(wh)).alias("keep"),
+    ).orderBy("doc_id")

@@ -1292,3 +1292,154 @@ def fx_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.select(
         "check_name", "violations", (F.col("violations") == 0).alias("passed")
     )
+
+
+# --- skyline / Pareto frontier ------------------------------------------------
+
+
+@register(
+    "fx_skyline_pareto",
+    # The oracle is the DEFINITION (n² NOT EXISTS dominance test); the
+    # Spark side is the scalable sweep — agreeing results prove the sweep
+    # lossless, the same independent-formulation pattern as the dedup
+    # prune-then-verify oracles.
+    oracle="""
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    ORDER BY p_partkey
+    """,
+    tags=("relational", "skyline", "pareto"),
+)
+def fx_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: parts not dominated on
+    (minimize p_retailprice, minimize p_size) — the classic multi-criteria
+    shortlist operator (Borzsony et al., "The Skyline Operator").
+
+    The naive formulation is an n² anti-self-join (the oracle runs it at
+    toy scale); the scalable plan is the 2-d sweep: per distinct price,
+    the minimum size (one map-side-combined aggregation), a running
+    minimum over prices (window over the |distinct price| relation —
+    orders of magnitude smaller than the fact), and one equi-join back.
+    A point is dominated iff a strictly-cheaper point has size <= its
+    own (lagged running min), or an equal-or-cheaper point has size
+    strictly smaller (current running min). Ties in BOTH dimensions are
+    mutually non-dominating and correctly survive.
+
+    Plan shape (100 TB): one agg shuffle on price, one tiny sort, one
+    equi-join back on price (broadcastable — the frontier relation is
+    distinct-price-sized). No n² anywhere; higher dimensions d>2 switch
+    to the grid/partition skyline algorithms but keep this verify shape.
+    """
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = p.groupBy("p_retailprice").agg(
+        F.min("p_size").alias("min_size")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = per_price.select(
+        "p_retailprice",
+        F.min("min_size").over(w).alias("m2"),  # min size at price <= current
+    )
+    sweep = running.select(
+        "p_retailprice",
+        "m2",
+        # min size at price < current = previous distinct price's running min
+        F.lag("m2").over(Window.orderBy("p_retailprice")).alias("m1"),
+    )
+    return (
+        p.join(sweep, "p_retailprice")
+        .filter(
+            (F.col("m1").isNull() | (F.col("m1") > F.col("p_size")))
+            & (F.col("m2") >= F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+# --- Benford first-digit audit ------------------------------------------------
+
+# round(log10(1 + 1/d) * 1000) for d = 1..9 — generated once, embedded in
+# BOTH engines' plans so the expectation cannot drift.
+BENFORD_MILLI = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+
+
+def _benford_case() -> str:
+    arms = " ".join(f"WHEN {d} THEN {m}" for d, m in BENFORD_MILLI.items())
+    return f"CASE digit {arms} END"
+
+
+@register(
+    "fx_benford_digits",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS BIGINT) AS digit
+        FROM orders
+    ),
+    t AS (SELECT COUNT(*) AS n FROM d),
+    c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY digit)
+    SELECT digit, cnt,
+           CAST((1000 * cnt) // (SELECT n FROM t) AS BIGINT) AS obs_milli,
+           CAST({_benford_case()} AS BIGINT) AS exp_milli,
+           CAST((1000 * cnt) // (SELECT n FROM t)
+                - {_benford_case()} AS BIGINT) AS dev_milli
+    FROM c ORDER BY digit
+    """,
+    tags=("relational", "quality", "benford"),
+)
+def fx_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic-accounting / data-quality screen (a synthetic or tampered
+    money column deviates from log10(1+1/d); this one does, loudly, which
+    is exactly what the audit is for). Reports per leading digit the
+    observed vs expected frequency on an integer milli-grid.
+
+    First digits are extracted EXACTLY — floor to BIGINT, first character
+    of the decimal rendering — never via float log10, whose boundary at
+    10^k could disagree between engines for values like 999.9999....
+
+    Plan shape (100 TB): one scan → 9-group map-side-combined count; the
+    corpus total is the broadcast single-row-aggregate scalar pattern.
+    Constants are generated once into both plans.
+    """
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    t = d.agg(F.count("*").alias("n"))
+    exp = F.lit(None).cast("bigint")
+    arms = None
+    for dig, m in BENFORD_MILLI.items():
+        arms = (
+            F.when(F.col("digit") == dig, m)
+            if arms is None
+            else arms.when(F.col("digit") == dig, m)
+        )
+    exp = arms.cast("bigint")
+    obs = F.expr("CAST((1000 * cnt) DIV n AS BIGINT)")
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "cnt",
+            obs.alias("obs_milli"),
+            exp.alias("exp_milli"),
+            (obs - exp).cast("bigint").alias("dev_milli"),
+        )
+        .orderBy("digit")
+    )

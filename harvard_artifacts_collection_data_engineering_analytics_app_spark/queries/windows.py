@@ -554,3 +554,125 @@ def tw_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- user-journey Markov transitions ------------------------------------------
+
+
+@register(
+    "tw_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS cnt
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, cnt,
+           CAST((1000 * cnt) // SUM(cnt) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_milli
+    FROM t
+    ORDER BY from_type, to_type
+    """,
+    tags=("windows", "sequence", "markov"),
+)
+def tw_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov chain of
+    the user journey): counts and integer-milli probabilities of each
+    from→to step, with steps ordered by (ts, event_id) within a user —
+    the unique tie-breaker makes lag() deterministic in both engines.
+
+    The product-analytics companion to tw_funnel_conversion: funnels test
+    ONE hypothesized path, the transition matrix discovers all of them
+    (next-step prediction, drop-off heatmaps, PageRank-over-journeys).
+
+    Plan shape (100 TB): one shuffle on user_id for the per-user ordered
+    lag — bucketed event tables run it shuffle-free, and the sort is
+    per-user-partition, never global — then a map-side-combined count to
+    the |event_type|² transition relation (tiny). Probabilities divide on
+    an integer milli-grid (BIGINT DIV), so no float division is compared.
+    """
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("from_type"),
+    )
+    t = (
+        seq.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return t.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.expr("CAST((1000 * cnt) DIV SUM(cnt) OVER (PARTITION BY from_type) AS BIGINT)")
+        .alias("p_milli"),
+    ).orderBy("from_type", "to_type")
+
+
+# --- frequent path mining -----------------------------------------------------
+
+PATHS_TOP = 20
+
+
+@register(
+    "tw_top_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS c,
+               lag(event_type, 1) OVER w AS b,
+               lag(event_type, 2) OVER w AS a
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a || '>' || b || '>' || c AS path, COUNT(*) AS cnt
+    FROM seq WHERE a IS NOT NULL
+    GROUP BY path
+    ORDER BY cnt DESC, path LIMIT {PATHS_TOP}
+    """,
+    tags=("windows", "sequence", "paths"),
+)
+def tw_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PATHS_TOP(=20) most frequent 3-step user journeys (ordered
+    event-type trigrams per user) — the sequential-pattern question
+    behind "what do users actually do before purchasing". Completes the
+    journey family: funnels test one path, transitions give one-step
+    dynamics, this surfaces the dominant multi-step flows.
+
+    Determinism: steps are ordered by (ts, event_id) within a user, and
+    the top-k tie-breaks on the path string.
+
+    Plan shape (100 TB): the SAME single user_id shuffle as
+    tw_event_transitions — both lags ride one window spec, so Spark
+    computes them in one sort pass — then a map-side-combined count over
+    the |event_type|³ path space and a TakeOrderedAndProject for the
+    top-k (per-partition heaps, never a global sort).
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("c"),
+        F.lag("event_type", 1).over(w).alias("b"),
+        F.lag("event_type", 2).over(w).alias("a"),
+    )
+    return (
+        seq.filter(F.col("a").isNotNull())
+        .select(
+            F.concat_ws(">", F.col("a"), F.col("b"), F.col("c")).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("path"))
+        .limit(PATHS_TOP)
+    )
