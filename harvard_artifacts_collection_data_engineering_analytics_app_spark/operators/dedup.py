@@ -1682,3 +1682,149 @@ def dd_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("a_name", "b_name").cast("bigint"))
         .filter(F.col("dist") <= 1)
     )
+
+
+# --- segment-level dedup REWRITE (cleaned corpus emission) --------------------
+
+_SEG_CANON_MULT = 1_000_000  # doc_id*M + seg_no: lexicographic (doc, pos) key
+
+
+@register(
+    "dd_segment_rewrite",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS seg_no,
+               array_to_string(
+                   a[(CAST(i AS BIGINT) * {SEG_WORDS} + 1):
+                     (CAST(i AS BIGINT) * {SEG_WORDS} + {SEG_WORDS})], ' ') AS s
+        FROM w, unnest(range(len(a) // {SEG_WORDS})) AS t(i)
+    ),
+    canon AS (
+        SELECT md5(s) AS h, COUNT(*) AS cnt,
+               MIN(doc_id * {_SEG_CANON_MULT} + seg_no) AS ckey
+        FROM seg GROUP BY md5(s)
+    ),
+    kept AS (
+        SELECT seg.doc_id,
+               COUNT(*) AS n_kept,
+               string_agg(seg.s, ' ' ORDER BY seg.seg_no) AS kept_text
+        FROM seg JOIN canon ON canon.h = md5(seg.s)
+        WHERE canon.cnt = 1
+           OR seg.doc_id * {_SEG_CANON_MULT} + seg.seg_no = canon.ckey
+        GROUP BY seg.doc_id
+    ),
+    base AS (
+        SELECT doc_id,
+               CAST(len(a) // {SEG_WORDS} AS BIGINT) AS n_segments,
+               array_to_string(
+                   a[(len(a) // {SEG_WORDS} * {SEG_WORDS} + 1):len(a)],
+                   ' ') AS rem
+        FROM w
+    )
+    SELECT b.doc_id, b.n_segments,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           b.n_segments - COALESCE(k.n_kept, 0) AS n_removed,
+           concat_ws(' ', NULLIF(k.kept_text, ''), NULLIF(b.rem, ''))
+               AS clean_text
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    tags=("dedup", "segment", "rewrite"),
+)
+def dd_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup as a REWRITE: emit each document's cleaned
+    text with corpus-duplicated segments removed everywhere except their
+    canonical (first-(doc_id, position)) occurrence — the Dolma/CCNet
+    paragraph-dedup stage that actually produces the training corpus,
+    where dd_segment_dup only scores it. Same fixed SEG_WORDS-word
+    segmentation as dd_segment_dup (this corpus is newline-free).
+
+    Keep rule per segment occurrence: unique in the corpus, OR it IS the
+    canonical occurrence (min doc_id*M+seg_no over its hash group) — so
+    every distinct segment survives exactly once and document order is
+    preserved on rebuild (collect kept segments, sort by position, join;
+    the sub-SEG_WORDS word tail is always kept).
+
+    Plan shape (100 TB): segments shuffle once to build the
+    hash→(count, canonical) relation (map-side combined, 16-byte keys
+    plus one bigint), once more for the kept-segment equi-join, and the
+    rebuild is a per-doc collect_list — bounded by document length, the
+    same cardinality the corpus scan already carries. No Python, no
+    crossJoin; the only data wider than hashes on a shuffle is the
+    kept-segment text the rebuild inherently needs.
+    """
+    d = _docs(spark, sf_dir)
+    arr = F.split(F.col("text"), " ")
+    nseg = F.floor(F.size(arr) / SEG_WORDS).cast("long")
+    seg_structs = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), nseg - 1),
+            lambda i: F.struct(
+                i.alias("seg_no"),
+                F.array_join(
+                    F.slice(arr, (i * SEG_WORDS + 1).cast("int"), SEG_WORDS), " "
+                ).alias("s"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<seg_no:bigint,s:string>>"))
+    seg = (
+        d.select("doc_id", F.explode(seg_structs).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.seg_no").alias("seg_no"),
+            F.col("g.s").alias("s"),
+            F.md5("g.s").alias("h"),
+        )
+        .localCheckpoint(eager=True)  # feeds canon build AND the keep join
+    )
+    okey = F.col("doc_id") * _SEG_CANON_MULT + F.col("seg_no")
+    canon = seg.groupBy("h").agg(
+        F.count("*").alias("cnt"), F.min(okey).alias("ckey")
+    )
+    kept = (
+        seg.join(canon, "h")
+        .filter((F.col("cnt") == 1) | (okey == F.col("ckey")))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_no", "s"))),
+                    lambda x: x["s"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    base = d.select(
+        "doc_id",
+        nseg.alias("n_segments"),
+        F.array_join(
+            F.slice(
+                arr,
+                (nseg * SEG_WORDS + 1).cast("int"),
+                (F.size(arr) - nseg * SEG_WORDS).cast("int"),
+            ),
+            " ",
+        ).alias("rem"),
+    )
+    return (
+        base.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            (
+                F.col("n_segments")
+                - F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+            ).alias("n_removed"),
+            F.expr(
+                "concat_ws(' ', nullif(kept_text, ''), nullif(rem, ''))"
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

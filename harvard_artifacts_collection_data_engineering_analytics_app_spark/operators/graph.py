@@ -659,13 +659,18 @@ def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = nodes.count()
     for _ in range(KC_PEELS):
-        nodes = (
+        # one checkpointed relation per round carries BOTH the survivor set
+        # and its degrees: when the confirming round removes nobody, these
+        # degrees are already the final core degrees (they were computed
+        # against the identical survivor set) — no closing recount pass.
+        degs = (
             _core_degrees(nodes)
             .filter(F.col("core_deg") >= KC_K)
-            .select(F.col("x").alias("node"))
+            .select(F.col("x").alias("node"), "core_deg")
             .localCheckpoint(eager=True)
         )
-        cur = nodes.count()
+        nodes = degs.select("node")
+        cur = degs.count()
         if cur == prev:
             break
         prev = cur
@@ -674,8 +679,4 @@ def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"gr_kcore: no fixpoint within {KC_PEELS} peels — raise KC_PEELS "
             "(and the oracle replay depth) for this graph"
         )
-    return (
-        _core_degrees(nodes)
-        .select(F.col("x").alias("node"), "core_deg")
-        .orderBy("node")
-    )
+    return degs.orderBy("node")

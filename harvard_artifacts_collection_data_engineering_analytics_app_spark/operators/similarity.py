@@ -1685,3 +1685,61 @@ def ss_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode("codes").alias("s", "k")
     )
     return _ranked_topk(_adc_score(exploded, lut, qn), TOP_K)
+
+
+# --- radius (range) search ----------------------------------------------------
+
+RADIUS_TAU = 0.28  # ~p99 of the corpus cosine distribution: non-trivial result sets
+
+
+@register(
+    "ss_radius_search",
+    oracle=f"""
+    WITH {SQL_V},
+    q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES})
+    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+           ROUND({SQL_COS.format(a="q", b="c")}, 6) AS cosine
+    FROM q JOIN v c ON c.vec_id != q.vec_id
+    WHERE ROUND({SQL_COS.format(a="q", b="c")}, 6) >= {RADIUS_TAU}
+    ORDER BY q_id, neighbor_id
+    """,
+    tags=("similarity", "ann", "radius"),
+)
+def ss_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — ALL corpus vectors within cosine >=
+    RADIUS_TAU of each query — the other half of the standard ANN API
+    (faiss ``range_search`` next to ``search``): top-k answers "the k
+    closest", radius answers "everything this similar", the form
+    retrieval filters and near-dup thresholds actually want.
+
+    The threshold compares the ROUNDED cosine on both engines, so the
+    boundary is grid-exact (a raw float >= would let a 1-ulp summation
+    difference flip membership — the same discipline as the dedup
+    thresholds).
+
+    Plan shape (100 TB): identical single corpus scan + broadcast query
+    join as ss_brute_topk, but with NO per-query heap or rank — the
+    filter is embarrassingly parallel, making radius search the cheaper
+    primitive despite the scarier name. Sub-quadratic variants compose
+    exactly like top-k: LSH buckets (ss_lsh_topk) or IVF probes
+    (ss_ivf_topk) prune candidates, the rounded-cosine filter verifies.
+    """
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    return (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= RADIUS_TAU)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .orderBy("q_id", "neighbor_id")
+    )

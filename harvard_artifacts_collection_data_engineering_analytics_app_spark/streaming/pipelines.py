@@ -442,3 +442,71 @@ def anomaly_flags(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming user-journey transitions ---------------------------------------
+
+TRANSITION_SCHEMA = StructType(
+    [
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+    ]
+)
+TRANSITION_STATE = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Streaming extraction of user-journey transitions: per user the
+    state is ONE record — the last-seen event's (ts_us, event_id, type) —
+    and each micro-batch emits the (from_type, to_type) step for every
+    consecutive pair, including the pair that spans the batch boundary
+    (carried last-event ⨝ first row of the new batch). The matrix itself
+    is a plain downstream aggregation of this stream (in production a
+    second windowed agg; in the registered query, a batch groupBy of the
+    drained sink).
+
+    This is the sequence-dependent half of tw_event_transitions factored
+    into the state store: lag() needs the whole history co-sorted, the
+    stream needs one tuple per user forever. Within a batch rows fold in
+    (ts, event_id) order; across batches arrival order defines the
+    sequence (online semantics, same contract as anomaly_flags — exact
+    equality with batch whenever batch boundaries respect event time).
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get if state.exists else None  # (ts_us, event_id, type)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        froms, tos = [], []
+        for ts, eid, etype in zip(
+            rows["ts"], rows["event_id"], rows["event_type"]
+        ):
+            if last is not None:
+                froms.append(last[2])
+                tos.append(str(etype))
+            last = (int(pd.Timestamp(ts).value // 1_000), int(eid), str(etype))
+        state.update(last)
+        yield pd.DataFrame(
+            {
+                "from_type": pd.Series(froms, dtype="object"),
+                "to_type": pd.Series(tos, dtype="object"),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TRANSITION_SCHEMA,
+        stateStructType=TRANSITION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

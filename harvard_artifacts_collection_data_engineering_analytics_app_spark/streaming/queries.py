@@ -332,3 +332,50 @@ def st_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_analytics_conf(spark)
     stream = anomaly_flags(read_events_stream(spark, sf_dir))
     return _drain(spark, stream, "st_anomaly_mem", "update")
+
+
+@register(
+    "st_event_transitions",
+    # Single-file AvailableNow replay ⇒ one micro-batch in (ts, event_id)
+    # order per user, so the emitted step stream is exactly the batch
+    # lag() relation and the aggregated matrix matches tw_event_transitions'
+    # oracle. Cross-batch state carry is pinned by the two-batch unit test.
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS cnt
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, cnt
+    FROM t
+    ORDER BY from_type, to_type
+    """,
+    tags=("streaming", "stateful", "markov", "pandas-udf"),
+)
+def st_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of tw_event_transitions: the sequence-dependent lag
+    lives in the state store (one last-event tuple per user, constant per
+    key), the matrix is a plain aggregation of the emitted step stream.
+    Drained with AvailableNow replay and aggregated batch-side here; a
+    production pipeline chains a second streaming agg instead."""
+    from .pipelines import event_transitions
+
+    ensure_analytics_conf(spark)
+    steps = _drain(
+        spark,
+        event_transitions(read_events_stream(spark, sf_dir)),
+        "st_transitions_mem",
+        "update",
+    )
+    return (
+        steps.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("from_type", "to_type")
+    )

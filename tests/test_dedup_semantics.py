@@ -186,3 +186,43 @@ def test_incremental_index_scan_has_no_exchange(spark, oracle_sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_segment_rewrite_reconstruction_invariants():
+    """Documents that lose no segment must round-trip EXACTLY
+    (clean_text == text), and cleaned docs must shrink by exactly
+    SEG_WORDS words per removed segment — pinning the collect-sort-join
+    rebuild (an off-by-one in slicing or a lost tail would break both).
+    Checked on the oracle side (DuckDB); the driver's value-level parity
+    ties the Spark plan to the same relation."""
+    import duckdb
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.dedup import (
+        SEG_WORDS,
+    )
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries import (
+        registry,
+    )
+
+    from .oracle_harness import duckdb_connection
+
+    con = duckdb_connection("/root/testdata/sf0.01")
+    sql = registry.all_specs()["dd_segment_rewrite"].oracle
+    out = con.execute(
+        f"""
+        WITH r AS ({sql})
+        SELECT r.doc_id, r.n_removed, r.clean_text, d.text,
+               len(string_split(d.text, ' ')) AS n_words,
+               CASE WHEN r.clean_text = '' THEN 0
+                    ELSE len(string_split(r.clean_text, ' ')) END AS n_clean
+        FROM r JOIN documents d USING (doc_id)
+        """
+    ).df()
+    untouched = out[out.n_removed == 0]
+    assert len(untouched) > 0
+    assert (untouched.clean_text == untouched.text).all()
+    cleaned = out[out.n_removed > 0]
+    assert len(cleaned) > 0, "fixture should contain duplicated segments"
+    assert (
+        cleaned.n_words - cleaned.n_clean == cleaned.n_removed * SEG_WORDS
+    ).all()

@@ -312,3 +312,60 @@ def test_anomaly_flags_state_carries_across_batches(spark, sf_dir, tmp_path):
     one_batch = {r["event_id"] for r in spark.table("t_anom_1batch").collect()}
     assert two_batch == one_batch
     assert len(one_batch) > 0
+
+
+def test_event_transitions_state_carries_across_batches(spark, sf_dir, tmp_path):
+    """The pair spanning the batch boundary must be emitted: a two-batch
+    in-event-time-order replay yields exactly the single-batch step
+    multiset (the carried last-event tuple supplies the boundary 'from')."""
+    import time
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.catalog import (
+        load_table,
+    )
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.streaming.pipelines import (
+        event_transitions,
+        run_to_memory,
+    )
+
+    events = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    rows = events.count()
+    first = events.limit(rows // 2)
+    second = events.subtract(first)
+    src = tmp_path / "trans_src"
+    first.coalesce(1).write.parquet(str(src / "b0"))
+    time.sleep(1.1)
+    second.coalesce(1).write.parquet(str(src / "b1"))
+
+    schema = first.schema
+    two_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    run_to_memory(
+        event_transitions(two_stream), "t_trans_2batch", output_mode="update"
+    )
+
+    def _counts(table):
+        return {
+            (r["from_type"], r["to_type"]): r["cnt"]
+            for r in spark.table(table)
+            .groupBy("from_type", "to_type")
+            .count()
+            .withColumnRenamed("count", "cnt")
+            .collect()
+        }
+
+    two_batch = _counts("t_trans_2batch")
+
+    run_to_memory(
+        event_transitions(
+            spark.readStream.schema(schema).parquet(f"{src}/b*")
+        ),
+        "t_trans_1batch",
+        output_mode="update",
+    )
+    one_batch = _counts("t_trans_1batch")
+    assert two_batch == one_batch
+    assert sum(one_batch.values()) > 0
