@@ -93,6 +93,10 @@ HEADLINE = [
     "tx_bpe_first_merges",
     "fx_skyline_pareto",
     "tw_event_transitions",
+    "dd_segment_rewrite",
+    "gr_linkpred_adamic_adar",
+    "mm_image_near_dup",
+    "tw_session_ids",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -776,3 +776,109 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wh).alias("n_dups"),
         (F.col("doc_id") == F.min("doc_id").over(wh)).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --- video shot-boundary detection --------------------------------------------
+
+SHOT_WINDOW_B = 64  # bytes summed per frame feature
+SHOT_TAU = 1000  # |Δ frame_sum| above this = content cut
+SHOT_DOCS = 300
+
+SHOT_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("frame_sum", LongType()),
+    ]
+)
+
+
+@register(
+    "mm_shot_boundaries",
+    # Byte sums through the hex detour (DuckDB has no BLOB subscripting):
+    # each byte is two hex chars, value = 16*high_nibble + low_nibble.
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, r.frame_no,
+               substr(hex(encode(text)),
+                      r.frame_no * {FRAME_EVERY_S} * {FAKE_BYTES_PER_S} * 2 + 1,
+                      {SHOT_WINDOW_B * 2}) AS hx
+        FROM documents,
+             LATERAL (
+                 SELECT UNNEST(range(0,
+                     octet_length(encode(text)) // {FAKE_BYTES_PER_S}
+                         // {FRAME_EVERY_S} + 1)) AS frame_no
+             ) r
+        WHERE doc_id < {SHOT_DOCS}
+    ),
+    s AS (
+        SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+               CAST(COALESCE(list_sum(list_transform(
+                   range(1, len(hx) // 2 + 1),
+                   k -> (strpos('0123456789ABCDEF', substr(hx, 2*k - 1, 1)) - 1)
+                            * 16
+                        + (strpos('0123456789ABCDEF', substr(hx, 2*k, 1)) - 1)
+               )), 0) AS BIGINT) AS frame_sum
+        FROM f
+    )
+    SELECT doc_id, frame_no, frame_sum,
+           COALESCE(abs(frame_sum - lag(frame_sum) OVER (
+               PARTITION BY doc_id ORDER BY frame_no
+           )) > {SHOT_TAU}, FALSE) AS is_cut
+    FROM s ORDER BY doc_id, frame_no
+    """,
+    tags=("multimodal", "video", "shot-detection", "pandas-udf"),
+)
+def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot-boundary (scene-cut) detection, the PySceneDetect
+    content-detector shape: per sampled frame a cheap content feature
+    (here the byte sum of the frame window — a real decoder plugs a
+    luma histogram into the same slot), then a per-video temporal
+    difference, and a cut wherever the feature jumps by more than
+    SHOT_TAU. First frame of each video is never a cut (no predecessor).
+
+    Plan shape (100 TB): feature extraction is the embarrassingly-
+    parallel Arrow pass over the blob (frame seeks are byte-offset
+    arithmetic from the frame plan — no full-payload re-read per frame);
+    the temporal diff is ONE window shuffle on doc_id, the same profile
+    as every per-key sequence operator here. Integer features and an
+    integer threshold: no float boundary to disagree on.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < SHOT_DOCS)
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    step = FRAME_EVERY_S * FAKE_BYTES_PER_S
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, sums = [], [], []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                n_frames = len(b) // FAKE_BYTES_PER_S // FRAME_EVERY_S + 1
+                for f in range(n_frames):
+                    w = b[f * step : f * step + SHOT_WINDOW_B]
+                    ids.append(int(did))
+                    fnos.append(f)
+                    sums.append(int(w.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(fnos, dtype="int64"),
+                    "frame_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    feats = blobs.mapInPandas(_features, SHOT_FRAME_SCHEMA)
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    delta = F.abs(F.col("frame_sum") - F.lag("frame_sum").over(w))
+    return feats.select(
+        "doc_id",
+        "frame_no",
+        "frame_sum",
+        F.coalesce(delta > SHOT_TAU, F.lit(False)).alias("is_cut"),
+    ).orderBy("doc_id", "frame_no")

@@ -380,3 +380,83 @@ def ht_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ewma_cents"), F.asc("user_id"))
         .limit(EWMA_TOP)
     )
+
+
+# --- seasonal-naive forecast evaluation ---------------------------------------
+
+SEASONAL_LAG_H = 24
+
+
+@register(
+    "ht_seasonal_naive_error",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hr,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY event_type, hr
+    ),
+    j AS (
+        SELECT a.event_type, a.cents AS actual, b.cents AS forecast
+        FROM h a
+        JOIN h b ON b.event_type = a.event_type
+                AND b.hr = a.hr - INTERVAL {SEASONAL_LAG_H} HOUR
+    )
+    SELECT event_type,
+           COUNT(*) AS n_hours,
+           CAST(SUM(abs(actual - forecast)) AS BIGINT) AS total_abs_err_cents,
+           CAST(SUM(abs(actual - forecast)) // COUNT(*) AS BIGINT) AS mae_cents
+    FROM j GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("hypertable", "forecast", "timeseries"),
+)
+def ht_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each (event_type,
+    hour) total as the value 24 hours earlier and report per-type MAE —
+    the baseline every real forecasting pipeline must beat, and the
+    shape of backtest jobs generally (join a series to its own lagged
+    self, aggregate the errors).
+
+    Hours are compared by EXISTENCE join (hr − 24h must itself have
+    data), not a row-offset lag — gaps in the series never silently pair
+    wrong hours. Exact integer cents end to end; MAE on an integer grid
+    (BIGINT DIV).
+
+    Plan shape (100 TB): one map-side-combined hourly rollup (the same
+    first cascade stage as ht_rollup_multigrain), then an equi-join of
+    the hourly relation with itself on (type, hr−24h) — |hours|-sized
+    inputs, AQE-broadcastable — and a per-type re-aggregation. The raw
+    fact is scanned once.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    h = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        )
+        .agg(F.sum(cents).alias("cents"))
+        .localCheckpoint(eager=True)  # feeds both sides of the self-join
+    )
+    a = h.alias("a")
+    b = h.select(
+        F.col("event_type").alias("b_type"),
+        (F.col("hr") + F.expr(f"INTERVAL {SEASONAL_LAG_H} HOURS")).alias("b_hr"),
+        F.col("cents").alias("forecast"),
+    )
+    err = F.abs(F.col("a.cents") - F.col("forecast"))
+    return (
+        a.join(
+            b,
+            (F.col("b_type") == F.col("a.event_type"))
+            & (F.col("b_hr") == F.col("a.hr")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum(err).alias("total_abs_err_cents"),
+            F.expr(
+                "CAST(SUM(abs(a.cents - forecast)) DIV COUNT(*) AS BIGINT)"
+            ).alias("mae_cents"),
+        )
+        .orderBy("event_type")
+    )

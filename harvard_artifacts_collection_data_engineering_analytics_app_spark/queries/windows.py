@@ -676,3 +676,68 @@ def tw_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("path"))
         .limit(PATHS_TOP)
     )
+
+
+# --- per-event sessionization (gap-and-island) --------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "tw_session_ids",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    )) > {SESSION_GAP_MIN} * 60 * 1000000
+                    OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE user_id < 50
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_no
+    FROM g ORDER BY user_id, session_no, event_id
+    """,
+    tags=("windows", "sessionize", "gaps-and-islands"),
+)
+def tw_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT sessionization (gaps-and-islands): every event gets its
+    user-local session number, where a session breaks after a
+    SESSION_GAP_MIN-minute silence. tw_session_30m aggregates sessions;
+    this labels the raw events — the form downstream joins need
+    (attribute any event to its session, join features per session,
+    replay a session's events in order).
+
+    The classic two-window composition: a lag() marks session starts
+    (exact integer microsecond comparison — no float seconds), a running
+    sum turns the marks into dense per-user session numbers. Both windows
+    share the (user_id, (ts, event_id)) sort, so Spark evaluates them in
+    ONE shuffle + sort pass — the same single-exchange profile as every
+    sequence operator here; bucketed event tables drop the exchange too.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        prev_us.isNull()
+        | (F.unix_micros("ts") - prev_us > SESSION_GAP_MIN * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = e.select("event_id", "user_id", "ts", new_session.alias("new_session"))
+    return (
+        g.select(
+            "event_id",
+            "user_id",
+            F.sum("new_session").over(run).cast("long").alias("session_no"),
+        )
+        .orderBy("user_id", "session_no", "event_id")
+    )

@@ -324,3 +324,42 @@ def test_rolling_active_users_no_expand(spark, sf_dir):
     assert not X.has_operator(df, "Expand")
     assert X.has_partial_aggregate(df)
     assert not X.has_cartesian_product(df)
+
+
+def test_round5_sequence_ops_single_exchange(spark, sf_dir):
+    """The journey family (transitions, paths, session ids) must ride ONE
+    user_id exchange: both/all window lags share a single sort spec, so a
+    second Exchange would mean the windows stopped sharing their shuffle."""
+    for name in ("tw_event_transitions", "tw_top_paths", "tw_session_ids"):
+        plan = X.formatted_plan(_df(spark, sf_dir, name))
+        n_exchanges = plan.count("hashpartitioning(user_id")
+        assert n_exchanges == 1, f"{name}: {n_exchanges} user_id exchanges"
+
+
+def test_round5_topk_and_agg_shapes(spark, sf_dir):
+    assert X.uses_take_ordered(_df(spark, sf_dir, "tw_top_paths"))
+    assert X.uses_take_ordered(_df(spark, sf_dir, "gr_linkpred_adamic_adar"))
+    for name in ("tx_bpe_first_merges", "fx_benford_digits", "tx_dsir_weight"):
+        assert X.has_partial_aggregate(_df(spark, sf_dir, name)), name
+
+
+def test_round5_no_cartesian(spark, sf_dir):
+    """The scalar-total crossJoins (broadcast single-row aggregates) are
+    the only allowed nested-loop shapes; the candidate-generating joins
+    must stay equi-joins."""
+    for name in (
+        "dd_segment_rewrite",
+        "gr_linkpred_adamic_adar",
+        "mm_image_near_dup",
+        "ht_seasonal_naive_error",
+        "fx_skyline_pareto",
+    ):
+        df = _df(spark, sf_dir, name)
+        assert not X.has_cartesian_product(df), f"{name} degraded to cartesian"
+
+
+def test_skyline_sweep_joins_back_small(spark, sf_dir):
+    """The skyline join back to the fact must be on the distinct-price
+    sweep relation (broadcastable), not an n^2 dominance join."""
+    plan = X.formatted_plan(_df(spark, sf_dir, "fx_skyline_pareto"))
+    assert "BroadcastNestedLoopJoin" not in plan
