@@ -1581,3 +1581,120 @@ def tx_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# --- bigram language-model NLL ------------------------------------------------
+
+
+@register(
+    "tx_bigram_nll",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {SQL_TOKENS} AS a FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, a[i] AS x, a[i + 1] AS y
+        FROM w, unnest(range(1, len(a))) AS t(i)
+    ),
+    uni AS (
+        SELECT x, COUNT(*) AS cx FROM bg GROUP BY x
+    ),
+    vv AS (
+        SELECT COUNT(DISTINCT t) AS v
+        FROM (SELECT unnest({SQL_TOKENS}) AS t FROM documents)
+    ),
+    bmod AS (
+        SELECT b.x, b.y,
+               CAST(floor(ln((COUNT(*) + 1)::DOUBLE
+                             / (MIN(uni.cx) + (SELECT v FROM vv)))
+                          * {LOGPROB_SCALE} + 0.5) AS BIGINT) AS li
+        FROM bg b JOIN uni ON uni.x = b.x
+        GROUP BY b.x, b.y
+    )
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(-(CAST(SUM(bmod.li) AS BIGINT)::DOUBLE)
+                 / {LOGPROB_SCALE} / COUNT(*), 6) AS avg_nll
+    FROM bg JOIN bmod ON bmod.x = bg.x AND bmod.y = bg.y
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+    tags=("text", "quality", "language-model"),
+)
+def tx_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average NLL under a corpus BIGRAM model with add-1
+    smoothing over the unigram vocabulary — one order up from
+    tx_unigram_logprob, i.e. the actual KenLM-filter shape (perplexity
+    filters run n-gram models, not bag-of-words): P(y|x) =
+    (C(x,y)+1)/(C(x)+V). Same fixed-point discipline: per-bigram
+    log-probs snap to the 1e6 grid before any summation.
+
+    Plan shape (100 TB): bigrams are materialized per row with a
+    transform over the token array (no self-join, no window — adjacency
+    is intra-document by definition), then ONE bigram-keyed aggregation
+    builds the model (the unigram context count rides along as MIN(cx)
+    after an equi-join: constant per group, no second shuffle profile),
+    and the per-doc re-aggregation joins the exploded bigrams back to the
+    model — the same Zipf-small-model/large-corpus join as the unigram
+    op, AQE-broadcast when it fits. The vocabulary size is the broadcast
+    scalar pattern.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    arr = T.tokens("text")
+    bg = (
+        d.repartition(n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(arr) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(arr) - 1),
+                        lambda i: F.struct(
+                            F.element_at(arr, i).alias("x"),
+                            F.element_at(arr, i + F.lit(1)).alias("y"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+        .localCheckpoint(eager=True)  # feeds model build AND per-doc join
+    )
+    uni = bg.groupBy("x").agg(F.count("*").alias("cx"))
+    vv = (
+        d.select(F.explode(T.tokens("text")).alias("t"))
+        .agg(F.countDistinct("t").cast("double").alias("v"))
+    )
+    bmod = (
+        bg.join(uni, "x")
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("double").alias("cxy"), F.min("cx").alias("cx"))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "x",
+            "y",
+            F.floor(
+                F.log((F.col("cxy") + 1) / (F.col("cx") + F.col("v")))
+                * LOGPROB_SCALE
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("li"),
+        )
+    )
+    return (
+        bg.join(bmod, ["x", "y"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("li").alias("s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -F.col("s").cast("double") / LOGPROB_SCALE / F.col("n_bigrams"),
+                6,
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -175,3 +175,121 @@ def aj_purchase_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_break="click_event_id",
         direction="forward",
     )
+
+
+@register(
+    "aj_purchase_nearest_click",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT event_id AS click_event_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               c.click_event_id AS b_id, c.click_ts AS b_ts
+        FROM purchases p
+        ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    ),
+    f AS (
+        SELECT p.event_id, c.click_event_id AS f_id, c.click_ts AS f_ts
+        FROM purchases p
+        ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.click_ts
+    ),
+    j AS (
+        SELECT b.*, f.f_id, f.f_ts,
+               (f.f_id IS NULL OR (b.b_id IS NOT NULL
+                    AND epoch_us(b.ts) - epoch_us(b.b_ts)
+                        <= epoch_us(f.f_ts) - epoch_us(b.ts))) AS pick_b
+        FROM b JOIN f USING (event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN pick_b THEN b_id ELSE f_id END AS nearest_click_event_id,
+           CASE WHEN pick_b THEN b_ts ELSE f_ts END AS nearest_click_ts,
+           CAST(CASE WHEN pick_b THEN epoch_us(ts) - epoch_us(b_ts)
+                     ELSE epoch_us(f_ts) - epoch_us(ts) END AS BIGINT)
+               AS abs_micros,
+           CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+                WHEN pick_b THEN 'backward' ELSE 'forward' END AS direction
+    FROM j
+    """,
+    tags=("asof", "join", "events", "nearest"),
+)
+def aj_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-either-direction as-of: for each purchase, the user's
+    closest click in TIME, before or after — the sensor-fusion /
+    record-linkage form of as-of (pandas merge_asof direction='nearest'),
+    completing the backward/forward family.
+
+    Composed from the two carry-based directional joins (each one keyed
+    shuffle, no range explosion) + a 1:1 merge choosing the smaller
+    absolute gap; ties at equal distance resolve backward, and both
+    engines compose the SAME directional primitives, so the choice is
+    value-exact. No new shuffle class: two window passes over the same
+    user_id partitioning (AQE reuses the exchange profile) and an
+    event_id equi-join of two |purchases|-sized relations.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    b = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=("click_event_id", "click_ts"),
+        tie_break="click_event_id",
+        direction="backward",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_click_event_id").alias("b_id"),
+        F.col("asof_click_ts").alias("b_ts"),
+    )
+    f = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=("click_event_id", "click_ts"),
+        tie_break="click_event_id",
+        direction="forward",
+    ).select(
+        F.col("event_id").alias("f_event_id"),
+        F.col("asof_click_event_id").alias("f_id"),
+        F.col("asof_click_ts").alias("f_ts"),
+    )
+    j = b.join(f, b["event_id"] == f["f_event_id"]).drop("f_event_id")
+    db = F.unix_micros("ts") - F.unix_micros("b_ts")
+    df_ = F.unix_micros("f_ts") - F.unix_micros("ts")
+    pick_b = F.col("f_id").isNull() | (F.col("b_id").isNotNull() & (db <= df_))
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id")).alias(
+            "nearest_click_event_id"
+        ),
+        F.when(pick_b, F.col("b_ts")).otherwise(F.col("f_ts")).alias(
+            "nearest_click_ts"
+        ),
+        F.when(pick_b, db).otherwise(df_).cast("bigint").alias("abs_micros"),
+        F.when(
+            F.col("b_id").isNull() & F.col("f_id").isNull(), F.lit(None)
+        )
+        .when(pick_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

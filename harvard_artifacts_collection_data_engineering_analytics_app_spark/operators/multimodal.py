@@ -882,3 +882,118 @@ def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_sum",
         F.coalesce(delta > SHOT_TAU, F.lit(False)).alias("is_cut"),
     ).orderBy("doc_id", "frame_no")
+
+
+# --- audio chunk energy / silence detection -----------------------------------
+
+AUDIO_SILENCE_TAU = 9800  # per-byte mean-square threshold
+
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_no", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+@register(
+    "mm_audio_energy",
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id,
+               CAST(r.chunk_no AS BIGINT) AS chunk_no,
+               r.chunk_no * {AUDIO_HOP_S} * {FAKE_BYTES_PER_S} AS off,
+               least({AUDIO_CHUNK_S * FAKE_BYTES_PER_S},
+                     octet_length(encode(text))
+                         - r.chunk_no * {AUDIO_HOP_S} * {FAKE_BYTES_PER_S})
+                   AS byte_len,
+               hex(encode(text)) AS hx
+        FROM documents,
+             LATERAL (
+                 SELECT UNNEST(range(0,
+                     greatest(octet_length(encode(text)) // {FAKE_BYTES_PER_S} - 1,
+                              0) // {AUDIO_HOP_S} + 1)) AS chunk_no
+             ) r
+        WHERE doc_id < 100
+    ),
+    s AS (
+        SELECT doc_id, chunk_no, CAST(byte_len AS BIGINT) AS byte_len,
+               CAST(COALESCE(list_sum(list_transform(
+                   range(1, CAST(byte_len AS BIGINT) + 1),
+                   k -> (
+                     (strpos('0123456789ABCDEF',
+                             substr(hx, off * 2 + 2*k - 1, 1)) - 1) * 16
+                     + (strpos('0123456789ABCDEF',
+                               substr(hx, off * 2 + 2*k, 1)) - 1)
+                   ) * (
+                     (strpos('0123456789ABCDEF',
+                             substr(hx, off * 2 + 2*k - 1, 1)) - 1) * 16
+                     + (strpos('0123456789ABCDEF',
+                               substr(hx, off * 2 + 2*k, 1)) - 1)
+                   )
+               )), 0) AS BIGINT) AS energy
+        FROM ch
+    )
+    SELECT doc_id, chunk_no, byte_len, energy,
+           energy < {AUDIO_SILENCE_TAU} * byte_len AS is_silence
+    FROM s ORDER BY doc_id, chunk_no
+    """,
+    tags=("multimodal", "audio", "vad", "pandas-udf"),
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunk energy + silence detection (the VAD/energy-gate stage
+    of an ASR preprocessing pipeline): per overlapping chunk of the audio
+    plan (5 s windows, 3 s hop), the sum-of-squares energy of its bytes
+    and a silence flag where mean-square power falls below
+    AUDIO_SILENCE_TAU — a real decoder swaps PCM samples into the same
+    Arrow slot; the integer comparison (energy < tau*len, no division)
+    cannot disagree across engines.
+
+    Plan shape (100 TB): the chunk plan is Catalyst arithmetic (byte
+    offsets — the extract stage seeks instead of re-reading payloads);
+    energy is one embarrassingly-parallel Arrow pass; the flag is a scan
+    expression. Zero shuffles beyond the final presentation sort.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    hop_b = AUDIO_HOP_S * FAKE_BYTES_PER_S
+    chunk_b = AUDIO_CHUNK_S * FAKE_BYTES_PER_S
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, lens, ens = [], [], [], []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                n_chunks = max(n // FAKE_BYTES_PER_S - 1, 0) // AUDIO_HOP_S + 1
+                for cno in range(n_chunks):
+                    w = b[cno * hop_b : cno * hop_b + chunk_b]
+                    ids.append(int(did))
+                    nos.append(cno)
+                    lens.append(len(w))
+                    ens.append(int((w * w).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_no": pd.Series(nos, dtype="int64"),
+                    "byte_len": pd.Series(lens, dtype="int64"),
+                    "energy": pd.Series(ens, dtype="int64"),
+                }
+            )
+
+    feats = blobs.mapInPandas(_energy, AUDIO_ENERGY_SCHEMA)
+    return feats.select(
+        "doc_id",
+        "chunk_no",
+        "byte_len",
+        "energy",
+        (F.col("energy") < AUDIO_SILENCE_TAU * F.col("byte_len")).alias(
+            "is_silence"
+        ),
+    ).orderBy("doc_id", "chunk_no")

@@ -1743,3 +1743,124 @@ def ss_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
         .orderBy("q_id", "neighbor_id")
     )
+
+
+# --- Matryoshka (truncated-prefix) retrieval ----------------------------------
+
+MRL_DIM = 16  # coarse stage scores on the first MRL_DIM of 64 dims
+MRL_CAND = 50  # candidates per query surviving to the exact rerank
+
+
+@register(
+    "ss_mrl_rerank_topk",
+    oracle=f"""
+    WITH {SQL_V},
+    vp AS (
+        SELECT vec_id, emb, nrm, emb[1:{MRL_DIM}] AS p,
+               sqrt(list_sum(list_transform(emb[1:{MRL_DIM}], x -> x * x)))
+                   AS pnrm
+        FROM v
+    ),
+    q AS (SELECT * FROM vp WHERE vec_id < {N_QUERIES}),
+    coarse AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.p, c.p)
+                     / nullif(q.pnrm * c.pnrm, 0), 6) AS pcos
+        FROM q JOIN vp c ON c.vec_id != q.vec_id
+    ),
+    cand AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY pcos DESC, neighbor_id
+                   ) AS crank
+            FROM coarse
+        ) WHERE crank <= {MRL_CAND}
+    ),
+    rerank AS (
+        SELECT cand.q_id, cand.neighbor_id,
+               ROUND({SQL_COS.format(a="q", b="c")}, 6) AS cosine
+        FROM cand
+        JOIN v q ON q.vec_id = cand.q_id
+        JOIN v c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM (
+        SELECT q_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, neighbor_id
+               ) AS rank
+        FROM rerank
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "matryoshka", "rerank"),
+)
+def ss_mrl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation retrieval (Kusupati et al.): score the
+    corpus with only the first MRL_DIM of 64 dimensions (MRL-trained
+    embeddings front-load information, so the prefix is a valid coarse
+    ranker), keep MRL_CAND candidates per query, then rerank exactly with
+    the full vector — the two-stage funnel every production vector stack
+    runs (coarse ANN → exact rerank), here with dimension truncation as
+    the coarse stage.
+
+    Both stages are deterministic (rounded scores, id tie-breaks), so the
+    oracle replays the funnel value-for-value — the truncation's recall
+    loss is itself oracle-checked, like every ANN variant here.
+
+    Plan shape (100 TB): the coarse pass streams the corpus once against
+    broadcast MRL_DIM-dim query prefixes — 4× less flop and memory
+    bandwidth than full vectors, the whole point of MRL — and the rerank
+    touches only |queries|·MRL_CAND rows, joined back to full vectors by
+    id (the fetch-by-id pattern of a real serving tier). Per-query heaps
+    via window top-k; no global sort, no crossJoin.
+    """
+    v = _vectors(spark, sf_dir)
+    vp = v.select(
+        "vec_id",
+        "emb",
+        "nrm",
+        F.slice("emb", 1, MRL_DIM).alias("p"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.slice("emb", 1, MRL_DIM), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("pnrm"),
+    )
+    q = vp.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("p").alias("q_p"),
+        F.col("pnrm").alias("q_pnrm"),
+    )
+    coarse = vp.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _cosine(F.col("q_p"), F.col("p"), F.col("q_pnrm"), F.col("pnrm")), 6
+        ).alias("pcos"),
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.desc("pcos"), F.asc("neighbor_id"))
+    cand = (
+        coarse.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= MRL_CAND)
+        .select("q_id", "neighbor_id")
+    )
+    qv = v.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    rerank = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(v, F.col("vec_id") == F.col("neighbor_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(
+                _cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return _ranked_topk(rerank, TOP_K)

@@ -1524,3 +1524,89 @@ def fx_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- robust outlier detection (median absolute deviation) ---------------------
+
+MAD_K = 3  # flag deviations beyond K * MAD
+
+
+@register(
+    "fx_mad_outliers",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+    ),
+    m AS (
+        SELECT event_type, quantile_cont(c, 0.5) AS med
+        FROM c GROUP BY event_type
+    ),
+    d AS (
+        SELECT c.event_type, abs(c.c - m.med) AS dev
+        FROM c JOIN m USING (event_type)
+    ),
+    md AS (
+        SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        FROM d GROUP BY event_type
+    ),
+    sel AS (
+        SELECT d.event_type, d.dev, m.med, md.mad
+        FROM d JOIN m USING (event_type) JOIN md USING (event_type)
+    )
+    SELECT event_type, COUNT(*) AS n,
+           MIN(med) AS med_cents, MIN(mad) AS mad_cents,
+           CAST(COUNT(*) FILTER (WHERE dev > {MAD_K} * mad) AS BIGINT)
+               AS n_outliers
+    FROM sel GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "quality", "robust-stats"),
+)
+def fx_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: per event type, the count of values whose
+    absolute deviation from the MEDIAN exceeds MAD_K x the median absolute
+    deviation — the data-cleaning filter that, unlike the z-score
+    (st_anomaly_flags' test), a few huge outliers cannot drag along with
+    themselves (50% breakdown point vs 0).
+
+    Exactness without rounding: medians run over integer CENTS, so every
+    interpolated median is (a+b)/2 of integers — an exact double — and
+    deviations land on an exact half-cent grid whose own median is an
+    exact quarter-cent; MAD_K*mad and the comparison stay exact, so no
+    float boundary exists for engines to disagree on. (The 1.4826 normal-
+    consistency constant is deliberately omitted — it would put the
+    threshold off the exact grid; K absorbs it.)
+
+    Plan shape (100 TB): two grouped EXACT percentiles (Spark's
+    percentile aggregate — per-group sorted state; for heavy groups swap
+    in approx_percentile or a t-digest at a documented tolerance, same
+    plan) plus broadcast-size joins of the per-type medians back to the
+    fact. Group count = |event_type| (tiny); the fact is scanned twice
+    (once per percentile stage) — the second scan reuses the cached cents
+    projection.
+    """
+    e = _t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    m = c.groupBy("event_type").agg(
+        F.percentile(F.col("c"), F.lit(0.5)).alias("med")
+    )
+    d = c.join(F.broadcast(m), "event_type").select(
+        "event_type", "med", F.abs(F.col("c") - F.col("med")).alias("dev")
+    )
+    md = d.groupBy("event_type").agg(
+        F.percentile(F.col("dev"), F.lit(0.5)).alias("mad")
+    )
+    sel = d.join(F.broadcast(md), "event_type")
+    return (
+        sel.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("med").alias("med_cents"),
+            F.min("mad").alias("mad_cents"),
+            F.count(F.when(F.col("dev") > MAD_K * F.col("mad"), True))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

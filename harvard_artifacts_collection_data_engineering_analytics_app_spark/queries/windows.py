@@ -741,3 +741,94 @@ def tw_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no", "event_id")
     )
+
+
+# --- RFM customer segmentation ------------------------------------------------
+
+
+@register(
+    "tw_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+    u AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(MAX(ts) AS DATE),
+                              CAST((SELECT mts FROM mx) AS DATE)) AS BIGINT)
+                   AS recency_days,
+               COUNT(*) AS freq,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM events WHERE user_id < 200 GROUP BY user_id
+    ),
+    sc AS (
+        SELECT user_id, recency_days, freq, monetary_cents,
+               CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r,
+               CAST(ntile(4) OVER (ORDER BY freq, user_id) AS BIGINT) AS f,
+               CAST(ntile(4) OVER (ORDER BY monetary_cents, user_id) AS BIGINT) AS m
+        FROM u
+    )
+    SELECT user_id, recency_days, freq, monetary_cents, r, f, m,
+           r * 100 + f * 10 + m AS segment
+    FROM sc ORDER BY user_id
+    """,
+    tags=("windows", "rfm", "segmentation"),
+)
+def tw_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per user the recency (days since last
+    event, against the corpus max), frequency, and monetary value, each
+    cut into quartiles, concatenated into the classic 3-digit RFM
+    segment code — the standard marketing-analytics cohort operator.
+
+    Determinism: quartiles are ntile(4) with the user_id tie-break (the
+    wf_ntile_cume lesson), monetary is exact integer cents, recency is
+    an integer day diff of DATEs — no timestamp float anywhere.
+
+    Plan shape (100 TB): one map-side-combined per-user aggregation;
+    the three quartile windows run over the |users| relation — orders of
+    magnitude smaller than events — and the corpus max-ts is the
+    broadcast scalar pattern. The full-relation ntile sort is the one
+    total order; at extreme |users| swap ntile for percentile-bucket
+    joins (the tx_epoch_order bucket-offset trick) on the same plan.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    mx = e.agg(F.max("ts").alias("mts"))
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("freq"),
+            F.sum(cents).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff(F.col("mts").cast("date"), F.col("last_ts").cast("date"))
+            .cast("long")
+            .alias("recency_days"),
+            "freq",
+            "monetary_cents",
+        )
+    )
+    r_w = Window.orderBy("recency_days", "user_id")
+    f_w = Window.orderBy("freq", "user_id")
+    m_w = Window.orderBy("monetary_cents", "user_id")
+    sc = u.select(
+        "user_id",
+        "recency_days",
+        "freq",
+        "monetary_cents",
+        F.ntile(4).over(r_w).cast("long").alias("r"),
+        F.ntile(4).over(f_w).cast("long").alias("f"),
+        F.ntile(4).over(m_w).cast("long").alias("m"),
+    )
+    return sc.select(
+        "user_id",
+        "recency_days",
+        "freq",
+        "monetary_cents",
+        "r",
+        "f",
+        "m",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("segment"),
+    ).orderBy("user_id")
