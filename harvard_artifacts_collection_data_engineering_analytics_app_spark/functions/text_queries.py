@@ -1698,3 +1698,103 @@ def tx_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- class-based TF-IDF (c-TF-IDF) --------------------------------------------
+
+CTFIDF_TOP = 10
+
+
+@register(
+    "tx_ctfidf_source_terms",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, unnest({SQL_TOKENS}) AS t FROM documents
+    ),
+    tf AS (
+        SELECT source, t, COUNT(*) AS tf FROM w GROUP BY source, t
+    ),
+    ft AS (
+        SELECT t, COUNT(*) AS ft FROM w GROUP BY t
+    ),
+    aa AS (
+        SELECT COUNT(*)::DOUBLE / COUNT(DISTINCT source) AS a FROM w
+    ),
+    sc AS (
+        SELECT tf.source, tf.t,
+               tf.tf * CAST(floor(ln(1 + (SELECT a FROM aa) / ft.ft)
+                                  * {LOGPROB_SCALE} + 0.5) AS BIGINT)
+                   AS score_fp
+        FROM tf JOIN ft USING (t)
+    )
+    SELECT source, t AS term, CAST(rnk AS BIGINT) AS rnk,
+           ROUND(score_fp / {LOGPROB_SCALE}.0, 6) AS ctfidf
+    FROM (
+        SELECT source, t, score_fp,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY score_fp DESC, t
+               ) AS rnk
+        FROM sc
+    )
+    WHERE rnk <= {CTFIDF_TOP}
+    ORDER BY source, rnk
+    """,
+    tags=("text", "tfidf", "topic-labeling"),
+)
+def tx_ctfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF formula): treat each
+    SOURCE as one class-document, score term t in class c as
+    tf(t,c) · ln(1 + A / f(t)) with A = average tokens per class and
+    f(t) = corpus term frequency, and report each source's top-10 terms
+    — the topic-labeling step after any clustering (swap `source` for a
+    cluster id column and the plan is unchanged).
+
+    The idf-like factor snaps to the 1e6 log grid per TERM before the
+    per-class multiply, so scores are exact integers and the per-class
+    ranking cannot be perturbed by float association.
+
+    Plan shape (100 TB): one exploded-token pass feeds two
+    map-side-combined aggregations (class-term and term); the scalar A
+    is the broadcast single-row-aggregate pattern; ranking is a window
+    over the class-term relation (vocabulary-bounded, not corpus-
+    bounded).
+    """
+    d = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    w = (
+        d.repartition(n)
+        .select("source", F.explode(T.tokens("text")).alias("t"))
+        .localCheckpoint(eager=True)  # feeds tf, ft, and A
+    )
+    tf = w.groupBy("source", "t").agg(F.count("*").alias("tf"))
+    ft = w.groupBy("t").agg(F.count("*").alias("ft"))
+    aa = w.agg(
+        (F.count("*") / F.countDistinct("source")).alias("a")
+    )
+    sc = (
+        tf.join(ft, "t")
+        .crossJoin(F.broadcast(aa))
+        .select(
+            "source",
+            "t",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(1 + F.col("a") / F.col("ft")) * LOGPROB_SCALE
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("score_fp"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("score_fp"), F.asc("t"))
+    return (
+        sc.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= CTFIDF_TOP)
+        .select(
+            "source",
+            F.col("t").alias("term"),
+            "rnk",
+            F.round(F.col("score_fp") / float(LOGPROB_SCALE), 6).alias("ctfidf"),
+        )
+        .orderBy("source", "rnk")
+    )

@@ -1610,3 +1610,65 @@ def fx_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- sequence-gap audit -------------------------------------------------------
+
+GAP_BUCKET = 1000  # audit granularity: ids per bucket
+
+
+@register(
+    "fx_id_gap_audit",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_id // {GAP_BUCKET} AS bucket,
+               COUNT(*) AS present,
+               MIN(event_id) AS lo,
+               MAX(event_id) AS hi
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY event_id // {GAP_BUCKET}
+    )
+    SELECT bucket,
+           present,
+           CAST(hi - lo + 1 - present AS BIGINT) AS missing_inside,
+           CAST({GAP_BUCKET} - present AS BIGINT) AS missing_total
+    FROM b
+    ORDER BY bucket
+    """,
+    tags=("relational", "quality", "sequence"),
+)
+def fx_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit: quantify holes in an id stream — the
+    data-loss / dropped-partition screen a pipeline runs after every
+    backfill, here pointed at the purchase event feed (a sub-feed with
+    real holes; a loss-free feed reports zeros). Per GAP_BUCKET-sized id
+    bucket: ids present, missing WITHIN the observed [min, max] span
+    (interior holes), and missing vs full bucket capacity (boundary
+    truncation too).
+
+    The naive formulation is a window lead() over the GLOBAL id order —
+    a single-partition sort at scale. This is the aggregate rewrite:
+    bucketize ids, then per-bucket COUNT vs span arithmetic — one
+    map-side-combined shuffle on the bucket key, embarrassingly parallel,
+    and exact for hole COUNTS (individual hole positions, if needed, are
+    then hunted only inside flagged buckets — a second, tiny pass). All
+    integer arithmetic.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    b = e.groupBy(
+        (F.col("event_id") / GAP_BUCKET).cast("bigint").alias("bucket")
+    ).agg(
+        F.count("*").alias("present"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+    )
+    missing_inside = (
+        F.col("hi") - F.col("lo") + 1 - F.col("present")
+    ).cast("bigint")
+    missing_total = (F.lit(GAP_BUCKET) - F.col("present")).cast("bigint")
+    return b.select(
+        "bucket",
+        "present",
+        missing_inside.alias("missing_inside"),
+        missing_total.alias("missing_total"),
+    ).orderBy("bucket")
