@@ -1864,3 +1864,73 @@ def ss_mrl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _ranked_topk(rerank, TOP_K)
+
+
+# --- ANN recall evaluation ----------------------------------------------------
+
+
+def _registered_oracle(name: str) -> str:
+    from ..queries.registry import _REGISTRY
+
+    return _REGISTRY[name].oracle
+
+
+@register(
+    "ss_ann_recall_report",
+    # both component oracles are registered above in this module, so the
+    # composed oracle interpolates their exact SQL at decoration time —
+    # one source of truth for the replayed pipelines
+    oracle=f"""
+    WITH brute AS ({_registered_oracle("ss_brute_topk")}),
+    lsh AS ({_registered_oracle("ss_lsh_topk")})
+    SELECT brute.q_id,
+           CAST(COUNT(lsh.neighbor_id) AS BIGINT) AS hits,
+           COUNT(*) AS k,
+           CAST((1000 * COUNT(lsh.neighbor_id)) // COUNT(*) AS BIGINT)
+               AS recall_milli
+    FROM brute
+    LEFT JOIN lsh ON lsh.q_id = brute.q_id
+                 AND lsh.neighbor_id = brute.neighbor_id
+    GROUP BY brute.q_id ORDER BY brute.q_id
+    """,
+    tags=("similarity", "ann", "evaluation"),
+)
+def ss_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH ANN path against exact brute force, per query
+    — the evaluation job every production vector deployment runs on a
+    schedule (ANN indexes silently lose recall as data drifts; this is
+    the dashboard metric). Composes the two REGISTERED operators
+    (ss_lsh_topk vs ss_brute_topk ground truth) and counts the overlap
+    of their top-k sets on an integer milli-grid.
+
+    Because both inputs are deterministic, recall itself is a
+    value-checked relation — the oracle replays both pipelines and the
+    same overlap join. Plan shape (100 TB): ground truth on a sampled
+    query set (here all N_QUERIES) — the standard practice, since exact
+    brute force over everything is the thing ANN exists to avoid — then
+    two |queries|·k relations joined on (q_id, neighbor_id): negligible
+    next to the searches themselves.
+    """
+    brute = ss_brute_topk(spark, sf_dir).select(
+        "q_id", F.col("neighbor_id").alias("b_nid")
+    )
+    lsh = ss_lsh_topk(spark, sf_dir).select(
+        F.col("q_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
+    )
+    j = brute.join(
+        lsh,
+        (F.col("l_qid") == F.col("q_id")) & (F.col("l_nid") == F.col("b_nid")),
+        "left",
+    )
+    return (
+        j.groupBy("q_id")
+        .agg(
+            F.count("l_nid").alias("hits"),
+            F.count("*").alias("k"),
+            F.expr("CAST((1000 * COUNT(l_nid)) DIV COUNT(*) AS BIGINT)").alias(
+                "recall_milli"
+            ),
+        )
+        .orderBy("q_id")
+    )
+

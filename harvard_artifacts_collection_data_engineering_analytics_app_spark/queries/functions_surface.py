@@ -1672,3 +1672,98 @@ def fx_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         missing_inside.alias("missing_inside"),
         missing_total.alias("missing_total"),
     ).orderBy("bucket")
+
+
+# --- distribution-drift report (PSI breakdown) --------------------------------
+
+PSI_CUTOFF = "2024-01-16"  # expected window = first half, actual = second
+PSI_BUCKET_CENTS = 2000  # $20-wide value buckets
+PSI_MAX_BUCKET = 19  # cap: 20 buckets, last one open-ended
+PSI_SCALE = 1_000_000
+
+
+@register(
+    "fx_psi_drift",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type,
+               least(CAST(ROUND(value * 100) AS BIGINT) // {PSI_BUCKET_CENTS},
+                     {PSI_MAX_BUCKET}) AS bucket,
+               ts >= TIMESTAMP '{PSI_CUTOFF}' AS actual
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, bucket,
+               COUNT(*) FILTER (WHERE NOT actual) AS n_expected,
+               COUNT(*) FILTER (WHERE actual) AS n_actual
+        FROM c GROUP BY event_type, bucket
+    ),
+    t AS (
+        SELECT event_type,
+               SUM(n_expected)::DOUBLE AS te, SUM(n_actual)::DOUBLE AS ta
+        FROM b GROUP BY event_type
+    )
+    SELECT b.event_type, b.bucket, b.n_expected, b.n_actual,
+           ROUND(((b.n_expected + 1) / (t.te + {PSI_MAX_BUCKET + 1})
+                  - (b.n_actual + 1) / (t.ta + {PSI_MAX_BUCKET + 1}))
+                 * CAST(floor(ln(((b.n_expected + 1)
+                                  / (t.te + {PSI_MAX_BUCKET + 1}))
+                                 / ((b.n_actual + 1)
+                                    / (t.ta + {PSI_MAX_BUCKET + 1})))
+                              * {PSI_SCALE} + 0.5) AS BIGINT)
+                 / {PSI_SCALE}.0, 6) AS psi_contrib
+    FROM b JOIN t USING (event_type)
+    ORDER BY b.event_type, b.bucket
+    """,
+    tags=("relational", "quality", "drift", "mlops"),
+)
+def fx_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift report: compare each event type's
+    value distribution between the first and second half of the time
+    range, per $20 bucket — the model-monitoring screen that catches
+    feature drift before a model silently degrades. Reported as the
+    per-bucket PSI breakdown ((p−q)·ln(p/q), add-1 smoothed) rather than
+    one pre-summed scalar: the breakdown is what an analyst acts on, and
+    per-row values dodge any float-summation-order question entirely
+    (the ln factor snaps to the 1e6 grid; p, q and their difference are
+    exact small rationals).
+
+    Plan shape (100 TB): one scan → (type, bucket)-keyed conditional
+    aggregation (both windows counted in ONE pass — no second scan) →
+    per-type totals re-aggregated from the 20·|types| bucket relation →
+    broadcast join back. The cutoff predicate is a scan expression, not
+    a filter: both halves are needed, so splitting into two scans would
+    double IO.
+    """
+    e = _t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.least(
+            F.expr(f"CAST(ROUND(value * 100) AS BIGINT) DIV {PSI_BUCKET_CENTS}"),
+            F.lit(PSI_MAX_BUCKET).cast("bigint"),
+        ).alias("bucket"),
+        (F.col("ts") >= PSI_CUTOFF).alias("actual"),
+    )
+    b = c.groupBy("event_type", "bucket").agg(
+        F.count(F.when(~F.col("actual"), True)).alias("n_expected"),
+        F.count(F.when(F.col("actual"), True)).alias("n_actual"),
+    )
+    t = b.groupBy("event_type").agg(
+        F.sum("n_expected").cast("double").alias("te"),
+        F.sum("n_actual").cast("double").alias("ta"),
+    )
+    nb = PSI_MAX_BUCKET + 1
+    p = (F.col("n_expected") + 1) / (F.col("te") + nb)
+    q = (F.col("n_actual") + 1) / (F.col("ta") + nb)
+    ln_fp = F.floor(F.log(p / q) * PSI_SCALE + F.lit(0.5)).cast("bigint")
+    return (
+        b.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            "n_expected",
+            "n_actual",
+            F.round((p - q) * ln_fp / float(PSI_SCALE), 6).alias("psi_contrib"),
+        )
+        .orderBy("event_type", "bucket")
+    )
