@@ -1798,3 +1798,109 @@ def tx_ctfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rnk")
     )
+
+
+# --- hashed document vectors (feature-hashing embedder stand-in) --------------
+
+DOCVEC_DIM = 16
+
+
+@register(
+    "tx_doc_vectors",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS t FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('embv:' || t), 1, 15)) AS BIGINT)
+                   % {DOCVEC_DIM} AS idx,
+               CASE WHEN CAST(('0x' || substr(md5('embs:' || t), 1, 15))
+                          AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        FROM w
+    ),
+    a AS (
+        SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS v
+        FROM h GROUP BY doc_id, idx
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS n_tokens FROM w GROUP BY doc_id),
+    g AS (
+        SELECT n.doc_id, j.j, COALESCE(a.v, 0) AS v
+        FROM n
+        CROSS JOIN (SELECT UNNEST(range(0, {DOCVEC_DIM})) AS j) j
+        LEFT JOIN a ON a.doc_id = n.doc_id AND a.idx = j.j
+    )
+    SELECT g.doc_id, MIN(n.n_tokens) AS n_tokens,
+           array_to_string(list(g.v ORDER BY g.j), ',') AS vec_csv
+    FROM g JOIN n ON n.doc_id = g.doc_id
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+    tags=("text", "embedding", "feature-hashing"),
+)
+def tx_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document vectorization by signed feature hashing (the
+    hashing-vectorizer of Weinberger et al.): each token adds ±1 to one
+    of DOCVEC_DIM buckets (bucket and sign from independent keyed
+    hashes), giving every document a dense integer vector — the
+    embed step of a pipeline with a deterministic stand-in where a real
+    deployment calls a model; downstream ANN/dedup operators consume the
+    vector identically (split + cast to double, the ss_*/dd_embedding_*
+    plans apply unchanged). The registered surface serializes the vector
+    to a CSV string because the value-hash gate compares scalars —
+    in-engine consumers use the array form directly.
+
+    Exact by construction — integer counts, no normalization — so the
+    vector column itself is value-compared against the oracle, proving
+    the assemble step (per-bucket sums → position-complete array) and
+    not just a summary of it.
+
+    Plan shape (100 TB): explode → (doc, bucket)-keyed map-side-combined
+    sum (≤ DOCVEC_DIM rows per doc out of the combiner) → per-doc
+    assembly via a map lookup over a static index sequence — no pivot,
+    no per-dim shuffle, vector width a constant in the plan.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    w = (
+        d.repartition(n)
+        .select("doc_id", F.explode(T.tokens("text")).alias("t"))
+        .localCheckpoint(eager=True)  # feeds bucket sums AND token counts
+    )
+    h = w.select(
+        "doc_id",
+        (T.portable_hash60(F.concat(F.lit("embv:"), F.col("t"))) % DOCVEC_DIM)
+        .alias("idx"),
+        F.when(
+            T.portable_hash60(F.concat(F.lit("embs:"), F.col("t"))) % 2 == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    a = h.groupBy("doc_id", "idx").agg(F.sum("sgn").cast("long").alias("v"))
+    nt = w.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    vec = (
+        a.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("idx"), F.col("v")))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0).cast("bigint"), F.lit(DOCVEC_DIM - 1)),
+                    lambda j: F.coalesce(
+                        F.element_at(F.col("m"), j), F.lit(0).cast("long")
+                    ).cast("string"),
+                ),
+                ",",
+            ).alias("vec_csv"),
+        )
+    )
+    return (
+        nt.join(vec, "doc_id")
+        .select("doc_id", "n_tokens", "vec_csv")
+        .orderBy("doc_id")
+    )

@@ -18,7 +18,7 @@ bit and the chained-CTE DuckDB oracle reproduces the iterations exactly
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..queries.registry import register
@@ -806,4 +806,104 @@ def gr_linkpred_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("aa_micro"), F.asc("u"), F.asc("v"))
         .limit(AA_TOP)
+    )
+
+
+# --- supplier market segmentation via thresholded connectivity ----------------
+
+SEG_MIN_W = 3  # repeated co-service: edges with >= 3 shared January orders
+
+
+@register(
+    "gr_supplier_segments",
+    oracle=f"""
+    WITH RECURSIVE os AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderdate >= TIMESTAMP '{TRI_MONTH_LO}'
+          AND o_orderdate <  TIMESTAMP '{TRI_MONTH_HI}'
+    ),
+    p AS (
+        SELECT a.s AS x, b.s AS y, COUNT(*) AS w
+        FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+        GROUP BY a.s, b.s
+    ),
+    e AS (SELECT x, y FROM p WHERE w >= {SEG_MIN_W}),
+    edges AS (SELECT x AS a, y AS b FROM e UNION SELECT y, x FROM e),
+    reach(node, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e2.b, r.lbl FROM reach r JOIN edges e2 ON e2.a = r.node
+    ),
+    comp AS (
+        SELECT node, MIN(lbl) AS segment_id FROM reach GROUP BY node
+    )
+    SELECT c.segment_id, c.node AS supplier,
+           CAST(COUNT(*) OVER (PARTITION BY c.segment_id) AS BIGINT)
+               AS segment_size
+    FROM comp c
+    ORDER BY segment_id, supplier
+    """,
+    tags=("graph", "connected-components", "segmentation"),
+)
+def gr_supplier_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier market segmentation: connected components of the
+    REPEATED-co-service graph (pairs sharing >= SEG_MIN_W January
+    orders) — thresholding the edge weight is what turns the near-clique
+    co-occurrence blob into meaningful groups, the standard recipe for
+    co-occurrence clustering (same reason association rules use a
+    support threshold).
+
+    Exercises the shared `connected_components` operator (auto mode:
+    min-label propagation, star-contraction fallback) through a SECOND
+    registered surface on a graph with a different shape than the
+    near-dup pair graph — many small components rather than a few
+    near-cliques. The weight threshold prunes BEFORE the distinct/
+    symmetrize steps, so the CC input is the already-small segment
+    graph.
+
+    Plan shape (100 TB): the weighted pair aggregation is one
+    map-side-combined shuffle (bounded by co-occurring pairs, already
+    required by gr_triangles' edge build); components run rounds of
+    keyed join+min-agg on the THRESHOLDED edge list — orders of
+    magnitude smaller than the raw graph, which is the practical answer
+    to CC's iteration cost at scale: segment graphs are sparse by
+    construction.
+    """
+    from .components import connected_components
+
+    ensure_analytics_conf(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= TRI_MONTH_LO)
+            & (F.col("o_orderdate") < TRI_MONTH_HI)
+        )
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    os_ = li.join(o, li["ok"] == o["o_orderkey"]).select("ok", "s").distinct()
+    e = (
+        os_.alias("a")
+        .join(
+            os_.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= SEG_MIN_W)
+        .select("x", "y")
+    )
+    comp = connected_components(e, src="x", dst="y")
+    wseg = Window.partitionBy("segment_id")
+    return (
+        comp.select(
+            F.col("component").alias("segment_id"),
+            F.col("node").alias("supplier"),
+        )
+        .withColumn("segment_size", F.count("*").over(wseg).cast("bigint"))
+        .orderBy("segment_id", "supplier")
     )

@@ -9,7 +9,12 @@ order-insensitive value hash — so:
 - every LIMIT query is fully deterministic (ORDER BY includes a unique
   tie-breaker key);
 - floating-point aggregates are rounded identically on both sides so the
-  hash does not depend on summation order.
+  hash does not depend on summation order;
+- result columns are SCALAR types only (string/numeric/bool/timestamp):
+  the driver's value hash and row sort compare cell scalars, and
+  array-typed cells come back as Python lists or numpy arrays depending
+  on the session's Arrow setting — serialize vectors (array_join) or
+  emit long format instead (learned from tx_doc_vectors).
 """
 
 from __future__ import annotations
