@@ -832,3 +832,93 @@ def tw_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("segment"),
     ).orderBy("user_id")
+
+
+# --- burst detection ----------------------------------------------------------
+
+BURST_K = 2  # burst: hourly count > K x trailing-24h hourly average
+BURST_MIN_TRAIL = 12  # hours of history required before flagging
+
+
+@register(
+    "tw_burst_detection",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', ts) AS hr,
+               epoch_us(time_bucket(INTERVAL '1 hour', ts)) // 3600000000
+                   AS hr_idx,
+               COUNT(*) AS cnt
+        FROM events GROUP BY event_type, hr
+    ),
+    t AS (
+        SELECT event_type, hr, cnt,
+               COUNT(*) OVER w AS n_trail,
+               SUM(cnt) OVER w AS trail_sum
+        FROM h
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY hr_idx
+            RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_type, hr, cnt,
+           CAST(trail_sum AS BIGINT) AS trail_sum,
+           CAST(n_trail AS BIGINT) AS n_trail
+    FROM t
+    WHERE n_trail >= {BURST_MIN_TRAIL}
+      AND cnt * n_trail > {BURST_K} * trail_sum
+    ORDER BY event_type, hr
+    """,
+    tags=("windows", "timeseries", "burst"),
+)
+def tw_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection (trend/spike surfacing): hours where an event
+    type's volume exceeds BURST_K x its own trailing-24h hourly average,
+    with a BURST_MIN_TRAIL-hour warm-up — the alerting/trending-topics
+    primitive over any keyed time series.
+
+    The trailing window is a value-based RANGE frame over the integer
+    HOUR INDEX (epoch-hours), not a ROWS frame — series gaps then
+    correctly shrink the trailing window instead of silently reaching
+    further back in time (the wf_range_frame lesson applied to
+    aggregated series). The burst test cross-multiplies
+    (cnt·n > K·sum) so no float average exists to disagree on.
+
+    Plan shape (100 TB): one map-side-combined hourly rollup, then one
+    window shuffle on event_type over the |type|·|hours| relation —
+    tiny relative to the fact. Streaming form: st_anomaly_flags' state
+    pattern with an hourly ring buffer.
+    """
+    e = _t(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    h = h.withColumn(
+        "hr_idx", (F.unix_micros("hr") / 3_600_000_000).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr_idx")
+        .rangeBetween(-24, -1)
+    )
+    t = h.select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.count("*").over(w).alias("n_trail"),
+        F.sum("cnt").over(w).alias("trail_sum"),
+    )
+    return (
+        t.filter(
+            (F.col("n_trail") >= BURST_MIN_TRAIL)
+            & (F.col("cnt") * F.col("n_trail") > BURST_K * F.col("trail_sum"))
+        )
+        .select(
+            "event_type",
+            "hr",
+            "cnt",
+            F.col("trail_sum").cast("bigint").alias("trail_sum"),
+            F.col("n_trail").cast("bigint").alias("n_trail"),
+        )
+        .orderBy("event_type", "hr")
+    )
