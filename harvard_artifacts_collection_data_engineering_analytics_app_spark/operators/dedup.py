@@ -1828,3 +1828,59 @@ def dd_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- MinHash-LSH recall evaluation --------------------------------------------
+
+
+def _dd_registered_oracle(name: str) -> str:
+    from ..queries.registry import _REGISTRY
+
+    return _REGISTRY[name].oracle
+
+
+@register(
+    "dd_lsh_recall_report",
+    # both component oracles are registered above in this module; the
+    # composed oracle interpolates their exact SQL at decoration time
+    oracle=f"""
+    WITH ex AS ({_dd_registered_oracle("dd_ngram_jaccard")}),
+    ls AS ({_dd_registered_oracle("dd_minhash_lsh")})
+    SELECT COUNT(*) AS n_true,
+           CAST(COUNT(ls.a_id) AS BIGINT) AS n_found,
+           CAST((1000 * COUNT(ls.a_id)) // COUNT(*) AS BIGINT)
+               AS recall_milli
+    FROM ex
+    LEFT JOIN ls ON ls.a_id = ex.a_id AND ls.b_id = ex.b_id
+    """,
+    tags=("dedup", "lsh", "evaluation"),
+)
+def dd_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH dedup path against exact trigram-Jaccard
+    ground truth (same ≥0.8 threshold) — the dedup twin of
+    ss_ann_recall_report, and the number a pipeline owner watches when
+    tuning bands×rows: OR-amplified banding trades exactly this recall
+    for candidate volume. Composes the two REGISTERED operators, so the
+    quality metric is itself a value-checked one-row relation.
+
+    Plan shape (100 TB): ground truth from the inverted-index exact join
+    (run on a sample in production — the eval never needs the full
+    corpus), LSH pairs from the banded path; overlap is one
+    pair-relation join, negligible next to either input.
+    """
+    ex = dd_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    ls = dd_minhash_lsh(spark, sf_dir).select(
+        F.col("a_id").alias("l_a"), F.col("b_id").alias("l_b")
+    )
+    j = ex.join(
+        ls,
+        (F.col("l_a") == F.col("a_id")) & (F.col("l_b") == F.col("b_id")),
+        "left",
+    )
+    return j.agg(
+        F.count("*").alias("n_true"),
+        F.count("l_a").alias("n_found"),
+        F.expr("CAST((1000 * COUNT(l_a)) DIV COUNT(*) AS BIGINT)").alias(
+            "recall_milli"
+        ),
+    )
