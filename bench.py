@@ -9,6 +9,21 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed once to warm the JVM/code cache and once timed;
 results are consumed with a count() of the full result (no driver collect
 of wide rows — mirrors how a real pipeline would sink to parquet).
+
+Shared-session numbers are noisy: with 60+ queries in one JVM, sub-second
+queries inflate 2-4x from the GC/scheduler pressure of their neighbors
+(measured repeatedly in SCALE.md; the movement tracks session size, not
+code). So this harness ALSO runs an isolated re-measurement pass: after
+the shared loop, any query whose shared time moved >1.5x against the
+previous round's recorded bench is re-run in a FRESH single-query JVM
+(subprocess → ``--isolated <name>``: warm-up + 2 timed reps, min taken)
+and both numbers land in the one JSON line under ``"isolated"``. A perf
+flag is then adjudicated from the isolated steady-state number, never
+from the shared session (judge VERDICT r5 #1).
+
+CLI:
+  python bench.py                    # full run: shared + auto-isolated
+  python bench.py --isolated NAME    # one query, fresh JVM, prints JSON
 """
 
 from __future__ import annotations
@@ -104,6 +119,85 @@ HEADLINE = [
 ]
 
 
+# isolated re-measurement: shared-vs-previous-round ratio that triggers a
+# fresh-JVM re-run, and a cap so a globally slow round can't stall the bench
+ISOLATE_RATIO = 1.5
+ISOLATE_MAX = 10
+ISOLATED_REPS = 2  # timed reps after warm-up; min is the steady-state number
+
+
+def run_isolated(name: str) -> None:
+    """Measure ONE query in this (fresh) JVM: warm-up, then ISOLATED_REPS
+    timed reps, min taken — the SCALE.md fresh-session protocol."""
+    spark = get_spark(app_name=f"bench-isolated-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    builder = registry.all_specs()[name].builder
+    builder(spark, SF_DIR).count()  # warm-up
+    reps = []
+    for _ in range(ISOLATED_REPS):
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        builder(spark, SF_DIR).count()
+        reps.append(time.perf_counter() - t0)
+    print(json.dumps({"query": name, "isolated_sec": round(min(reps), 4)}))
+
+
+def _previous_round_timings() -> dict[str, float]:
+    """Latest BENCH_r*.json at the repo root, for mover detection."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if not best:
+        return {}
+    try:
+        with open(best) as f:
+            rec = json.load(f)
+        return {k: v for k, v in rec.get("queries", {}).items() if v > 0}
+    except (OSError, ValueError):
+        return {}
+
+
+def _isolate_movers(timings: dict[str, float]) -> dict[str, float]:
+    """Re-run round-over-round movers (>ISOLATE_RATIO either way) in fresh
+    JVMs; returns {name: isolated_sec}."""
+    import subprocess
+
+    prev = _previous_round_timings()
+    movers = [
+        (max(t / prev[n], prev[n] / t), n)
+        for n, t in timings.items()
+        if t > 0 and prev.get(n, 0) > 0
+        and max(t / prev[n], prev[n] / t) > ISOLATE_RATIO
+    ]
+    movers.sort(reverse=True)
+    out: dict[str, float] = {}
+    for _, name in movers[:ISOLATE_MAX]:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--isolated", name],
+                capture_output=True,
+                text=True,
+                timeout=600,
+                env=os.environ.copy(),
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            out[name] = json.loads(line)["isolated_sec"]
+        except Exception as exc:
+            print(f"bench: isolated re-run of {name} failed: {exc}",
+                  file=sys.stderr)
+    if len(movers) > ISOLATE_MAX:
+        skipped = [n for _, n in movers[ISOLATE_MAX:]]
+        print(f"bench: isolated cap hit; not re-measured: {skipped}",
+              file=sys.stderr)
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -150,8 +244,14 @@ def main() -> None:
     }
     if failed:
         result["failed"] = failed
+    isolated = _isolate_movers(timings)
+    if isolated:
+        result["isolated"] = isolated
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--isolated":
+        run_isolated(sys.argv[2])
+    else:
+        main()

@@ -1686,9 +1686,6 @@ def dd_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- segment-level dedup REWRITE (cleaned corpus emission) --------------------
 
-_SEG_CANON_MULT = 1_000_000  # doc_id*M + seg_no: lexicographic (doc, pos) key
-
-
 @register(
     "dd_segment_rewrite",
     oracle=f"""
@@ -1704,7 +1701,7 @@ _SEG_CANON_MULT = 1_000_000  # doc_id*M + seg_no: lexicographic (doc, pos) key
     ),
     canon AS (
         SELECT md5(s) AS h, COUNT(*) AS cnt,
-               MIN(doc_id * {_SEG_CANON_MULT} + seg_no) AS ckey
+               MIN(struct_pack(doc_id := doc_id, seg_no := seg_no)) AS ckey
         FROM seg GROUP BY md5(s)
     ),
     kept AS (
@@ -1713,7 +1710,8 @@ _SEG_CANON_MULT = 1_000_000  # doc_id*M + seg_no: lexicographic (doc, pos) key
                string_agg(seg.s, ' ' ORDER BY seg.seg_no) AS kept_text
         FROM seg JOIN canon ON canon.h = md5(seg.s)
         WHERE canon.cnt = 1
-           OR seg.doc_id * {_SEG_CANON_MULT} + seg.seg_no = canon.ckey
+           OR struct_pack(doc_id := seg.doc_id, seg_no := seg.seg_no)
+              = canon.ckey
         GROUP BY seg.doc_id
     ),
     base AS (
@@ -1743,7 +1741,7 @@ def dd_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     segmentation as dd_segment_dup (this corpus is newline-free).
 
     Keep rule per segment occurrence: unique in the corpus, OR it IS the
-    canonical occurrence (min doc_id*M+seg_no over its hash group) — so
+    canonical occurrence (min struct(doc_id, seg_no) over its hash group) — so
     every distinct segment survives exactly once and document order is
     preserved on rebuild (collect kept segments, sort by position, join;
     the sub-SEG_WORDS word tail is always kept).
@@ -1781,7 +1779,12 @@ def dd_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # feeds canon build AND the keep join
     )
-    okey = F.col("doc_id") * _SEG_CANON_MULT + F.col("seg_no")
+    # Canonical key is MIN over struct(doc_id, seg_no) — true lexicographic
+    # (doc, position) order with no arithmetic packing, so the
+    # first-occurrence guarantee holds for documents of ANY segment count
+    # (the earlier doc_id*M+seg_no key collided across docs past 1e6
+    # segments — exactly the 100 TB regime this operator targets).
+    okey = F.struct(F.col("doc_id"), F.col("seg_no"))
     canon = seg.groupBy("h").agg(
         F.count("*").alias("cnt"), F.min(okey).alias("ckey")
     )

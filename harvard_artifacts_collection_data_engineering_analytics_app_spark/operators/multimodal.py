@@ -105,6 +105,53 @@ def _ppm_token(buf: bytes, pos: int) -> tuple[bytes, int]:
     return buf[start:pos], pos
 
 
+def _decode_image_pil(payload: bytes, thumb_side: int = 8) -> dict:
+    """JPEG/PNG/WebP decode path: same contract as :func:`decode_image`,
+    delegated to Pillow when it is installed (it is an OPTIONAL
+    dependency — ``pip install pillow``; this container ships without
+    it, so the gate is an import-try, and the dependency-free PNM path
+    above stays the tested default).
+
+    The returned dict is shape-identical to the PNM path, so every
+    consumer (mm_feature_extract, the aHash near-dup, the Arrow batch
+    plumbing) works unchanged with real codecs present.
+    """
+    try:
+        from PIL import Image  # optional; not vendored in this container
+    except ImportError as exc:
+        raise ValueError(
+            "payload is not binary PNM and Pillow is not installed - "
+            "jpeg/png/webp decode requires the optional dependency "
+            "`pip install pillow` (see README, Multimodal section)"
+        ) from exc
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+    except Exception as exc:
+        raise ValueError(f"undecodable image payload: {exc}") from exc
+    gray = img.convert("L")
+    width, height = img.size
+    tw, th = min(thumb_side, width), min(thumb_side, height)
+    # same nearest-neighbor sampling as the PNM path for bit-stable thumbs
+    px = gray.load()
+    thumb = bytearray()
+    for ty in range(th):
+        sy = ty * height // th
+        for tx in range(tw):
+            sx = tx * width // tw
+            thumb.append(px[sx, sy])
+    data = list(gray.getdata())
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "thumbnail": bytes(thumb),
+        "mean_sample": sum(data) / len(data),
+    }
+
+
 def decode_image(payload: bytes, thumb_side: int = 8) -> dict:
     """Decode one binary-PNM image payload (PPM ``P6`` rgb / PGM ``P5``
     gray) — real bytes-to-pixels work, dependency-free pure Python.
@@ -121,7 +168,7 @@ def decode_image(payload: bytes, thumb_side: int = 8) -> dict:
     payload = bytes(payload)
     magic = payload[:2]
     if magic not in (b"P6", b"P5"):
-        raise ValueError(f"not a binary PNM payload (magic {magic!r})")
+        return _decode_image_pil(payload, thumb_side)
     channels = 3 if magic == b"P6" else 1
     tok_w, pos = _ppm_token(payload, 2)
     tok_h, pos = _ppm_token(payload, pos)
@@ -737,7 +784,7 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_analytics_conf(spark)
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < AH_DOCS)
     p = F.col("doc_id") % AH_PATTERNS
-    b = (F.col("doc_id") / AH_PATTERNS).cast("long") % 3
+    b = F.expr(f"doc_id DIV {AH_PATTERNS}") % 3
     idx = F.sequence(F.lit(0), F.lit(AH_W * AH_H - 1))
     sample_hex = F.transform(
         idx, lambda i: F.lpad(F.hex((p * 37 + i * 11) % 200 + b), 2, "0")

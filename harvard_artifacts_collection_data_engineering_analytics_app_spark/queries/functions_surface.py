@@ -1451,11 +1451,28 @@ MV_CUTOFF = "2024-01-21"  # base/delta split: ~2/3 of the event-time range
 
 
 def _mv_table(sf_dir: str) -> str:
-    """Stored base-aggregate table keyed by source dir (same staleness
-    guard as the persisted dedup/IVF indexes)."""
-    import hashlib
+    """Stored base-aggregate table keyed by source dir AND a content
+    fingerprint of the events parquet (file names, sizes, mtimes).
 
-    h = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    Keying on the path alone is a staleness bug: if the parquet under the
+    same path is regenerated (this repo's round history records exactly
+    that), a path-keyed MV silently merges stale partials and returns
+    wrong totals. Folding the fingerprint into the name makes regeneration
+    produce a different table, forcing a rebuild — the local-mode analogue
+    of a snapshot-id check against a table format's metadata."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "events.parquet")
+    parts = [sf_dir.rstrip("/")]
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    h = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
     return f"mv_user_totals_{h}"
 
 
@@ -1656,7 +1673,9 @@ def fx_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     b = e.groupBy(
-        (F.col("event_id") / GAP_BUCKET).cast("bigint").alias("bucket")
+        # Integer DIV, not double-divide-then-cast: exact above 2^53 and
+        # truncation semantics identical to the oracle's DuckDB `//`.
+        F.expr(f"event_id DIV {GAP_BUCKET}").alias("bucket")
     ).agg(
         F.count("*").alias("present"),
         F.min("event_id").alias("lo"),

@@ -790,9 +790,13 @@ def tw_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order; at extreme |users| swap ntile for percentile-bucket
     joins (the tx_epoch_order bucket-offset trick) on the same plan.
     """
-    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    ev = _t(spark, sf_dir, "events")
+    e = ev.filter(F.col("user_id") < 200)
     cents = F.round(F.col("value") * 100).cast("bigint")
-    mx = e.agg(F.max("ts").alias("mts"))
+    # Recency anchor is the CORPUS max ts (all events), matching the oracle's
+    # unfiltered mx CTE — computing it on the user_id<200 subset diverges as
+    # soon as the corpus max comes from a user outside the cohort.
+    mx = ev.agg(F.max("ts").alias("mts"))
     u = (
         e.groupBy("user_id")
         .agg(
@@ -894,7 +898,9 @@ def tw_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("hr")
     ).agg(F.count("*").alias("cnt"))
     h = h.withColumn(
-        "hr_idx", (F.unix_micros("hr") / 3_600_000_000).cast("bigint")
+        # Integer DIV matches DuckDB's truncating `//` exactly (incl. pre-1970
+        # negative epochs); double-divide-then-cast did not.
+        "hr_idx", F.expr("unix_micros(hr) DIV 3600000000")
     )
     w = (
         Window.partitionBy("event_type")

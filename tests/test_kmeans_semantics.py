@@ -85,3 +85,26 @@ def test_pq_adc_approximates_exact_topk(spark, oracle_sf_dir):
         len(pq_sets[q] & exact_sets[q]) / len(exact_sets[q]) for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.4, f"mean recall collapsed: {recalls}"
+
+
+def test_ann_recall_report_floor(spark, oracle_sf_dir):
+    """Asserted minimum on ss_ann_recall_report (r5 verdict #6): the
+    sign-LSH top-k currently measures mean 320 milli over the 5 query
+    vectors at sf0.01 against exact brute force (chance level ~17 milli
+    for k=10 of 600). A retune of LSH_BITS/probe depth that collapses
+    recall toward chance fails here."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries import (
+        registry,
+    )
+
+    rows = (
+        registry.all_specs()["ss_ann_recall_report"]
+        .builder(spark, oracle_sf_dir)
+        .collect()
+    )
+    assert rows, "no query vectors evaluated"
+    mean_milli = sum(r["recall_milli"] for r in rows) / len(rows)
+    assert mean_milli >= 200, (
+        f"mean ANN recall {mean_milli}/1000 below the 0.2 floor - "
+        "LSH parameters degraded toward chance"
+    )

@@ -83,7 +83,9 @@ def test_ppm_decode_thumbnail_nearest_neighbor():
 
 
 def test_ppm_decode_rejects_bad_payloads():
-    with pytest.raises(ValueError, match="magic"):
+    # non-PNM magic now falls through to the optional-Pillow path: either
+    # "pillow not installed" or "undecodable payload", both ValueError
+    with pytest.raises(ValueError, match="pillow|undecodable"):
         M.decode_image(b"\x89PNGxxxx")
     with pytest.raises(ValueError, match="truncated raster"):
         M.decode_image(_ppm(4, 4, [0] * 10))
@@ -143,3 +145,29 @@ def test_corpus_is_ascii_for_blob_oracles(spark, oracle_sf_dir):
     ).fetchone()[0]
     con.close()
     assert n == 0
+
+
+def test_decode_image_jpeg_via_pillow_when_available():
+    """Real-codec path (r5 verdict #7): when Pillow is installed,
+    decode_image handles JPEG/PNG behind the same signature; without it,
+    the error is actionable and names the optional dependency."""
+    import pytest
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(ValueError, match="pillow"):
+            decode_image(b"\xff\xd8\xff\xe0 not-a-real-jpeg")
+        pytest.skip("Pillow not installed in this container")
+    buf = io.BytesIO()
+    Image.new("L", (16, 9), color=77).save(buf, format="PNG")
+    out = decode_image(buf.getvalue())
+    assert (out["width"], out["height"], out["n_pixels"]) == (16, 9, 144)
+    assert out["mean_sample"] == 77.0
+    assert len(out["thumbnail"]) == 8 * 8

@@ -363,3 +363,20 @@ def test_skyline_sweep_joins_back_small(spark, sf_dir):
     sweep relation (broadcastable), not an n^2 dominance join."""
     plan = X.formatted_plan(_df(spark, sf_dir, "fx_skyline_pareto"))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_linkpred_wedge_is_capped_and_equijoin(spark, sf_dir):
+    """The Adamic-Adar wedge join must consume the CAPPED per-center
+    neighbor relation (row_number <= AA_NEIGHBOR_CAP filter below the
+    self-join) — the power-law guard that bounds candidates at
+    CAP^2 * |V| — and stay an equi-join on the center."""
+    df = _df(spark, sf_dir, "gr_linkpred_adamic_adar")
+    plan = X.formatted_plan(df)
+    assert not X.has_cartesian_product(df), "wedge degraded to cartesian"
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.graph import (
+        AA_NEIGHBOR_CAP,
+    )
+    assert "row_number" in plan, "per-center neighbor ranking missing"
+    assert f"nb_rank#" in plan and f"<= {AA_NEIGHBOR_CAP}" in plan, (
+        "neighbor-cap filter not in the physical plan"
+    )
