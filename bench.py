@@ -112,6 +112,12 @@ HEADLINE = [
     "gr_linkpred_adamic_adar",
     "mm_image_near_dup",
     "tw_session_ids",
+    # round-6 additions
+    "dd_lsh_param_sweep",
+    "tx_zipf_fit",
+    "sk_hot_keys",
+    "sk_gini_activity",
+    "fx_entropy_source_mix",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -1904,3 +1904,94 @@ def tx_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "vec_csv")
         .orderBy("doc_id")
     )
+
+
+# --- vocabulary Zipf fit ------------------------------------------------------
+
+# Milli-grid for the log-log regression: ln values snap to 1e-3 BEFORE the
+# sums, so aggregation order can't perturb the slope, and the integer
+# cross-products stay far from int64 overflow (x,y <= ln(2^40)*1e3 ~ 2.8e4;
+# with V vocabulary types n*Σxy <= V²·8e8 — safe to V ~ 3e6 types; past
+# that the sums need a decimal/hugeint accumulator on both engines).
+ZIPF_LN_SCALE = 1_000
+
+
+@register(
+    "tx_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({SQL_TOKENS}) AS w FROM documents
+    ),
+    cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    rk AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r FROM cnt
+    ),
+    g AS (
+        SELECT CAST(floor(ln(r::DOUBLE) * {ZIPF_LN_SCALE} + 0.5) AS BIGINT) AS x,
+               CAST(floor(ln(c::DOUBLE) * {ZIPF_LN_SCALE} + 0.5) AS BIGINT) AS y
+        FROM rk
+    ),
+    s AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM g
+    )
+    SELECT n AS n_types,
+           ROUND((n * sxy - sx * sy)::DOUBLE
+                 / NULLIF((n * sxx - sx * sx)::DOUBLE, 0), 6) AS zipf_slope
+    FROM s
+    """,
+    tags=("text", "vocabulary", "statistics"),
+)
+def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: the least-squares slope of
+    ln(frequency) against ln(rank) — the one-number skew diagnostic a
+    pipeline owner checks before trusting uniform-key assumptions (a
+    natural-language corpus sits near −1; this synthetic corpus near 0;
+    the round-6 boilerplate variant in between). Rank ties break on the
+    token so both engines rank identically.
+
+    Determinism: ln values snap to the ZIPF_LN_SCALE integer grid per
+    TYPE before any sum (the tx_unigram_logprob argument — ln of an exact
+    small integer), so the regression reduces to five exact integer sums
+    and one final double division, identical on both engines.
+
+    Plan shape (100 TB): one map-side-combined token count (the
+    vocabulary relation — millions of rows, not the corpus), one
+    vocabulary-sized ranking sort, five integer aggregates. The corpus
+    itself is touched exactly once.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(T.tokens("text")).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count("*").alias("c"))
+    rk = cnt.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("w")))
+        .alias("r"),
+    )
+    def ln_grid(col):
+        return F.floor(
+            F.log(F.col(col).cast("double")) * ZIPF_LN_SCALE + F.lit(0.5)
+        ).cast("bigint")
+    g = rk.select(ln_grid("r").alias("x"), ln_grid("c").alias("y"))
+    s = g.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_types"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.nullif(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )

@@ -276,14 +276,19 @@ def band_hashes(
 # recall — the approximation itself is value-checked, like ss_lsh_topk.
 
 
-def _duck_band_exprs() -> str:
+def _duck_band_exprs(
+    n_bands: int | None = None, rows_per_band: int | None = None
+) -> str:
     """UNION ALL selects — one per band — generated from the same affine
-    coefficients the Spark expressions use."""
+    coefficients the Spark expressions use. Parametric over the banding
+    so the sweep oracle can regroup the SAME 32 hashes."""
+    n_bands = NUM_BANDS if n_bands is None else n_bands
+    rows_per_band = ROWS_PER_BAND if rows_per_band is None else rows_per_band
     selects = []
-    for b in range(NUM_BANDS):
+    for b in range(n_bands):
         parts = []
-        for r in range(ROWS_PER_BAND):
-            a, c = _affine_coeffs(b * ROWS_PER_BAND + r)
+        for r in range(rows_per_band):
+            a, c = _affine_coeffs(b * rows_per_band + r)
             parts.append(
                 f"list_min(list_transform(hs, h -> "
                 f"((h % {MINHASH_MOD}) * {a} + {c}) % {MINHASH_MOD}))::VARCHAR"
@@ -1886,4 +1891,226 @@ def dd_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((1000 * COUNT(l_a)) DIV COUNT(*) AS BIGINT)").alias(
             "recall_milli"
         ),
+    )
+
+
+# --- LSH banding parameter sweep ----------------------------------------------
+
+# The three regroupings of the SAME 32 minhashes a pipeline owner would
+# trade off: (bands, rows_per_band). More bands / shorter rows = higher
+# recall AND more candidates; the sweep quantifies both sides at once.
+SWEEP_CONFIGS = ((4, 8), (8, 4), (16, 2))
+
+
+def _duck_sweep_sql() -> str:
+    cfg_blocks, cfg_rows = [], []
+    for b, r in SWEEP_CONFIGS:
+        cfg_blocks.append(f"""
+    bands_{b}_{r} AS (
+        {_duck_band_exprs(b, r)}
+    ),
+    cands_{b}_{r} AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands_{b}_{r} a JOIN bands_{b}_{r} b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    found_{b}_{r} AS (
+        SELECT COUNT(*) AS c
+        FROM cands_{b}_{r} c
+        JOIN shn sa ON sa.doc_id = c.a_id
+        JOIN shn sb ON sb.doc_id = c.b_id
+        WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+              / nullif(len(sa.s) + len(sb.s)
+                       - len(list_intersect(sa.s, sb.s)), 0)
+              >= {JACCARD_THRESHOLD}
+    )""")
+        cfg_rows.append(f"""
+    SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+           (SELECT COUNT(*) FROM cands_{b}_{r}) AS n_candidates,
+           (SELECT c FROM found_{b}_{r}) AS n_found,
+           (SELECT n FROM truth) AS n_true,
+           CAST((1000 * (SELECT c FROM found_{b}_{r}))
+                // NULLIF((SELECT n FROM truth), 0) AS BIGINT) AS recall_milli
+    """)
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {SQL_SHINGLES3} AS s FROM documents
+    ),
+    shn AS (
+        SELECT doc_id, s,
+               list_transform(s, x ->
+                   CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+        FROM sh WHERE len(s) > 0
+    ),
+    truth AS (
+        SELECT COUNT(*) AS n FROM (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / nullif(len(a.s) + len(b.s)
+                           - len(list_intersect(a.s, b.s)), 0)
+                  >= {JACCARD_THRESHOLD}
+        )
+    ),{",".join(cfg_blocks)}
+    {" UNION ALL ".join(cfg_rows)}
+    ORDER BY bands
+    """
+
+
+_SWEEP_SCHEMA = "doc_id long, sh array<string>, " + ", ".join(
+    f"b{b} array<string>" for b, _ in SWEEP_CONFIGS
+)
+
+
+def _sweep_signature_relation(d: DataFrame) -> DataFrame:
+    """(doc_id, shingles, band hashes per SWEEP_CONFIGS grouping) in ONE
+    Arrow pass: the 32 minhash values are computed once and regrouped
+    three ways — exactly how a production sweep amortizes the signature
+    cost across the configs it evaluates. Hash math is bit-identical to
+    _signature_relation / the DuckDB oracle."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    A = np.array([a for a, _ in _AFFINE], dtype=np.uint64)
+    B = np.array([b for _, b in _AFFINE], dtype=np.uint64)
+    ws = re.compile(r"\s+")
+
+    def compute(batches):
+        for pdf in batches:
+            ids, shs = [], []
+            per_cfg: dict[int, list] = {b: [] for b, _ in SWEEP_CONFIGS}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = ws.split(text.strip())
+                if len(toks) < 3:
+                    continue
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                    )
+                )
+                hs = np.fromiter(
+                    (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh),
+                    dtype=np.uint64,
+                    count=len(sh),
+                )
+                sig = (
+                    (hs[:, None] % MINHASH_MOD) * A[None, :] + B[None, :]
+                ) % MINHASH_MOD
+                sig = sig.min(axis=0)
+                for b, r in SWEEP_CONFIGS:
+                    per_cfg[b].append(
+                        [
+                            hashlib.md5(
+                                ",".join(
+                                    str(int(x)) for x in sig[i * r : (i + 1) * r]
+                                ).encode()
+                            ).hexdigest()
+                            for i in range(b)
+                        ]
+                    )
+                ids.append(doc_id)
+                shs.append(sh)
+            out = {"doc_id": ids, "sh": shs}
+            for b, _ in SWEEP_CONFIGS:
+                out[f"b{b}"] = per_cfg[b]
+            yield pd.DataFrame(out)
+
+    n = d.sparkSession.sparkContext.defaultParallelism
+    return d.repartition(n).select("doc_id", "text").mapInPandas(
+        compute, _SWEEP_SCHEMA
+    )
+
+
+@register(
+    "dd_lsh_param_sweep",
+    oracle=_duck_sweep_sql(),
+    tags=("dedup", "lsh", "evaluation", "tuning"),
+)
+def dd_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter sweep: for each (bands, rows_per_band) regrouping
+    of the SAME 32-hash MinHash signature, the candidate volume AND the
+    verified recall against exact ground truth — the two axes the LSH
+    S-curve trades, reported side by side so retuning is a table lookup
+    instead of folklore. Complements dd_lsh_recall_report (which watches
+    ONE deployed config) the way a training sweep complements a dashboard.
+
+    Plan shape (100 TB): signatures are ONE Arrow pass over the corpus
+    (the 32 hashes are computed once and regrouped per config — the
+    dominant cost is amortized across the whole sweep); each config then
+    costs one band-bucket equi-join over its candidate volume, which is
+    the quantity being measured. Ground truth is the exact shingle join —
+    on a production corpus the sweep runs on a sample, same plan. All
+    crossJoins below are 1-row broadcast scalars (the repo's scalar-
+    subquery pattern).
+    """
+    sig = _sweep_signature_relation(_docs(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    va = sig.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    vb = sig.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    jac = common.cast("double") / F.nullif(
+        (F.size("sh_a") + F.size("sh_b") - common).cast("double"), F.lit(0.0)
+    )
+    # ground truth via the inverted-index exact join (no cartesian): the
+    # registered exact operator IS the truth definition
+    truth = dd_ngram_jaccard(spark, sf_dir).agg(F.count("*").alias("n_true"))
+    per_cfg = []
+    for b, r in SWEEP_CONFIGS:
+        bands = sig.select(
+            "doc_id", F.posexplode(f"b{b}").alias("band_idx", "band_hash")
+        )
+        cands = (
+            bands.alias("x")
+            .join(
+                bands.alias("y"),
+                (F.col("x.band_idx") == F.col("y.band_idx"))
+                & (F.col("x.band_hash") == F.col("y.band_hash"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)  # feeds the count AND the verify
+        )
+        found = (
+            cands.join(va, "a_id")
+            .join(vb, "b_id")
+            .withColumn("jac", jac)
+            .filter(F.col("jac") >= JACCARD_THRESHOLD)
+            .agg(F.count("*").alias("n_found"))
+        )
+        per_cfg.append(
+            cands.agg(F.count("*").alias("n_candidates"))
+            .crossJoin(found)
+            .select(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "n_found",
+            )
+        )
+    rows = per_cfg[0]
+    for p in per_cfg[1:]:
+        rows = rows.unionByName(p)
+    return (
+        rows.crossJoin(F.broadcast(truth))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_found",
+            "n_true",
+            F.expr(
+                "CAST((1000 * n_found) DIV NULLIF(n_true, 0) AS BIGINT)"
+            ).alias("recall_milli"),
+        )
+        .orderBy("bands")
     )

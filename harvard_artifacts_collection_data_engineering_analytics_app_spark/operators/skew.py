@@ -231,3 +231,145 @@ def sk_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in saved.items():
             spark.conf.set(k, v)
     return df
+
+
+# --- hot-key diagnostic report ------------------------------------------------
+
+HOT_TOP = 10  # keys reported
+
+
+@register(
+    "sk_hot_keys",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    t AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM c),
+    r AS (
+        SELECT user_id, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rk
+        FROM c
+    )
+    SELECT r.rk, r.user_id, r.cnt,
+           CAST((1000 * r.cnt) // (SELECT total FROM t) AS BIGINT)
+               AS share_milli,
+           CAST((1000 * SUM(r.cnt) OVER (ORDER BY r.rk))
+                // (SELECT total FROM t) AS BIGINT) AS cum_share_milli,
+           (SELECT n_keys FROM t) AS n_keys
+    FROM r WHERE r.rk <= {HOT_TOP}
+    ORDER BY r.rk
+    """,
+    tags=("skew", "diagnostics"),
+)
+def sk_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key report for the events.user_id shuffle key: the top-{10}
+    keys with per-key and cumulative share (integer milli), plus total
+    key cardinality — the diagnostic a pipeline owner runs BEFORE
+    choosing between plain, salted, and AQE-skew plans (on the round-6
+    Zipf variant the top row reads ~160 milli = one user owning 16% of
+    the fact table; on uniform data ~1 milli). Complements the sk_*
+    mitigation operators the way EXPLAIN complements a hint.
+
+    Plan shape (100 TB): one map-side-combined count per key (the only
+    pass over the fact), then ranking over the |keys| relation and a
+    1-row broadcast total (scalar-subquery pattern). The report is
+    top-N-bounded output; nothing key-cardinality-sized leaves the
+    aggregation.
+    """
+    ensure_analytics_conf(spark)
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    t = c.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
+    )
+    r = c.select(
+        "user_id",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("user_id")))
+        .cast("long")
+        .alias("rk"),
+    ).filter(F.col("rk") <= HOT_TOP)
+    cum = (
+        Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(
+            "rk",
+            "user_id",
+            "cnt",
+            F.expr("CAST((1000 * cnt) DIV total AS BIGINT)").alias(
+                "share_milli"
+            ),
+            F.expr(
+                "CAST((1000 * SUM(cnt) OVER (ORDER BY rk)) DIV total AS BIGINT)"
+            ).alias("cum_share_milli"),
+            "n_keys",
+        )
+        .orderBy("rk")
+    )
+
+
+@register(
+    "sk_gini_activity",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS i FROM c
+    ),
+    s AS (
+        SELECT COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS tot,
+               CAST(SUM(i * cnt) AS BIGINT) AS sic
+        FROM r
+    )
+    SELECT n AS n_keys, tot AS total_events,
+           ROUND((2 * sic - (n + 1) * tot)::DOUBLE / (n * tot)::DOUBLE, 6)
+               AS gini
+    FROM s
+    """,
+    tags=("skew", "diagnostics"),
+)
+def sk_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of events-per-user — the single-number key-
+    concentration metric that pairs with sk_hot_keys' top-N table
+    (uniform keys → ~0; the round-6 Zipf variant → high). Computed by the
+    exact rank formula G = (2·Σ i·cᵢ − (n+1)·Σ cᵢ) / (n·Σ cᵢ) over counts
+    sorted ascending with a user_id tie-break, so the whole statistic is
+    three integer sums and one final double division — identical on both
+    engines, no float accumulation anywhere.
+
+    Plan shape (100 TB): one map-side-combined per-key count, one ranking
+    sort over the |keys| relation (the same total order sk_hot_keys
+    already prices), three integer aggregates, 1-row output.
+    """
+    ensure_analytics_conf(spark)
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    r = c.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.asc("cnt"), F.asc("user_id")))
+        .cast("long")
+        .alias("i"),
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("tot"),
+        F.sum(F.col("i") * F.col("cnt")).alias("sic"),
+    )
+    return s.select(
+        F.col("n").alias("n_keys"),
+        F.col("tot").alias("total_events"),
+        F.round(
+            (2 * F.col("sic") - (F.col("n") + 1) * F.col("tot")).cast("double")
+            / (F.col("n") * F.col("tot")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

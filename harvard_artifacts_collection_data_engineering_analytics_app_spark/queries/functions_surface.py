@@ -1786,3 +1786,68 @@ def fx_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# --- source-mix entropy -------------------------------------------------------
+
+ENTROPY_SCALE = 1_000_000  # ln fixed-point grid (the tx_unigram_logprob rule)
+
+
+@register(
+    "fx_entropy_source_mix",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_sources FROM c),
+    g AS (
+        SELECT SUM(cnt * CAST(floor(ln(cnt::DOUBLE) * {ENTROPY_SCALE} + 0.5)
+                              AS BIGINT)) AS sterm
+        FROM c
+    )
+    SELECT (SELECT n_sources FROM t) AS n_sources,
+           (SELECT CAST(total AS BIGINT) FROM t) AS total_docs,
+           ROUND((CAST(floor(ln((SELECT total FROM t)::DOUBLE)
+                             * {ENTROPY_SCALE} + 0.5) AS BIGINT)
+                  * (SELECT total FROM t) - (SELECT sterm FROM g))::DOUBLE
+                 / ((SELECT total FROM t)::DOUBLE * {ENTROPY_SCALE}), 6)
+               AS entropy_nats
+    FROM t
+    """,
+    tags=("relational", "statistics", "data-mix"),
+)
+def fx_entropy_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the documents-per-source distribution —
+    the data-mix balance number an LLM curation pipeline tracks per
+    snapshot (max ln(n_sources) = perfectly balanced; falling entropy =
+    one source swallowing the mix; pairs with tx_source_mix's share table
+    and fx_psi_drift's drift test).
+
+    Determinism: H = ln(N) − Σ cᵢ·ln(cᵢ)/N, with every ln snapped to the
+    ENTROPY_SCALE integer grid per SOURCE before the sum — aggregation
+    order can't move the result, and the one double division at the end
+    sees identical integers on both engines.
+
+    Plan shape (100 TB): one map-side-combined count per source (|sources|
+    rows), two scalar aggregates over it, 1-row output. The corpus scan
+    reads ONE column.
+    """
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count("*").alias("cnt"))
+    lnm = lambda col: F.floor(
+        F.log(col.cast("double")) * ENTROPY_SCALE + F.lit(0.5)
+    ).cast("bigint")
+    s = c.agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").alias("n_sources"),
+        F.sum(F.col("cnt") * lnm(F.col("cnt"))).alias("sterm"),
+    )
+    return s.select(
+        F.col("n_sources"),
+        F.col("total").alias("total_docs"),
+        F.round(
+            (lnm(F.col("total")) * F.col("total") - F.col("sterm")).cast("double")
+            / (F.col("total").cast("double") * ENTROPY_SCALE),
+            6,
+        ).alias("entropy_nats"),
+    )

@@ -380,3 +380,15 @@ def test_linkpred_wedge_is_capped_and_equijoin(spark, sf_dir):
     assert f"nb_rank#" in plan and f"<= {AA_NEIGHBOR_CAP}" in plan, (
         "neighbor-cap filter not in the physical plan"
     )
+
+
+def test_round6_new_ops_plan_shapes(spark, sf_dir):
+    """Round-6 operators: single-pass aggregation shapes, no cartesians
+    in the sweep's band joins (the 1-row scalar crossJoins broadcast)."""
+    for name in ("tx_zipf_fit", "sk_hot_keys", "sk_gini_activity",
+                 "fx_entropy_source_mix"):
+        df = _df(spark, sf_dir, name)
+        assert X.has_partial_aggregate(df), f"{name}: no map-side partials"
+        assert not X.has_cartesian_product(df), name
+    sweep = _df(spark, sf_dir, "dd_lsh_param_sweep")
+    assert not X.has_cartesian_product(sweep), "sweep band join degraded"
