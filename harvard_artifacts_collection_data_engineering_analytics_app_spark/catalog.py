@@ -17,6 +17,34 @@ from pyspark.sql.types import LongType, TimestampNTZType
 
 from .session import ensure_analytics_conf
 
+def content_key(sf_dir: str, table: str) -> str:
+    """12-hex fingerprint of a source table's FILES (path + name/size/
+    mtime per file) — the staleness key every persisted derived artifact
+    (dedup corpus index, IVF/PQ indexes, incremental-MV partials) folds
+    into its table name.
+
+    Keying on the path alone is a silent-wrong-results bug: regenerate
+    the parquet under the same path (this repo's round history records
+    the driver doing exactly that) and a path-keyed artifact keeps
+    serving stale data. With the fingerprint in the name, regeneration
+    simply misses the catalog lookup and the artifact rebuilds — the
+    local-mode analogue of checking a lakehouse table's snapshot id.
+    """
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    parts = [sf_dir.rstrip("/"), table]
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 # The driver-generated star schema + extension tables (TESTDATA.md).
 TABLES = (
     "region",

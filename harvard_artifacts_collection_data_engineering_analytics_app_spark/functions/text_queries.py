@@ -1995,3 +1995,88 @@ def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# --- dedup impact on the source mix -------------------------------------------
+
+
+@register(
+    "tx_dedup_shift",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source, md5(lower(trim(text))) AS h FROM documents
+    ),
+    k AS (SELECT h, MIN(doc_id) AS keeper FROM fp GROUP BY h),
+    s AS (
+        SELECT f.source,
+               COUNT(*) AS n_docs,
+               COUNT(*) FILTER (WHERE f.doc_id = k.keeper) AS n_kept
+        FROM fp f JOIN k ON k.h = f.h
+        GROUP BY f.source
+    ),
+    t AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_before,
+               CAST(SUM(n_kept) AS BIGINT) AS tot_after
+        FROM s
+    )
+    SELECT s.source, s.n_docs, s.n_kept,
+           CAST((1000 * s.n_kept) // s.n_docs AS BIGINT) AS kept_milli,
+           CAST((1000 * s.n_docs) // t.tot_before AS BIGINT)
+               AS share_before_milli,
+           CAST((1000 * s.n_kept) // NULLIF(t.tot_after, 0) AS BIGINT)
+               AS share_after_milli
+    FROM s CROSS JOIN t
+    ORDER BY s.source
+    """,
+    tags=("text", "dedup", "data-mix"),
+)
+def tx_dedup_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How exact dedup SHIFTS the source mix: per source, documents vs
+    survivors (keeper = min doc_id per normalized fingerprint) and the
+    corpus share before/after — the report that catches dedup silently
+    re-weighting the training mixture (duplicate-heavy sources lose
+    share; the Lee et al. dedup papers flag exactly this side effect).
+    Composes dd_exact_groups' keeper rule with tx_source_mix's share
+    table; all shares on the integer milli grid.
+
+    Plan shape (100 TB): one fingerprint aggregation (16-byte keys,
+    map-side combined), one equi-join back on the fingerprint, one
+    |sources|-row conditional aggregation, 1-row broadcast totals
+    (scalar-subquery pattern). Text never shuffles — only hashes.
+    """
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source", F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    )
+    k = fp.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    s = (
+        fp.join(k, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("doc_id") == F.col("keeper"), True)).alias(
+                "n_kept"
+            ),
+        )
+    )
+    t = s.agg(
+        F.sum("n_docs").alias("tot_before"), F.sum("n_kept").alias("tot_after")
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.expr("CAST((1000 * n_kept) DIV n_docs AS BIGINT)").alias(
+                "kept_milli"
+            ),
+            F.expr("CAST((1000 * n_docs) DIV tot_before AS BIGINT)").alias(
+                "share_before_milli"
+            ),
+            F.expr(
+                "CAST((1000 * n_kept) DIV NULLIF(tot_after, 0) AS BIGINT)"
+            ).alias("share_after_milli"),
+        )
+        .orderBy("source")
+    )

@@ -293,3 +293,67 @@ def aj_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+# --- as-of with tolerance -----------------------------------------------------
+
+ASOF_TOL_MICROS = 1_800_000_000  # 30 min: attribution window
+
+
+@register(
+    "aj_purchase_last_click_tol",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT event_id AS click_event_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.click_ts)
+                     <= {ASOF_TOL_MICROS}
+                THEN c.click_event_id END AS asof_click_event_id,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.click_ts)
+                     <= {ASOF_TOL_MICROS}
+                THEN c.click_ts END AS asof_click_ts,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.click_ts)
+                     <= {ASOF_TOL_MICROS}
+                THEN CAST(epoch_us(p.ts) - epoch_us(c.click_ts) AS BIGINT)
+           END AS micros_since_click
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    tags=("asof", "join", "events", "tolerance"),
+)
+def aj_purchase_last_click_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a TOLERANCE window (pandas merge_asof's
+    ``tolerance=`` / QuestDB's bounded ASOF): a purchase attributes to its
+    most recent preceding click only when that click is within 30
+    minutes; otherwise the match columns are NULL — the marketing
+    attribution-window rule.
+
+    For the BACKWARD direction a post-hoc null-out is exactly
+    merge_asof's semantics: candidates earlier than the nearest preceding
+    click are strictly farther away, so "nearest within tolerance" and
+    "nearest, then tolerance-filtered" coincide (not true for 'nearest'
+    direction — there the filter must precede the 1:1 choice).
+
+    Plan shape (100 TB): identical to aj_purchase_last_click — ONE
+    user_id shuffle via the union-and-carry window; the tolerance test is
+    a scalar projection on top, adding nothing to the exchange.
+    """
+    base = aj_purchase_last_click(spark, sf_dir)
+    in_tol = F.col("micros_since_click") <= ASOF_TOL_MICROS
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_tol, F.col("asof_click_event_id")).alias(
+            "asof_click_event_id"
+        ),
+        F.when(in_tol, F.col("asof_click_ts")).alias("asof_click_ts"),
+        F.when(in_tol, F.col("micros_since_click")).alias(
+            "micros_since_click"
+        ),
+    )

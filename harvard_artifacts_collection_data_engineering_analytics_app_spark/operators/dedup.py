@@ -1479,12 +1479,14 @@ CORPUS_SIG_TABLE = "corpus_signatures"
 
 
 def corpus_index_names(sf_dir: str) -> tuple[str, str]:
-    """Index table names keyed by source dir, so a session that touches
-    several scale factors (the test suite does) never joins a batch
-    against a stale index built from different data."""
-    import hashlib
+    """Index table names keyed by source dir AND file content fingerprint
+    (catalog.content_key), so neither a different scale factor nor a
+    REGENERATED documents table under the same path can silently serve a
+    stale index (the fx_incremental_agg_refresh staleness fix, applied to
+    every persisted artifact)."""
+    from ..catalog import content_key
 
-    h = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    h = content_key(sf_dir, "documents")
     return f"{BAND_INDEX_TABLE}_{h}", f"{CORPUS_SIG_TABLE}_{h}"
 
 

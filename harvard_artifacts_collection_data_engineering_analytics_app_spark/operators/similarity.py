@@ -1061,11 +1061,12 @@ def ss_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_index_names(sf_dir: str) -> tuple[str, str]:
-    """(inverted-list table, centroid table) keyed by source dir — same
-    staleness guard as the dedup corpus index."""
-    import hashlib
+    """(inverted-list table, centroid table) keyed by source dir AND file
+    content fingerprint — same regeneration-proof staleness guard as the
+    dedup corpus index (catalog.content_key)."""
+    from ..catalog import content_key
 
-    h = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    h = content_key(sf_dir, "embeddings")
     return f"ivf_lists_{h}", f"ivf_centroids_{h}"
 
 
@@ -1608,11 +1609,12 @@ def ss_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pq_index_names(sf_dir: str) -> tuple[str, str]:
-    """(codes table, codebook table) keyed by source dir — same staleness
-    guard as the IVF and dedup-corpus indexes."""
-    import hashlib
+    """(codes table, codebook table) keyed by source dir AND file content
+    fingerprint — same regeneration-proof staleness guard as the IVF and
+    dedup-corpus indexes (catalog.content_key)."""
+    from ..catalog import content_key
 
-    h = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    h = content_key(sf_dir, "embeddings")
     return f"pq_codes_{h}", f"pq_codebooks_{h}"
 
 
@@ -1934,3 +1936,92 @@ def ss_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("q_id")
     )
 
+
+
+# --- embedding-space drift (cluster-occupancy PSI) ----------------------------
+
+DRIFT_SCALE = 1_000_000  # ln fixed-point grid (fx_psi_drift's rule)
+
+
+@register(
+    "ss_embedding_drift",
+    oracle=f"""
+    WITH {_km_ctes()},
+    b AS (
+        SELECT cluster,
+               COUNT(*) FILTER (WHERE vec_id % 2 = 0) AS n_ref,
+               COUNT(*) FILTER (WHERE vec_id % 2 = 1) AS n_cur
+        FROM a{KM_ITERS} GROUP BY cluster
+    ),
+    t AS (
+        SELECT SUM(n_ref)::DOUBLE AS tr, SUM(n_cur)::DOUBLE AS tc,
+               COUNT(*) AS k
+        FROM b
+    )
+    SELECT b.cluster, b.n_ref, b.n_cur,
+           ROUND(((b.n_ref + 1) / (t.tr + t.k)
+                  - (b.n_cur + 1) / (t.tc + t.k))
+                 * CAST(floor(ln(((b.n_ref + 1) / (t.tr + t.k))
+                                 / ((b.n_cur + 1) / (t.tc + t.k)))
+                              * {DRIFT_SCALE} + 0.5) AS BIGINT)
+                 / {DRIFT_SCALE}.0, 6) AS psi_contrib
+    FROM b CROSS JOIN t
+    ORDER BY b.cluster
+    """,
+    tags=("similarity", "drift", "mlops"),
+)
+def ss_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift report: cluster the corpus with the shared
+    fixed-point k-means, split it into a reference and a current snapshot
+    (deterministic vec_id parity standing in for two time windows), and
+    report per-cluster occupancy with the add-1-smoothed PSI contribution
+    (p−q)·ln(p/q) — fx_psi_drift lifted from scalar feature buckets to
+    SEMANTIC buckets, the check a production RAG/training pipeline runs
+    to notice its embedding distribution shifting before retrieval
+    quality visibly degrades (centroids = the learned bucketing).
+
+    Determinism: the clustering is the value-oracled ss_kmeans
+    fixed-point pipeline (exact integer distances, replayed CTE-for-CTE
+    by the oracle); the PSI arithmetic follows fx_psi_drift exactly —
+    per-cluster ln on the integer grid, p/q exact small rationals,
+    per-row contributions so no float summation exists.
+
+    Plan shape (100 TB): the k-means assignment pass dominates (already
+    priced by ss_kmeans: one Arrow matmul pass per iteration, O(K·DIM)
+    driver merge); the drift report itself is one K-row conditional
+    aggregation and a 1-row broadcast total — free. In production the
+    centroids would be the PERSISTED quantizer (build_ivf_index), making
+    refresh cost one assignment pass over the new snapshot only.
+    """
+    v = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    seeds = v.filter(F.col("vec_id") < KM_K).select("vec_id", "x").collect()
+    centroids = sorted(
+        (int(r["vec_id"]), [int(val) for val in r["x"]]) for r in seeds
+    )
+    for _ in range(KM_ITERS):
+        centroids = _km_update(v, centroids)
+    asg = _km_assign(v, centroids).select("vec_id", "cluster")
+    b = asg.groupBy("cluster").agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, True)).alias("n_ref"),
+        F.count(F.when(F.col("vec_id") % 2 == 1, True)).alias("n_cur"),
+    )
+    t = b.agg(
+        F.sum("n_ref").cast("double").alias("tr"),
+        F.sum("n_cur").cast("double").alias("tc"),
+        F.count("*").alias("k"),
+    )
+    p = (F.col("n_ref") + 1) / (F.col("tr") + F.col("k"))
+    q = (F.col("n_cur") + 1) / (F.col("tc") + F.col("k"))
+    ln_fp = F.floor(F.log(p / q) * DRIFT_SCALE + F.lit(0.5)).cast("bigint")
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "cluster",
+            "n_ref",
+            "n_cur",
+            F.round((p - q) * ln_fp / float(DRIFT_SCALE), 6).alias(
+                "psi_contrib"
+            ),
+        )
+        .orderBy("cluster")
+    )

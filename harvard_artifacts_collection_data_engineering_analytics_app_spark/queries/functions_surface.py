@@ -1459,21 +1459,11 @@ def _mv_table(sf_dir: str) -> str:
     that), a path-keyed MV silently merges stale partials and returns
     wrong totals. Folding the fingerprint into the name makes regeneration
     produce a different table, forcing a rebuild — the local-mode analogue
-    of a snapshot-id check against a table format's metadata."""
-    import hashlib
-    import os
+    of a snapshot-id check against a table format's metadata. The same
+    guard protects every persisted artifact (catalog.content_key)."""
+    from ..catalog import content_key
 
-    src = os.path.join(sf_dir, "events.parquet")
-    parts = [sf_dir.rstrip("/")]
-    if os.path.isdir(src):
-        for name in sorted(os.listdir(src)):
-            st = os.stat(os.path.join(src, name))
-            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(src):
-        st = os.stat(src)
-        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    h = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
-    return f"mv_user_totals_{h}"
+    return f"mv_user_totals_{content_key(sf_dir, 'events')}"
 
 
 @register(

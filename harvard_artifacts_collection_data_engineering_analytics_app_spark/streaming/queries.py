@@ -379,3 +379,99 @@ def st_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy("from_type", "to_type")
     )
+
+
+# --- streaming near-dup ingestion against the persisted corpus index ----------
+
+
+def _incremental_oracle() -> str:
+    from ..operators.dedup import _DUCK_INCREMENTAL
+
+    return _DUCK_INCREMENTAL
+
+
+@register(
+    "st_near_dup_ingest",
+    # identical oracle to dd_incremental_minhash / _indexed: under
+    # AvailableNow replay the streaming pipeline must produce exactly the
+    # batch incremental-dedup relation
+    oracle=_incremental_oracle(),
+    tags=("streaming", "dedup", "minhash", "stream-static"),
+)
+def st_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-duplicate ingestion: the incoming document batch
+    arrives as a stream, is MinHash-signatured in-flight (Arrow
+    mapInPandas on the stream — stateless, so fully streaming-legal),
+    band-joined against the PERSISTED bucketed corpus index
+    (stream-static join; the static side is the bucketed table
+    build_corpus_dedup_index maintains), verified with exact Jaccard
+    against the stored shingle table, and reduced to distinct verified
+    pairs by one streaming aggregation (complete mode). This is the shape
+    of a production ingestion pipeline: corpus state lives in tables, the
+    stream only ever carries batch-sized data, and dedup cost per
+    micro-batch is independent of corpus size.
+
+    The per-incoming-doc rollup (min match / distinct-match count / best
+    jaccard) runs on the DRAINED pair relation: a second chained
+    streaming aggregation is the one shape Structured Streaming still
+    restricts (non-append chained aggs), and in production that rollup is
+    the serving query over the continuously-maintained pair table — the
+    same split as here. Under AvailableNow replay stream≡batch, so the
+    oracle is literally the batch operator's (_DUCK_INCREMENTAL).
+
+    Plan shape (100 TB): identical to dd_incremental_minhash_indexed per
+    micro-batch — the index side never re-shuffles (bucketed on its join
+    keys); signatures stream through one Arrow pass; state is one row per
+    verified candidate pair of the CURRENT batch, not per corpus doc.
+    """
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        _incoming_pred,
+        _signature_relation,
+        build_corpus_dedup_index,
+        corpus_index_names,
+    )
+    from .pipelines import read_documents_stream, run_to_memory
+
+    ensure_analytics_conf(spark)
+    band_table, sig_table = corpus_index_names(sf_dir)
+    if not (
+        spark.catalog.tableExists(band_table)
+        and spark.catalog.tableExists(sig_table)
+    ):
+        build_corpus_dedup_index(
+            spark, sf_dir, band_table=band_table, sig_table=sig_table
+        )
+    incoming = read_documents_stream(spark, sf_dir).filter(_incoming_pred())
+    sig_i = _signature_relation(incoming)
+    # carry the shingle array through the band explode: joining candidates
+    # back to sig_i would be a stream-stream join (needs watermarks); the
+    # stream is batch-sized, so the wider explode is the cheaper plan
+    bi = sig_i.select(
+        F.col("doc_id").alias("in_id"),
+        F.col("sh").alias("sh_i"),
+        F.posexplode("bands").alias("band_idx", "band_hash"),
+    )
+    cand = bi.join(
+        spark.table(band_table), ["band_idx", "band_hash"]
+    ).select("in_id", "sh_i", "ex_id")
+    jac = F.size(F.array_intersect("sh_i", "sh_e")).cast("double") / F.nullif(
+        F.size(F.array_union("sh_i", "sh_e")).cast("double"), F.lit(0.0)
+    )
+    pairs = (
+        cand.join(spark.table(sig_table), "ex_id")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .groupBy("in_id", "ex_id")
+        .agg(F.max("jac").alias("jac"))
+    )
+    run_to_memory(pairs, "st_near_dup_mem", output_mode="complete")
+    drained = spark.table("st_near_dup_mem")
+    return (
+        drained.groupBy(F.col("in_id").alias("incoming_doc_id"))
+        .agg(
+            F.min("ex_id").alias("matched_doc_id"),
+            F.countDistinct("ex_id").alias("n_matches"),
+            F.round(F.max("jac"), 6).alias("best_jaccard"),
+        )
+    )

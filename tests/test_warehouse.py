@@ -232,3 +232,28 @@ def test_zorder_layout_localizes_both_dimensions(spark, sf_dir, tmp_path):
     # z-order confines it
     assert z_touched < s_touched, (z_touched, s_touched)
     assert z_touched <= n_files // 2, f"z-order barely localized: {z_touched}"
+
+
+def test_content_key_changes_when_source_regenerates(tmp_path):
+    """Persisted-artifact staleness guard (r5 advice, generalized): the
+    content fingerprint must change when the source parquet is
+    regenerated under the SAME path — path-keyed names silently served
+    stale indexes/MVs before."""
+    import os
+    import shutil
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.catalog import (
+        content_key,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    dst_dir = tmp_path / "sf"
+    dst_dir.mkdir()
+    dst = dst_dir / "events.parquet"
+    shutil.copyfile(src, dst)
+    k1 = content_key(str(dst_dir), "events")
+    assert k1 == content_key(str(dst_dir), "events"), "key not deterministic"
+    os.utime(dst, ns=(1, 1))  # same bytes, regenerated mtime
+    k2 = content_key(str(dst_dir), "events")
+    assert k1 != k2, "regeneration under the same path must change the key"
+    assert k1 != content_key(str(dst_dir), "documents"), "table not in key"
