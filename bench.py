@@ -125,6 +125,9 @@ HEADLINE = [
     # dd_incremental_minhash_indexed (earlier in this list) built, so the
     # number prices the streaming pipeline, not the index build
     "st_near_dup_ingest",
+    "ss_rrf_hybrid",
+    "gr_labelprop_communities",
+    "mm_keyframe_select",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

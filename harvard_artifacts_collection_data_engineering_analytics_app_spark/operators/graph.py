@@ -934,3 +934,134 @@ def gr_supplier_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("segment_size", F.count("*").over(wseg).cast("bigint"))
         .orderBy("segment_id", "supplier")
     )
+
+
+# --- community detection: weighted label propagation --------------------------
+
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """Chained per-round CTEs (the gr_pagerank replay pattern): each round
+    re-labels every node with the weight-majority label among its
+    neighbors, ties broken by the smaller label."""
+    ctes = [
+        f"""os AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderdate >= TIMESTAMP '{TRI_MONTH_LO}'
+          AND o_orderdate <  TIMESTAMP '{TRI_MONTH_HI}'
+    )""",
+        """p AS (
+        SELECT a.s AS x, b.s AS y, COUNT(*) AS w
+        FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+        GROUP BY a.s, b.s
+    )""",
+        "edges AS (SELECT x, y, w FROM p UNION ALL SELECT y, x, w FROM p)",
+        "l0 AS (SELECT DISTINCT x AS node, x AS lbl FROM edges)",
+    ]
+    for r in range(LPA_ROUNDS):
+        ctes.append(
+            f"""l{r + 1} AS (
+        SELECT node, lbl FROM (
+            SELECT e.x AS node, l.lbl,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.x
+                       ORDER BY SUM(e.w) DESC, l.lbl
+                   ) AS rn
+            FROM edges e JOIN l{r} l ON l.node = e.y
+            GROUP BY e.x, l.lbl
+        ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT lbl AS community, node,
+           CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+    FROM l{LPA_ROUNDS}
+    ORDER BY community, node
+    """
+    )
+
+
+@register(
+    "gr_labelprop_communities",
+    oracle=_lpa_oracle(),
+    tags=("graph", "community-detection", "iterative"),
+)
+def gr_labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the January co-service graph via weighted
+    label propagation (Raghavan et al. 2007), made fully deterministic:
+    SYNCHRONOUS rounds (every round reads only the previous round's
+    labels), the weight-majority neighbor label with a (weight DESC,
+    label ASC) tie-break, and a FIXED round count — so both engines walk
+    identical label states and the oracle replays each round as a CTE.
+    Communities are finer than gr_supplier_segments' connected components
+    (which merge everything reachable); LPA splits a dense blob along
+    its weighted structure — the cheap first-cut community operator
+    production graph stacks run before anything Louvain-shaped.
+
+    Plan shape (100 TB): per round one equi-join of the static
+    (checkpointed) edge list against the |V|-row label relation + one
+    map-side-combined (node, label) weight sum + one per-node argmax
+    window — the label relation is broadcast-sized here and
+    hash-co-partitioned at scale; rounds are Θ(diameter)-bounded like
+    every fixed-point operator in this repo.
+    """
+    ensure_analytics_conf(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= TRI_MONTH_LO)
+            & (F.col("o_orderdate") < TRI_MONTH_HI)
+        )
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    os_ = li.join(o, li["ok"] == o["o_orderkey"]).select("ok", "s").distinct()
+    p = (
+        os_.alias("a")
+        .join(
+            os_.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count("*").alias("w"))
+    )
+    edges = (
+        p.unionByName(p.select(F.col("y").alias("x"), F.col("x").alias("y"), "w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("x").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(LPA_ROUNDS):
+        scored = (
+            edges.alias("E")
+            .join(labels.alias("L"), F.col("E.y") == F.col("L.node"))
+            .groupBy(F.col("E.x").alias("node"), F.col("L.lbl").alias("lbl"))
+            .agg(F.sum("E.w").alias("wsum"))
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("node").orderBy(F.desc("wsum"), F.asc("lbl"))
+        )
+        labels = (
+            scored.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    wsz = Window.partitionBy("lbl")
+    return (
+        labels.select(
+            F.col("lbl").alias("community"),
+            "node",
+            F.count("*").over(wsz).cast("long").alias("community_size"),
+        )
+        .orderBy("community", "node")
+    )

@@ -1044,3 +1044,78 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_silence"
         ),
     ).orderBy("doc_id", "chunk_no")
+
+
+# --- keyframe selection per shot ----------------------------------------------
+
+
+def _mm_registered_oracle(name: str) -> str:
+    from ..queries.registry import _REGISTRY
+
+    return _REGISTRY[name].oracle
+
+
+@register(
+    "mm_keyframe_select",
+    # composes the REGISTERED shot-boundary oracle so both pipelines stay
+    # one source of truth (the dd_lsh_recall_report pattern)
+    oracle=f"""
+    WITH sb AS ({_mm_registered_oracle("mm_shot_boundaries")}),
+    sh AS (
+        SELECT doc_id, frame_no, frame_sum,
+               CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY frame_no
+               ) AS BIGINT) AS shot_no
+        FROM sb
+    )
+    SELECT doc_id, shot_no,
+           COUNT(*) AS n_frames,
+           CAST(MIN(struct_pack(neg := -frame_sum, fno := frame_no)).fno
+                AS BIGINT) AS keyframe_no,
+           CAST(-MIN(struct_pack(neg := -frame_sum, fno := frame_no)).neg
+                AS BIGINT) AS keyframe_sum
+    FROM sh GROUP BY doc_id, shot_no
+    ORDER BY doc_id, shot_no
+    """,
+    tags=("multimodal", "video", "keyframe", "pandas-udf"),
+)
+def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection: segment each video into SHOTS (running count
+    of mm_shot_boundaries' cuts) and pick one representative frame per
+    shot — the max-content-feature frame, earlier frame on ties — the
+    stage that turns raw video into the per-shot thumbnail/embedding
+    inputs a multimodal training pipeline actually stores. A real
+    decoder swaps a sharpness/luma score into the same argmax slot.
+
+    Determinism: the argmax is MIN over struct(-frame_sum, frame_no) —
+    one lexicographic struct aggregate on both engines (the
+    dd_segment_rewrite canonical-key pattern), no window re-sort.
+
+    Plan shape (100 TB): rides the shot pipeline's single doc_id window
+    shuffle; the per-shot argmax is a map-side-combinable struct MIN over
+    the same partitioning, so keyframing adds NO new exchange.
+    """
+    sb = mm_shot_boundaries(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_no").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sh = sb.select(
+        "doc_id",
+        "frame_no",
+        "frame_sum",
+        F.sum(F.col("is_cut").cast("long")).over(w).alias("shot_no"),
+    )
+    key = F.min(
+        F.struct((-F.col("frame_sum")).alias("neg"), F.col("frame_no").alias("fno"))
+    )
+    return (
+        sh.groupBy("doc_id", "shot_no")
+        .agg(
+            F.count("*").alias("n_frames"),
+            key.getField("fno").cast("long").alias("keyframe_no"),
+            (-key.getField("neg")).cast("long").alias("keyframe_sum"),
+        )
+        .orderBy("doc_id", "shot_no")
+    )

@@ -2025,3 +2025,136 @@ def ss_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --- hybrid retrieval: keyword + vector with reciprocal-rank fusion -----------
+
+RRF_TERMS = ("spark", "window", "merge")  # the keyword query
+RRF_QUERY_VEC = 0  # the vector query: embedding of vec_id 0
+RRF_POOL = 50  # depth of each ranked list entering the fusion
+RRF_TOP = 20
+RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+RRF_SCALE = 1_000_000
+
+_SQL_RRF_TERMS = ", ".join(f"'{t}'" for t in RRF_TERMS)
+
+
+@register(
+    "ss_rrf_hybrid",
+    oracle=f"""
+    WITH kw AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    t -> t IN ({_SQL_RRF_TERMS}))) AS BIGINT)
+                   AS tf
+        FROM documents
+    ),
+    kwr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS kw_rank
+        FROM kw WHERE tf > 0
+    ),
+    {SQL_V},
+    qv AS (SELECT * FROM v WHERE vec_id = {RRF_QUERY_VEC}),
+    vr AS (
+        SELECT c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND({SQL_COS.format(a="qv", b="c")}, 6) DESC,
+                            c.vec_id
+               ) AS vec_rank
+        FROM v c CROSS JOIN qv WHERE c.vec_id != {RRF_QUERY_VEC}
+    ),
+    fused AS (
+        SELECT COALESCE(k.doc_id, x.doc_id) AS doc_id,
+               k.kw_rank, x.vec_rank,
+               COALESCE({RRF_SCALE} // ({RRF_K} + k.kw_rank), 0)
+               + COALESCE({RRF_SCALE} // ({RRF_K} + x.vec_rank), 0)
+                   AS rrf_micro
+        FROM (SELECT * FROM kwr WHERE kw_rank <= {RRF_POOL}) k
+        FULL OUTER JOIN (SELECT * FROM vr WHERE vec_rank <= {RRF_POOL}) x
+          ON x.doc_id = k.doc_id
+    )
+    SELECT doc_id, kw_rank, vec_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro
+    FROM fused
+    ORDER BY rrf_micro DESC, doc_id LIMIT {RRF_TOP}
+    """,
+    tags=("similarity", "hybrid", "retrieval", "rrf"),
+)
+def ss_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009
+    — the fusion rule behind most production hybrid search): one keyword
+    ranking (term-frequency of the query terms over documents) and one
+    vector ranking (cosine to the query embedding), fused by
+    Σ 1/(60+rank) over the two top-{RRF_POOL} lists. RRF needs no score
+    calibration between the modalities — exactly why hybrid stacks use
+    it — and doc_id/vec_id share a keyspace here, standing in for the
+    doc↔embedding linkage a real corpus carries.
+
+    Determinism: term frequency is an integer; cosine is rounded to the
+    1e-6 grid BEFORE ranking (the ss_* convention); RRF contributions are
+    integer micro-units via DIV, so the fused ordering is engine-exact.
+
+    Plan shape (100 TB): the keyword side is one corpus scan with a
+    top-{RRF_POOL} (TakeOrderedAndProject after a size-1 filter); the
+    vector side is the brute single-query scan (swap in the persisted
+    IVF/PQ probe — ss_ivf_persisted_topk — for the 100 TB path; the
+    fusion is modality-agnostic); the fusion itself joins two
+    {RRF_POOL}-row relations — free.
+    """
+    ensure_analytics_conf(spark)
+    from ..functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = F.size(
+        F.filter(T.tokens("text"), lambda t: t.isin([x for x in RRF_TERMS]))
+    ).cast("long")
+    kw = d.select("doc_id", tf.alias("tf")).filter(F.col("tf") > 0)
+    kwr = (
+        kw.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("tf"), F.asc("doc_id")))
+            .cast("long")
+            .alias("kw_rank"),
+        )
+        .filter(F.col("kw_rank") <= RRF_POOL)
+    )
+    v = _vectors(spark, sf_dir)
+    qv = v.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    vr = (
+        v.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")),
+                6,
+            ).alias("cos"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("doc_id")))
+            .cast("long")
+            .alias("vec_rank"),
+        )
+        .filter(F.col("vec_rank") <= RRF_POOL)
+    )
+    fused = kwr.join(vr, "doc_id", "full_outer").select(
+        "doc_id",
+        "kw_rank",
+        "vec_rank",
+        (
+            F.coalesce(
+                F.expr(f"CAST({RRF_SCALE} DIV ({RRF_K} + kw_rank) AS BIGINT)"),
+                F.lit(0).cast("bigint"),
+            )
+            + F.coalesce(
+                F.expr(f"CAST({RRF_SCALE} DIV ({RRF_K} + vec_rank) AS BIGINT)"),
+                F.lit(0).cast("bigint"),
+            )
+        ).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(RRF_TOP)
