@@ -460,3 +460,151 @@ def ht_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- LTTB-style visualization downsampling ------------------------------------
+
+LTTB_BUCKET_H = 24  # one representative point per day per series
+
+
+@register(
+    "ht_lttb_downsample",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               epoch_us(time_bucket(INTERVAL '1 hour', ts)) // 3600000000
+                   AS x,
+               COUNT(*) AS y
+        FROM events GROUP BY event_type,
+             time_bucket(INTERVAL '1 hour', ts)
+    ),
+    p AS (SELECT event_type, x, y, x // {LTTB_BUCKET_H} AS b FROM h),
+    s AS (
+        SELECT event_type, b, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+        FROM p GROUP BY event_type, b
+    ),
+    sc AS (
+        SELECT p.event_type, p.b, p.x, p.y,
+               sp.n IS NOT NULL AND sn.n IS NOT NULL AS anchored,
+               CASE WHEN sp.n IS NOT NULL AND sn.n IS NOT NULL THEN
+                   abs( (sp.sx * sn.n - sn.sx * sp.n)
+                            * (p.y * sp.n - sp.sy)
+                      - (sp.sx - p.x * sp.n)
+                            * (sp.sy * sn.n - sn.sy * sp.n) )
+               ELSE p.y END AS sel
+        FROM p
+        LEFT JOIN s sp ON sp.event_type = p.event_type AND sp.b = p.b - 1
+        LEFT JOIN s sn ON sn.event_type = p.event_type AND sn.b = p.b + 1
+    )
+    SELECT event_type, b AS bucket, x AS hr_idx, CAST(y AS BIGINT) AS cnt,
+           anchored
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY event_type, b ORDER BY sel DESC, x
+                  ) AS rn
+        FROM sc
+    ) WHERE rn = 1
+    ORDER BY event_type, bucket
+    """,
+    tags=("timeseries", "downsample", "lttb"),
+)
+def ht_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style visualization downsampling of each event type's hourly
+    series to one point per day — the OTHER classic downsampler next to
+    M4 (ht_m4_downsample), picking per bucket the point that subtends the
+    largest triangle against its neighbor buckets, which preserves visual
+    shape where M4 preserves extrema.
+
+    This is the PARALLEL variant: triangle anchors are the neighbor
+    buckets' AVERAGE points rather than the previously-selected point
+    (classic LTTB's selected-point recursion is inherently sequential
+    across buckets — the published parallel simplification trades that
+    dependency for bucket means, which is also what makes it a pure
+    two-join + argmax relational plan). Exactness: the area comparison is
+    cleared of divisions by multiplying through by n_prev²·n_next —
+    |A·B − C·D| over exact BIGINTs (hour indexes × counts stay ≪ 2⁶³) —
+    and edge buckets (missing a neighbor) deterministically keep their
+    max-count point. Ties break on the earlier hour.
+
+    Plan shape (100 TB): one map-side-combined hourly rollup (the only
+    pass over the fact), bucket sums over the |type|·|days| relation, two
+    self-equi-joins on (type, bucket±1), one per-bucket argmax window —
+    everything after the rollup is days-sized, not events-sized.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("y"))
+        .select(
+            "event_type",
+            F.expr("unix_micros(hr) DIV 3600000000").alias("x"),
+            "y",
+        )
+    )
+    p = h.withColumn("b", F.expr(f"x DIV {LTTB_BUCKET_H}"))
+    s = p.groupBy("event_type", "b").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    sp = s.select(
+        F.col("event_type").alias("et_p"),
+        (F.col("b") + 1).alias("b_p"),
+        F.col("n").alias("n_p"),
+        F.col("sx").alias("sx_p"),
+        F.col("sy").alias("sy_p"),
+    )
+    sn = s.select(
+        F.col("event_type").alias("et_n"),
+        (F.col("b") - 1).alias("b_n"),
+        F.col("n").alias("n_n"),
+        F.col("sx").alias("sx_n"),
+        F.col("sy").alias("sy_n"),
+    )
+    j = (
+        p.join(
+            sp,
+            (F.col("event_type") == F.col("et_p")) & (F.col("b") == F.col("b_p")),
+            "left",
+        )
+        .join(
+            sn,
+            (F.col("event_type") == F.col("et_n")) & (F.col("b") == F.col("b_n")),
+            "left",
+        )
+    )
+    anchored = F.col("n_p").isNotNull() & F.col("n_n").isNotNull()
+    area2 = F.abs(
+        (F.col("sx_p") * F.col("n_n") - F.col("sx_n") * F.col("n_p"))
+        * (F.col("y") * F.col("n_p") - F.col("sy_p"))
+        - (F.col("sx_p") - F.col("x") * F.col("n_p"))
+        * (F.col("sy_p") * F.col("n_n") - F.col("sy_n") * F.col("n_p"))
+    )
+    sel = F.when(anchored, area2).otherwise(F.col("y"))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("event_type", "b").orderBy(F.desc("sel"), F.asc("x"))
+    )
+    return (
+        j.select(
+            "event_type",
+            "b",
+            "x",
+            F.col("y").cast("long").alias("cnt"),
+            anchored.alias("anchored"),
+            sel.alias("sel"),
+        )
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("b").alias("bucket"),
+            F.col("x").alias("hr_idx"),
+            "cnt",
+            "anchored",
+        )
+        .orderBy("event_type", "bucket")
+    )

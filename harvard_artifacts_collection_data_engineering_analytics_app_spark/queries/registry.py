@@ -85,7 +85,13 @@ _PRIORITY: tuple[str, ...] = (
     # r5 advice fixed this round (rfm/burst/gap/mv-refresh/segment-rewrite
     # — a driver-recorded green row is the proof the fixes hold), the
     # newly capped Adamic-Adar, and the round-5-built remainder. After
-    # this window: never-recorded count 82 → 56. ---
+    # this window: never-recorded count 82 → 56 of the round-5 surface;
+    # round 6 also added 14 new operators (dd_lsh_param_sweep, tx_zipf_fit,
+    # sk_hot_keys, sk_gini_activity, fx_entropy_source_mix,
+    # ss_embedding_drift, aj_purchase_last_click_tol, tx_dedup_shift,
+    # st_near_dup_ingest, ss_rrf_hybrid, gr_labelprop_communities,
+    # mm_keyframe_select, ht_lttb_downsample, tw_cumulative_uniques) that
+    # register past slot 50 — they join the round-7 rotation pool. ---
     "dd_ngram_jaccard_prefix",
     "ss_ivf_kmeans_topk",
     # advice-fixed this round

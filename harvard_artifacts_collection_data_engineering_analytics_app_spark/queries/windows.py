@@ -928,3 +928,60 @@ def tw_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+# --- cumulative distinct users ------------------------------------------------
+
+
+@register(
+    "tw_cumulative_uniques",
+    oracle="""
+    WITH fs AS (
+        SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS d0
+        FROM events GROUP BY event_type, user_id
+    ),
+    d AS (
+        SELECT event_type, d0 AS day, COUNT(*) AS new_users
+        FROM fs GROUP BY event_type, d0
+    )
+    SELECT event_type, day, new_users,
+           CAST(SUM(new_users) OVER (
+               PARTITION BY event_type ORDER BY day
+           ) AS BIGINT) AS cum_users
+    FROM d ORDER BY event_type, day
+    """,
+    tags=("windows", "distinct", "growth"),
+)
+def tw_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique users per event type by day — the growth-curve
+    metric ("total users ever seen, as of each day"), computed by the
+    FIRST-SEEN rewrite: a naive prefix COUNT(DISTINCT) re-scans a growing
+    window per day (quadratic, and COUNT DISTINCT over a running frame
+    isn't even expressible as one window), but each user contributes to
+    exactly one day — their first — so one (type, user) aggregation plus
+    a running SUM over the |type|·|days| relation is exact. Same class of
+    rewrite as tw_rolling_active_users' Expand-free DAU/WAU/MAU.
+
+    Plan shape (100 TB): one map-side-combined first-seen aggregation
+    (the only pass over events), a daily count over the (much smaller)
+    first-seen relation, and a running-sum window over |type|·|days|
+    rows. Streaming form: the first-seen set is exactly what
+    dropDuplicates-with-state maintains.
+    """
+    e = _t(spark, sf_dir, "events")
+    fs = e.groupBy("event_type", "user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    d = fs.groupBy("event_type", F.col("d0").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        d.select(
+            "event_type",
+            "day",
+            "new_users",
+            F.sum("new_users").over(w).cast("long").alias("cum_users"),
+        )
+        .orderBy("event_type", "day")
+    )
