@@ -130,6 +130,8 @@ HEADLINE = [
     "mm_keyframe_select",
     "ht_lttb_downsample",
     "tw_cumulative_uniques",
+    "tx_tokenizer_fertility",
+    "ss_vector_audit",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

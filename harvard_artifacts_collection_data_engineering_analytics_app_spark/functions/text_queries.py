@@ -2080,3 +2080,59 @@ def tx_dedup_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- per-source tokenizer fertility -------------------------------------------
+
+
+@register(
+    "tx_tokenizer_fertility",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT)
+               AS n_pieces,
+           CAST((1000 * SUM(len(regexp_extract_all(text, '{_BPE_SQL}'))))
+                // NULLIF(SUM(len({SQL_TOKENS})), 0) AS BIGINT)
+               AS fertility_milli
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+    tags=("text", "tokenize", "bpe", "data-mix"),
+)
+def tx_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per SOURCE: corpus-level BPE pieces per word
+    (integer milli) — the per-slice rollup of tx_bpe_token_count's
+    per-doc ratio, and the number tokenizer teams track per
+    language/source (fertility creeping up on one slice means the
+    vocabulary underserves it, inflating training cost and degrading
+    that slice's effective context length).
+
+    Plan shape (100 TB): ONE corpus scan with both counts as JVM regexp
+    expressions, map-side-combined into |sources| rows. All-integer
+    output; the ratio is DIV on summed counts, not an average of ratios
+    (the per-doc mean would weight short docs equally — fertility is a
+    corpus-mass property).
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(T.tokens("text")).cast("long")
+    n_pieces = F.regexp_count("text", F.lit(BPE_PIECE_REGEX)).cast("long")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_words).alias("n_words"),
+            F.sum(n_pieces).alias("n_pieces"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            F.expr(
+                "CAST((1000 * n_pieces) DIV NULLIF(n_words, 0) AS BIGINT)"
+            ).alias("fertility_milli"),
+        )
+        .orderBy("source")
+    )

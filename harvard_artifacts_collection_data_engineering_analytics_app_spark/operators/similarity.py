@@ -2158,3 +2158,82 @@ def ss_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_micro"),
     )
     return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(RRF_TOP)
+
+
+# --- embedding-table quality audit --------------------------------------------
+
+VEC_EXPECT_DIM = 64
+
+
+@register(
+    "ss_vector_audit",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding,
+               len(embedding) AS dim,
+               CASE WHEN embedding IS NULL THEN NULL ELSE
+                   sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                x -> x * x)))
+               END AS nrm
+        FROM embeddings
+    )
+    SELECT COUNT(*) AS n_vectors,
+           CAST(COUNT(*) FILTER (WHERE embedding IS NULL) AS BIGINT)
+               AS n_null,
+           CAST(COUNT(*) FILTER (WHERE embedding IS NOT NULL
+                                 AND dim != {VEC_EXPECT_DIM}) AS BIGINT)
+               AS n_wrong_dim,
+           CAST(COUNT(*) FILTER (WHERE nrm IS NOT NULL AND nrm < 1e-9)
+               AS BIGINT) AS n_zero,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM v
+    """,
+    tags=("similarity", "quality", "audit"),
+)
+def ss_vector_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table quality audit: NULL vectors, wrong dimensionality,
+    zero vectors (cosine-undefined — they silently poison every
+    similarity operator downstream), and the norm range — the
+    fx_quality_checks idea applied to the vector column, run before any
+    index build the way schema checks run before a load.
+
+    Determinism: norms fold the array in element order on both engines
+    (the SQL_V convention) and only ROUND(…,6) values are emitted; all
+    counts are integers on exact predicates (NULL/dim/1e-9 threshold on
+    identical doubles).
+
+    Plan shape (100 TB): one scan, one 1-row aggregate, embarrassingly
+    parallel; the audit reads the embedding column it must read and
+    nothing else.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.when(
+        F.col("embedding").isNotNull(),
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ),
+    )
+    dim = F.size("embedding")
+    return e.select(
+        F.col("embedding"), dim.alias("dim"), nrm.alias("nrm")
+    ).agg(
+        F.count("*").alias("n_vectors"),
+        F.count(F.when(F.col("embedding").isNull(), True)).alias("n_null"),
+        F.count(
+            F.when(
+                F.col("embedding").isNotNull() & (F.col("dim") != VEC_EXPECT_DIM),
+                True,
+            )
+        ).alias("n_wrong_dim"),
+        F.count(
+            F.when(F.col("nrm").isNotNull() & (F.col("nrm") < 1e-9), True)
+        ).alias("n_zero"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )

@@ -240,6 +240,11 @@ EXPERIMENTS = {
 
 
 if __name__ == "__main__":
+    if not os.path.isdir(ZIPF_DIR):
+        # self-contained: synthesize the skewed variant on first run
+        import make_scaled_data
+
+        make_scaled_data.make_zipf(ZIPF_DIR)
     which = sys.argv[1:] or list(EXPERIMENTS)
     for name in which:
         EXPERIMENTS[name]()
