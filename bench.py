@@ -132,6 +132,20 @@ HEADLINE = [
     "tw_cumulative_uniques",
     "tx_tokenizer_fertility",
     "ss_vector_audit",
+    "tx_source_vocab_overlap",
+    "gr_bipartite_projection",
+    "ht_cusum_changepoint",
+    "fx_column_profile",
+    "dd_split_leakage",
+    "tx_mixture_alloc",
+    "ss_label_centroid_sim",
+    "gr_clustering_coeff",
+    "ss_knn_label_eval",
+    "fx_value_histogram",
+    "tx_unigram_entropy",
+    "ht_acf",
+    "gr_assortativity",
+    "ss_ood_knn_distance",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

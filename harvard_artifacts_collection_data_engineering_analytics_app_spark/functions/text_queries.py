@@ -2136,3 +2136,254 @@ def tx_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- cross-source vocabulary overlap -----------------------------------------
+
+VOCAB_OVERLAP_TOP = 10
+
+
+@register(
+    "tx_source_vocab_overlap",
+    oracle=r"""
+    WITH tok AS (
+        SELECT DISTINCT source, w
+        FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+            FROM documents
+        )
+    ),
+    cnt AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
+    ov AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+        FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
+        GROUP BY source_a, source_b
+    )
+    SELECT o.source_a, o.source_b,
+           CAST(o.n_shared AS BIGINT) AS n_shared,
+           CAST((o.n_shared * 1000) // (ca.n + cb.n - o.n_shared) AS BIGINT)
+               AS jaccard_milli
+    FROM ov o
+    JOIN cnt ca ON ca.source = o.source_a
+    JOIN cnt cb ON cb.source = o.source_b
+    ORDER BY jaccard_milli DESC, source_a, source_b
+    LIMIT 10
+    """,
+    tags=("text", "overlap"),
+)
+def tx_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise lexical similarity between sources: vocabulary Jaccard over
+    the distinct lowercased token sets, top-10 most-similar source pairs.
+
+    The dataset-level twin of per-document near-dup: before mixing corpora
+    a pipeline wants to know which sources are lexical clones of each other
+    (scraped mirrors, re-crawls) versus genuinely distinct registers. A
+    near-1000 milli-Jaccard between two "different" sources is the classic
+    sign the mix double-counts one crawl.
+
+    Plan shape (100 TB): one scan explodes tokens, then a distinct
+    (source, token) aggregate — the shuffle key is the token, high
+    cardinality and map-side combined, and everything after it operates on
+    |vocab x sources| rows, orders of magnitude below the corpus. The
+    token self-join emits at most C(|sources|, 2) rows per token (sources
+    are hundreds, not millions), and the per-source totals join is a
+    broadcast. Zipf skew is bounded the same way: even 'the' contributes
+    only one row per source pair. All-integer Jaccard via DIV keeps the
+    oracle hash exact.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .distinct()
+    )
+    cnt = tok.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    ov = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        ov.join(
+            F.broadcast(cnt.select(F.col("source").alias("source_a"), F.col("n").alias("na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.expr("CAST((n_shared * 1000) DIV (na + nb - n_shared) AS BIGINT)").alias(
+                "jaccard_milli"
+            ),
+        )
+        .orderBy(F.desc("jaccard_milli"), "source_a", "source_b")
+        .limit(VOCAB_OVERLAP_TOP)
+    )
+
+
+# --- temperature-smoothed source mixture allocation ----------------------------
+
+MIXTURE_BUDGET = 1_000_000  # training-token budget to allocate across sources
+
+
+@register(
+    "tx_mixture_alloc",
+    oracle=f"""
+    WITH n AS (
+        SELECT source,
+               CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_tokens,
+               CAST(floor(sqrt(n_tokens)) AS BIGINT) AS weight
+        FROM n
+    )
+    SELECT source, n_tokens, weight,
+           CAST(({MIXTURE_BUDGET} * weight) // (SELECT SUM(weight) FROM w)
+                AS BIGINT) AS alloc_tokens,
+           CAST((({MIXTURE_BUDGET} * weight) // (SELECT SUM(weight) FROM w))
+                * 1000 // n_tokens AS BIGINT) AS rate_milli
+    FROM w
+    ORDER BY source
+    """,
+    tags=("text", "mixture", "sampling"),
+)
+def tx_mixture_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (alpha = 0.5) source-mixture token allocation:
+    given a training budget, how many tokens to draw from each source.
+
+    The mT5/Pile alpha-sampling rule — weight each source by n_tokens^alpha
+    so head sources (CommonCrawl) are downsampled and tail sources (books,
+    code) upsampled; rate_milli > 1000 means the source repeats across
+    epochs. Exact integer arithmetic end-to-end: alpha = 0.5 is floor(sqrt)
+    (IEEE sqrt is correctly rounded, so both engines floor the SAME double),
+    and the allocation is integer DIV — no float summation order anywhere.
+
+    Plan shape (100 TB): one scan with a map-side-combined SUM per source —
+    the only shuffle is |sources| wide. The total-weight scalar is a
+    broadcast one-row aggregate over the |sources|-row relation; every row
+    after the first aggregate is per-source, not per-document.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")).alias(
+            "n_tokens"
+        )
+    )
+    w = n.select(
+        "source",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens"))).cast("long").alias("weight"),
+    )
+    total = w.agg(F.sum("weight").alias("w_total"))
+    return (
+        w.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_tokens",
+            "weight",
+            F.expr(f"CAST(({MIXTURE_BUDGET} * weight) DIV w_total AS BIGINT)").alias(
+                "alloc_tokens"
+            ),
+            F.expr(
+                f"CAST((({MIXTURE_BUDGET} * weight) DIV w_total) * 1000 "
+                "DIV n_tokens AS BIGINT)"
+            ).alias("rate_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- per-source unigram entropy / lexical diversity ----------------------------
+
+UNIGRAM_ENTROPY_SCALE = 1_000_000  # ln fixed-point grid (fx_entropy rule)
+
+
+@register(
+    "tx_unigram_entropy",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({SQL_TOKENS.replace("text", "lower(text)")}) AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT source, w, COUNT(*) AS cnt FROM tok GROUP BY source, w
+    ),
+    g AS (
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_types,
+               SUM(cnt * CAST(floor(ln(cnt::DOUBLE) * {UNIGRAM_ENTROPY_SCALE}
+                                    + 0.5) AS BIGINT)) AS sterm
+        FROM c GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+           CAST(1000 * n_types // n_tokens AS BIGINT) AS ttr_milli,
+           ROUND((CAST(floor(ln(n_tokens::DOUBLE) * {UNIGRAM_ENTROPY_SCALE}
+                             + 0.5) AS BIGINT) * n_tokens - sterm)::DOUBLE
+                 / (n_tokens::DOUBLE * {UNIGRAM_ENTROPY_SCALE}), 6)
+               AS entropy_nats
+    FROM g
+    ORDER BY source
+    """,
+    tags=("text", "entropy", "quality"),
+)
+def tx_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy (nats) and type-token ratio —
+    the lexical-diversity fingerprint of a corpus source. Low entropy
+    flags template/boilerplate farms (few words dominate); an anomalous
+    TTR flags OCR noise or spam (every token unique). Both are standard
+    pre-training corpus-quality columns (Gopher / CCNet report them).
+
+    Exact-arithmetic entropy via the distributive rewrite
+    H = ln(T) − Σ c·ln(c) / T: every ln lands on the 1e-6 fixed-point
+    grid first (floor(ln·1e6 + 0.5), IEEE ln identical on both engines
+    for identical integer inputs), so the big Σ is pure integer and
+    order-independent; floats appear only in the final one-row division.
+
+    Plan shape (100 TB): one scan explodes tokens; the only heavy shuffle
+    keys on (source, word) — high cardinality, map-side combined, Zipf
+    head words bounded because 'the' contributes ONE row per source. The
+    per-source rollup is |vocab × sources| → |sources| rows.
+    """
+    d = _t(spark, sf_dir, "documents")
+    c = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ln_fp = F.floor(F.log(F.col("cnt").cast("double")) * UNIGRAM_ENTROPY_SCALE + 0.5).cast("long")
+    g = c.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("cnt") * ln_fp).alias("sterm"),
+    )
+    ln_t_fp = F.floor(
+        F.log(F.col("n_tokens").cast("double")) * UNIGRAM_ENTROPY_SCALE + 0.5
+    ).cast("long")
+    return g.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.expr("CAST(1000 * n_types DIV n_tokens AS BIGINT)").alias("ttr_milli"),
+        F.round(
+            (ln_t_fp * F.col("n_tokens") - F.col("sterm")).cast("double")
+            / (F.col("n_tokens").cast("double") * UNIGRAM_ENTROPY_SCALE),
+            6,
+        ).alias("entropy_nats"),
+    ).orderBy("source")

@@ -2116,3 +2116,98 @@ def dd_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands")
     )
+
+
+# --- cross-split contamination (near-dup leakage) ------------------------------
+
+# tx_split_assign's deterministic 90/5/5 buckets, reproduced here so the
+# leakage report and the split assignment can never drift apart.
+_SPLIT_BUCKETS = 100
+_SPLIT_TRAIN_LT = 90
+_SPLIT_VAL_LT = 95
+
+_SQL_SPLIT_CASE = f"""CASE
+        WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_SPLIT_BUCKETS} < {_SPLIT_TRAIN_LT} THEN 'train'
+        WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_SPLIT_BUCKETS} < {_SPLIT_VAL_LT} THEN 'val'
+        ELSE 'test' END"""
+
+
+@register(
+    "dd_split_leakage",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {SQL_SHINGLES3} AS s FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0)
+              >= {JACCARD_THRESHOLD}
+    ),
+    sp AS (
+        SELECT doc_id, {_SQL_SPLIT_CASE} AS split FROM documents
+    )
+    SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN sa.split != sb.split THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaking
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.a_id
+    JOIN sp sb ON sb.doc_id = p.b_id
+    GROUP BY split_a, split_b
+    ORDER BY split_a, split_b
+    """,
+    tags=("dedup", "split", "contamination"),
+)
+def dd_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs tallied by train/val/test split pair — the
+    eval-contamination audit every LLM data pipeline runs before freezing
+    a split (a val/test doc with a >=0.8-Jaccard twin in train inflates
+    eval scores; Lee et al. 2022 measured the effect on C4/LM1B).
+
+    Composes two already-verified plans rather than re-deriving either:
+    the exact inverted-index near-dup pairs of ``dd_ngram_jaccard`` and
+    the deterministic keyed-hash split of ``tx_split_assign`` (the CASE is
+    duplicated in SQL so this report can never disagree with the split the
+    pipeline actually assigns).
+
+    Plan shape (100 TB): the pair relation is the dominant cost and is the
+    lossless inverted-index self-join (no crossJoin; shuffles on the
+    shingle). The split map is a projection of the documents scan — two
+    shuffle-free broadcast-eligible joins of (doc_id, split) onto the pair
+    ids, then a 6-row-at-most aggregate (split pairs, not docs). LEAST/
+    GREATEST canonicalizes the pair so 'train–val' and 'val–train' merge.
+    """
+    pairs = dd_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    d = _docs(spark, sf_dir)
+    bucket = T.portable_hash60(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % _SPLIT_BUCKETS
+    sp = d.select(
+        "doc_id",
+        F.when(bucket < _SPLIT_TRAIN_LT, "train")
+        .when(bucket < _SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = sp.select(F.col("doc_id").alias("a_id"), F.col("split").alias("split_a0"))
+    sb = sp.select(F.col("doc_id").alias("b_id"), F.col("split").alias("split_b0"))
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            F.least("split_a0", "split_b0").alias("split_a"),
+            F.greatest("split_a0", "split_b0").alias("split_b"),
+            (F.col("split_a0") != F.col("split_b0")).cast("long").alias("leak"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("leak").alias("n_leaking"),
+        )
+        .orderBy("split_a", "split_b")
+    )

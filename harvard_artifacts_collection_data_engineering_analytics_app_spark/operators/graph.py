@@ -164,9 +164,11 @@ TRI_MONTH_LO = "1995-01-01"
 TRI_MONTH_HI = "1995-02-01"
 
 
-def _tri_oracle() -> str:
-    return f"""
-    WITH os AS (
+def _tri_ctes() -> str:
+    """Shared CTE chain (no WITH/SELECT): co-service edges → degrees →
+    oriented edges → triangles → per-node triangle counts. gr_triangles
+    and gr_clustering_coeff build on the identical relations."""
+    return f"""os AS (
         SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
         FROM lineitem
         JOIN orders ON o_orderkey = l_orderkey
@@ -199,9 +201,15 @@ def _tri_oracle() -> str:
             UNION ALL SELECT b FROM tri
             UNION ALL SELECT c FROM tri
         ) GROUP BY node
+    )"""
+
+
+def _tri_oracle() -> str:
+    return (
+        "WITH "
+        + _tri_ctes()
+        + f"\n    SELECT node, tri_cnt FROM pn ORDER BY tri_cnt DESC, node LIMIT {TRI_TOP}"
     )
-    SELECT node, tri_cnt FROM pn ORDER BY tri_cnt DESC, node LIMIT {TRI_TOP}
-    """
 
 
 @register(
@@ -229,6 +237,20 @@ def gr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the join — the graph is built from the filtered fact, never
     filtered after pair explosion.
     """
+    tri, _deg = _tri_relations(spark, sf_dir)
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_cnt"))
+        .orderBy(F.desc("tri_cnt"), F.asc("node"))
+        .limit(TRI_TOP)
+    )
+
+
+def _co_edges_deg(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(undirected dedup edges(x, y) with x < y, degree(node, d)) of the
+    one-month co-service graph — shared by the triangle family and
+    gr_assortativity."""
     ensure_analytics_conf(spark)
     o = (
         load_table(spark, sf_dir, "orders")
@@ -255,6 +277,14 @@ def gr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy("x").agg(F.count("*").alias("d")).select(
         F.col("x").alias("node"), "d"
     )
+    return e, deg
+
+
+def _tri_relations(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(triangles(a,b,c), degree(node,d)) on the one-month co-service
+    graph — the shared core of gr_triangles / gr_clustering_coeff; see
+    gr_triangles' docstring for the orientation-bound plan argument."""
+    e, deg = _co_edges_deg(spark, sf_dir)
     ed = (
         e.join(
             deg.select(F.col("node").alias("x"), F.col("d").alias("dx")), "x"
@@ -296,13 +326,7 @@ def gr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.v").alias("c"),
         )
     )
-    return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("tri_cnt"))
-        .orderBy(F.desc("tri_cnt"), F.asc("node"))
-        .limit(TRI_TOP)
-    )
+    return tri, deg
 
 
 def _deg_hist_oracle() -> str:
@@ -1064,4 +1088,212 @@ def gr_labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(wsz).cast("long").alias("community_size"),
         )
         .orderBy("community", "node")
+    )
+
+
+# --- bipartite projection (market-basket co-purchase) -------------------------
+
+COPURCHASE_TOP = 50
+COPURCHASE_MIN_ORDERS = 2
+
+
+def _copurchase_oracle() -> str:
+    return f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    )
+    SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_orders
+    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT {COPURCHASE_TOP}
+    """
+
+
+@register(
+    "gr_bipartite_projection",
+    oracle=_copurchase_oracle(),
+    tags=("graph", "bipartite"),
+)
+def gr_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project the bipartite order—part purchase graph onto part—part
+    co-purchase edges (weight = number of shared orders), top-50 pairs.
+
+    The market-basket building block: the projected graph feeds
+    recommendation ("frequently bought together"), substitution analysis,
+    and the other gr_* operators (the co-purchase graph is itself a valid
+    input to PageRank / communities).
+
+    Plan shape (100 TB): distinct (order, part) first — one shuffle with
+    map-side combine — then a self-equi-join on the order key. The
+    candidate volume is Σ basket(o)², bounded because baskets are small by
+    construction (TPC-H caps lineitems per order at 7; real carts are tens)
+    — the quadratic term is per-BASKET, never per-catalog. For pathological
+    baskets the same top-N-per-center truncation used by
+    gr_linkpred_adamic_adar applies before the self-join. The pair
+    aggregate shuffles on (part_a, part_b): high cardinality, low skew.
+    No crossJoin anywhere; the oracle is the brute-force same-shape SQL.
+    """
+    ensure_analytics_conf(spark)
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    pairs = (
+        op.alias("a")
+        .join(op.alias("b"), (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= COPURCHASE_MIN_ORDERS)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(COPURCHASE_TOP)
+    )
+
+
+# --- local clustering coefficient ---------------------------------------------
+
+CC_TOP = 20
+
+
+@register(
+    "gr_clustering_coeff",
+    oracle="WITH "
+    + _tri_ctes()
+    + f""",
+    cc AS (
+        SELECT d.node,
+               CAST(d.d AS BIGINT) AS deg,
+               CAST(COALESCE(pn.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+               CAST((2000 * COALESCE(pn.tri_cnt, 0)) // (d.d * (d.d - 1))
+                    AS BIGINT) AS coeff_milli
+        FROM deg d LEFT JOIN pn ON pn.node = d.node
+        WHERE d.d >= 2
+    )
+    SELECT node, deg, tri_cnt, coeff_milli
+    FROM cc
+    ORDER BY coeff_milli DESC, tri_cnt DESC, node
+    LIMIT {CC_TOP}
+    """,
+    tags=("graph", "clustering"),
+)
+def gr_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node on the one-month co-service
+    graph: 2·T(v) / (deg(v)·(deg(v)−1)) in exact milli units, top-20.
+
+    Watts–Strogatz local clustering — the standard "is this node inside a
+    tight community or a broker between communities" signal; near-1000
+    nodes sit in cliques (supplier cartels / mirror crawl sites when run
+    on a doc-similarity graph), near-0 high-degree nodes are hubs.
+
+    Reuses the degree-oriented triangle relation of ``gr_triangles``
+    verbatim (one shared helper on both engines), so the only new work on
+    top of the O(|E|^1.5) wedge join is a LEFT JOIN of the |V|-row degree
+    relation onto the |V|-row triangle counts and an integer division —
+    nothing here adds a scale term. Nodes with deg < 2 are excluded (the
+    coefficient is undefined); triangle-free nodes keep coefficient 0 via
+    the COALESCE, not by dropping out.
+    """
+    tri, deg = _tri_relations(spark, sf_dir)
+    pn = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(pn, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("long").alias("deg"),
+            F.coalesce(F.col("tri_cnt"), F.lit(0)).cast("long").alias("tri_cnt"),
+            F.expr(
+                "CAST((2000 * COALESCE(tri_cnt, 0)) DIV (d * (d - 1)) AS BIGINT)"
+            ).alias("coeff_milli"),
+        )
+        .orderBy(F.desc("coeff_milli"), F.desc("tri_cnt"), F.asc("node"))
+        .limit(CC_TOP)
+    )
+
+
+# --- degree assortativity -------------------------------------------------------
+
+
+@register(
+    "gr_assortativity",
+    oracle="WITH "
+    + _tri_ctes()
+    + """,
+    de AS (
+        SELECT dx.d AS x, dy.d AS y
+        FROM sym e
+        JOIN deg dx ON dx.node = e.x
+        JOIN deg dy ON dy.node = e.y
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM de
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           ROUND((n * sxy - sx * sy)::DOUBLE
+                 / nullif(sqrt((n * sxx - sx * sx)::DOUBLE)
+                          * sqrt((n * syy - sy * sy)::DOUBLE), 0), 6)
+               AS assortativity
+    FROM m
+    """,
+    tags=("graph", "assortativity"),
+)
+def gr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r) of the one-month co-service
+    graph: the Pearson correlation between the degrees at the two ends of
+    every edge. r > 0 = hubs attach to hubs (social-network shape);
+    r < 0 = hubs attach to leaves (star/internet shape) — which end of
+    the spectrum a graph sits on decides whether hub-capping guards
+    (gr_linkpred's per-center cap) matter in practice.
+
+    Exactness: over the symmetric edge list every moment (Σx, Σxy, Σx²…)
+    is an exact integer sum — order-independent — and the Pearson rewrite
+    n·Σxy − Σx·Σy needs no fractional means; floats enter only in the
+    final one-row sqrt/division, identical IEEE ops on both engines.
+
+    Plan shape (100 TB): two broadcast-eligible joins attach endpoint
+    degrees to edges (the degree relation is |V| rows), then ONE
+    map-side-combined scalar aggregate over 2·|E| rows — no shuffle wider
+    than the six-moment vector. Reuses gr_triangles' edge/degree
+    relations verbatim. Degrees d ≤ |V| keep n·Σx² inside int64 through
+    sf1; at extreme |E| pre-scale degrees (d DIV 16) — Pearson is
+    scale-invariant.
+    """
+    e, deg = _co_edges_deg(spark, sf_dir)
+    sym = e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    de = sym.join(
+        F.broadcast(deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))), "x"
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))), "y"
+    )
+    m = de.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.nullif(
+                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("assortativity"),
     )

@@ -21,7 +21,7 @@ DuckDB oracle hash-matches exactly.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..queries.registry import register
@@ -607,4 +607,170 @@ def ht_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchored",
         )
         .orderBy("event_type", "bucket")
+    )
+
+
+# --- CUSUM change-point detection --------------------------------------------
+
+CUSUM_TOP = 5
+
+
+@register(
+    "ht_cusum_changepoint",
+    oracle=f"""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY day
+    ),
+    s AS (
+        SELECT day, cnt,
+               SUM(cnt) OVER (ORDER BY day) AS rs,
+               ROW_NUMBER() OVER (ORDER BY day) AS k,
+               COUNT(*) OVER () AS n,
+               SUM(cnt) OVER () AS total
+        FROM d
+    )
+    SELECT day, CAST(cnt AS BIGINT) AS cnt,
+           CAST(n * rs - k * total AS BIGINT) AS cusum_scaled
+    FROM s
+    ORDER BY abs(CAST(n * rs - k * total AS BIGINT)) DESC, day
+    LIMIT {CUSUM_TOP}
+    """,
+    tags=("hypertable", "changepoint"),
+)
+def ht_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point candidates over the daily event-count series: the
+    top-5 days by |cumulative deviation from the series mean|.
+
+    The classic offline CUSUM estimator: argmax_k |Σ_{{i<=k}} (x_i - mean)|
+    locates the most likely level shift in a rate series (traffic drop,
+    ingestion stall, bot burst). The statistic is computed in EXACT integer
+    arithmetic — n·RS(k) − k·total is the deviation sum scaled by n, which
+    avoids the fractional mean entirely, so both engines hash identically
+    and the estimator is immune to float summation order.
+
+    Plan shape (100 TB): the raw scan collapses to |days| rows in one
+    map-side-combined aggregate; every window after that runs over the
+    tiny daily series (a single in-memory partition of ~365·years rows —
+    the series, not the events, is what the unpartitioned window sees).
+    """
+    ensure_analytics_conf(spark)
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_ord = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    s = d.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w_ord).alias("rs"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("k"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return (
+        s.select(
+            "day",
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.col("n") * F.col("rs") - F.col("k") * F.col("total"))
+            .cast("long")
+            .alias("cusum_scaled"),
+        )
+        .orderBy(F.abs(F.col("cusum_scaled")).desc(), "day")
+        .limit(CUSUM_TOP)
+    )
+
+
+# --- autocorrelation function -------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "ht_acf",
+    oracle=f"""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY day
+    ),
+    s AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS k, cnt,
+               COUNT(*) OVER () AS n, SUM(cnt) OVER () AS total
+        FROM d
+    ),
+    u AS (SELECT k, n, CAST(n * cnt - total AS BIGINT) AS u FROM s),
+    den AS (SELECT SUM(u * u) AS den FROM u),
+    lags AS (SELECT UNNEST(range(1, {ACF_MAX_LAG} + 1)) AS lag),
+    num AS (
+        SELECT l.lag, SUM(a.u * b.u) AS num, COUNT(*) AS n_pairs
+        FROM lags l
+        JOIN u a ON TRUE
+        JOIN u b ON b.k = a.k + l.lag
+        GROUP BY l.lag
+    )
+    SELECT num.lag AS lag,
+           CAST(num.n_pairs AS BIGINT) AS n_pairs,
+           CAST((1000 * num.num) // den.den AS BIGINT) AS acf_milli
+    FROM num, den
+    ORDER BY lag
+    """,
+    tags=("hypertable", "autocorrelation"),
+)
+def ht_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..7, in
+    exact milli units — the seasonality detector (a lag-7 spike means
+    weekly periodicity; near-zero everywhere means the series is noise;
+    slow decay means trend). Feeds the seasonal models (ht_seasonal_*)
+    with the RIGHT period instead of an assumed one.
+
+    Exactness trick: mean-center without fractions by scaling through n —
+    u_i = n·x_i − Σx is the deviation times n, so num/den are exact
+    integer sums (order-independent) and the n² factor cancels in the
+    ratio. Counts up to ~1e7/day stay far inside int64; at extreme scales
+    pre-divide the daily counts (cnt DIV 1000) before centering — the
+    ACF is scale-invariant.
+
+    Plan shape (100 TB): the raw scan collapses to |days| rows in one
+    map-side-combined aggregate; the lag self-join and windows all run on
+    the tiny daily series (~365·years rows), so the cost is the scan.
+    """
+    ensure_analytics_conf(spark)
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_all = Window.partitionBy()
+    s = d.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("k"),
+        "cnt",
+        F.count("*").over(w_all).alias("n"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    u = s.select(
+        "k", (F.col("n") * F.col("cnt") - F.col("total")).cast("long").alias("u")
+    )
+    den = u.agg(F.sum(F.col("u") * F.col("u")).alias("den"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a, b = u.alias("a"), u.alias("b")
+    num = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("b.k") == F.col("a.k") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("a.u") * F.col("b.u")).alias("num"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.expr("CAST((1000 * num) DIV den AS BIGINT)").alias("acf_milli"),
+        )
+        .orderBy("lag")
     )

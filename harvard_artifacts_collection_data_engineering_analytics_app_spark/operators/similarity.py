@@ -2237,3 +2237,362 @@ def ss_vector_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nrm"), 6).alias("min_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"),
     )
+
+
+# --- class-centroid similarity matrix ------------------------------------------
+
+CENT_SCALE = 1000  # fixed-point quantization grid (KM_SCALE's rule)
+
+
+@register(
+    "ss_label_centroid_sim",
+    oracle=f"""
+    WITH x AS (
+        SELECT label,
+               list_transform(embedding::DOUBLE[],
+                   e -> CAST(floor(e * {CENT_SCALE} + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    e AS (
+        SELECT label, u.i AS dim, u.v
+        FROM x, LATERAL (
+            SELECT UNNEST(generate_series(1, len(q))) AS i,
+                   UNNEST(q) AS v
+        ) u
+    ),
+    c AS (
+        SELECT label, dim,
+               CAST(floor(SUM(v)::DOUBLE / COUNT(*) + 0.5) AS BIGINT) AS m
+        FROM e GROUP BY label, dim
+    ),
+    nrm AS (
+        SELECT label, CAST(SUM(m * m) AS BIGINT) AS n2 FROM c GROUP BY label
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM(a.m * b.m) AS BIGINT) AS dot
+        FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY label_a, label_b
+    )
+    SELECT d.label_a, d.label_b,
+           ROUND(d.dot / nullif(sqrt(na.n2::DOUBLE * nb.n2::DOUBLE), 0), 6)
+               AS cosine
+    FROM dots d
+    JOIN nrm na ON na.label = d.label_a
+    JOIN nrm nb ON nb.label = d.label_b
+    ORDER BY cosine DESC, label_a, label_b
+    """,
+    tags=("similarity", "centroid", "mlops"),
+)
+def ss_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the class-confusability matrix (near-1.0 centroid pairs flag labels an
+    embedding model cannot separate, or a taxonomy that double-counts one
+    concept; the same matrix drives coarse-to-fine routing in hierarchical
+    ANN).
+
+    Cross-engine float discipline: components quantize to a fixed-point
+    BIGINT grid first, so the per-label per-dimension SUM is exact integer
+    arithmetic — order-independent, immune to Spark's nondeterministic
+    partial-agg ordering. The only float ops are one division and one
+    IEEE-correctly-rounded sqrt over exact integers, identical on both
+    engines.
+
+    Plan shape (100 TB): one scan posexplodes vectors to (label, dim,
+    q) — the shuffle key (label, dim) has |labels|·DIM cardinality with
+    map-side partial sums, so the shuffle is bounded by the class count,
+    not the corpus. Everything downstream (self-join on dim, norm join)
+    operates on the |labels|·DIM centroid relation — thousands of rows on
+    any corpus — and the final matrix is |labels|² rows. No crossJoin of
+    raw vectors anywhere.
+    """
+    ensure_analytics_conf(spark)
+    v = load_table(spark, sf_dir, "embeddings")
+    q = v.select(
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda e: F.floor(e * CENT_SCALE + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+    e = q.select("label", F.posexplode("q").alias("dim0", "v")).select(
+        "label", (F.col("dim0") + 1).alias("dim"), "v"
+    )
+    c = e.groupBy("label", "dim").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count("*").cast("double") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("m")
+    )
+    nrm = c.groupBy("label").agg(F.sum(F.col("m") * F.col("m")).alias("n2"))
+    a, b = c.alias("a"), c.alias("b")
+    dots = (
+        a.join(b, (F.col("a.dim") == F.col("b.dim")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(F.sum(F.col("a.m") * F.col("b.m")).alias("dot"))
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot")
+                / F.nullif(
+                    F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "label_a", "label_b")
+    )
+
+
+# --- kNN label evaluation (embedding-quality probe) ----------------------------
+
+KNN_QUERIES = 50  # leave-one-out query set: vec_id < 50
+KNN_K = 10
+
+
+@register(
+    "ss_knn_label_eval",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                   AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < {KNN_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS q_id, q.label AS true_label,
+               c.vec_id AS neighbor_id, c.label AS n_label,
+               ROUND(list_dot_product(q.emb, c.emb)
+                     / nullif(q.nrm * c.nrm, 0), 6) AS cosine
+        FROM q JOIN v c ON c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, neighbor_id
+               ) AS rn
+        FROM scored
+    ),
+    votes AS (
+        SELECT q_id, true_label, n_label, COUNT(*) AS c
+        FROM ranked WHERE rn <= {KNN_K}
+        GROUP BY q_id, true_label, n_label
+    ),
+    pred AS (
+        SELECT q_id, true_label, n_label AS pred_label
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY c DESC, n_label
+                   ) AS rv
+            FROM votes
+        ) WHERE rv = 1
+    )
+    SELECT true_label AS label,
+           COUNT(*) AS n_queries,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(1000 * SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS acc_milli
+    FROM pred
+    GROUP BY true_label
+    ORDER BY label
+    """,
+    tags=("similarity", "knn", "mlops"),
+)
+def ss_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN (k = 10) label prediction accuracy per class — the
+    standard embedding-quality probe (if cosine neighbors can't recover the
+    label, the embedding isn't separating the classes; run before and after
+    a model swap to catch silent embedding regressions).
+
+    Majority vote over the 10 nearest neighbors, ties broken by smaller
+    label (deterministic on both engines); per-class accuracy in exact
+    milli units.
+
+    Plan shape (100 TB): identical to ss_brute_topk — the query set is a
+    fixed-size broadcast, the corpus streams through one scan, and each
+    query keeps a top-k. Everything after the rank filter (votes,
+    argmax, accuracy) operates on |queries|·k rows. Exactness over the
+    full corpus is the point of an eval probe; for continuous monitoring
+    at 100 TB the same vote/accuracy tail composes onto ss_ivf_topk's
+    probe-pruned candidates unchanged.
+    """
+    ensure_analytics_conf(spark)
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    v = v.withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ),
+    )
+    q = v.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "true_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.round(
+            _cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")), 6
+        ).alias("cosine"),
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    votes = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= KNN_K)
+        .groupBy("q_id", "true_label", "n_label")
+        .agg(F.count("*").alias("c"))
+    )
+    w_vote = Window.partitionBy("q_id").orderBy(F.desc("c"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("rv", F.row_number().over(w_vote))
+        .filter(F.col("rv") == 1)
+        .select("q_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    correct = (F.col("pred_label") == F.col("true_label")).cast("long")
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(correct).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            F.expr("CAST(1000 * n_correct DIV n_queries AS BIGINT)").alias(
+                "acc_milli"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# --- kNN-distance outlier scoring (OOD detection) -------------------------------
+
+OOD_REF = 50   # reference set: vec_id < 50 (broadcast side)
+OOD_K = 5      # neighbors averaged for the outlier score
+OOD_TOP = 20   # most-OOD vectors reported
+
+
+@register(
+    "ss_ood_knn_distance",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                   AS nrm
+        FROM embeddings
+    ),
+    r AS (SELECT * FROM v WHERE vec_id < {OOD_REF}),
+    scored AS (
+        SELECT c.vec_id, c.label, r.vec_id AS ref_id,
+               CAST(floor(ROUND(list_dot_product(c.emb, r.emb)
+                                / nullif(c.nrm * r.nrm, 0), 6) * 1000000 + 0.5)
+                    AS BIGINT) AS cos_micro
+        FROM v c JOIN r ON c.vec_id >= {OOD_REF}
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY cos_micro DESC, ref_id
+               ) AS rn
+        FROM scored
+    )
+    SELECT vec_id, label,
+           CAST(SUM(cos_micro) // {OOD_K} AS BIGINT) AS mean_knn_cos_micro
+    FROM ranked WHERE rn <= {OOD_K}
+    GROUP BY vec_id, label
+    ORDER BY mean_knn_cos_micro, vec_id
+    LIMIT {OOD_TOP}
+    """,
+    tags=("similarity", "outlier", "mlops"),
+)
+def ss_ood_knn_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outlier scores: for every corpus vector, the mean
+    cosine to its 5 nearest reference-set neighbors; the 20 LOWEST scores
+    are the out-of-distribution candidates (mislabeled points, corrupted
+    embeddings, genuinely novel content) — the classic kNN-OOD detector
+    used to triage data before training and to mine hard examples.
+
+    The score is exact: per-pair cosines are rounded to the 1e-6 grid,
+    lifted to integer micros, and the 5-neighbor mean is an integer SUM
+    // k — no order-dependent float accumulation between engines.
+
+    Plan shape (100 TB): the mirror image of ss_brute_topk — the REFERENCE
+    set is the fixed-size broadcast and the full corpus streams through
+    one scan, keeping a constant-size top-k per row; cost is one pass,
+    zero shuffles beyond the final top-20. Scoring every corpus row
+    against a bounded reference is exactly how kNN-OOD is deployed (the
+    reference is a curated sample); scaling the reference instead composes
+    onto the IVF index path unchanged.
+    """
+    ensure_analytics_conf(spark)
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    v = v.withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ),
+    )
+    r = v.filter(F.col("vec_id") < OOD_REF).select(
+        F.col("vec_id").alias("ref_id"),
+        F.col("emb").alias("r_emb"),
+        F.col("nrm").alias("r_nrm"),
+    )
+    scored = (
+        v.filter(F.col("vec_id") >= OOD_REF)
+        .crossJoin(F.broadcast(r))
+        .select(
+            "vec_id",
+            "label",
+            "ref_id",
+            F.floor(
+                F.round(
+                    _cosine(F.col("emb"), F.col("r_emb"), F.col("nrm"), F.col("r_nrm")),
+                    6,
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_micro"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_micro"), F.asc("ref_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= OOD_K)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr(f"CAST(SUM(cos_micro) DIV {OOD_K} AS BIGINT)").alias(
+                "mean_knn_cos_micro"
+            )
+        )
+        .orderBy("mean_knn_cos_micro", "vec_id")
+        .limit(OOD_TOP)
+    )

@@ -1841,3 +1841,137 @@ def fx_entropy_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_nats"),
     )
+
+
+# --- single-pass column profiling --------------------------------------------
+
+PROFILE_COLS = ("event_type", "user_id", "value", "props")
+
+
+@register(
+    "fx_column_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct
+        FROM events
+        """
+        for c in PROFILE_COLS
+    )
+    + " ORDER BY col_name",
+    tags=("functions", "profiling"),
+)
+def fx_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary of the events table: per-column row count,
+    null count, and exact distinct count, in ONE scan.
+
+    The first query every pipeline runs against a new delivery (Deequ /
+    dbt-test territory): nulls where the contract says NOT NULL, a
+    distinct count that collapsed, a column that is suddenly constant.
+
+    Plan shape (100 TB): the naive form (one query per column, like the
+    SQL oracle's UNION ALL) scans the fact table |columns| times; this
+    plan computes every per-column aggregate in a single pass and then
+    unpivots the 1-row result with ``stack`` — the scan count is 1
+    regardless of how many columns are profiled. Exact multi-column
+    COUNT(DISTINCT) expands one row per distinct-aggregate under
+    Catalyst's Expand (rows x |profiled cols|) but combines map-side;
+    for very wide profiles swap countDistinct for approx_count_distinct
+    (fx_approx_count_distinct shows the HLL form) without changing shape.
+    """
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__dist"),
+        ]
+    one = _t(spark, sf_dir, "events").agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__dist" for c in PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack_args}) AS (col_name, n_rows, n_null, n_distinct)"
+    ).orderBy("col_name")
+
+
+# --- equi-width histogram -------------------------------------------------------
+
+HIST_BUCKETS = 20
+
+
+@register(
+    "fx_value_histogram",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(value) AS mn, MAX(value) AS mx
+        FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+        SELECT LEAST(CAST(floor((value - b.mn) / nullif((b.mx - b.mn)
+                                 / {HIST_BUCKETS}, 0)) AS BIGINT),
+                     {HIST_BUCKETS} - 1) AS bucket,
+               b.mn, b.mx
+        FROM events, b
+        WHERE value IS NOT NULL
+    )
+    SELECT bucket,
+           ROUND(mn + bucket * (mx - mn) / {HIST_BUCKETS}, 6) AS lo,
+           ROUND(mn + (bucket + 1) * (mx - mn) / {HIST_BUCKETS}, 6) AS hi,
+           COUNT(*) AS n
+    FROM h
+    GROUP BY bucket, mn, mx
+    ORDER BY bucket
+    """,
+    tags=("functions", "profiling", "histogram"),
+)
+def fx_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of events.value — the profiling
+    primitive behind every "what does this column look like" dashboard
+    and behind CBO-style statistics collection.
+
+    The max value clamps into the last bucket (LEAST), so the histogram
+    is a partition of [min, max] with no phantom 21st bucket. Bucket
+    boundaries are the identical IEEE double expression on both engines —
+    no ordering-sensitive float math (the only aggregates are MIN/MAX,
+    which are order-free).
+
+    Plan shape (100 TB): two scans — one MIN/MAX scalar aggregate
+    (map-side combined, one row out) broadcast onto the fact scan via
+    crossJoin, then a groupBy on the 20-value bucket key. Both aggregates
+    partial-combine, so the shuffle is 20 rows x partitions wide. A
+    single-pass variant (width_bucket against KNOWN bounds) drops the
+    first scan when the contract pins the range.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / HIST_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("mn")) / F.nullif(width, F.lit(0.0))).cast(
+            "long"
+        ),
+        F.lit(HIST_BUCKETS - 1).cast("long"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"), "mn", "mx")
+        .groupBy("bucket", "mn", "mx")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            F.round(
+                F.col("mn") + F.col("bucket") * (F.col("mx") - F.col("mn")) / HIST_BUCKETS,
+                6,
+            ).alias("lo"),
+            F.round(
+                F.col("mn")
+                + (F.col("bucket") + 1) * (F.col("mx") - F.col("mn")) / HIST_BUCKETS,
+                6,
+            ).alias("hi"),
+            "n",
+        )
+        .orderBy("bucket")
+    )

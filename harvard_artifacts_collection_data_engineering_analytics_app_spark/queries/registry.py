@@ -86,12 +86,17 @@ _PRIORITY: tuple[str, ...] = (
     # — a driver-recorded green row is the proof the fixes hold), the
     # newly capped Adamic-Adar, and the round-5-built remainder. After
     # this window: never-recorded count 82 → 56 of the round-5 surface;
-    # round 6 also added 14 new operators (dd_lsh_param_sweep, tx_zipf_fit,
+    # round 6 also added 30 new operators (dd_lsh_param_sweep, tx_zipf_fit,
     # sk_hot_keys, sk_gini_activity, fx_entropy_source_mix,
     # ss_embedding_drift, aj_purchase_last_click_tol, tx_dedup_shift,
     # st_near_dup_ingest, ss_rrf_hybrid, gr_labelprop_communities,
-    # mm_keyframe_select, ht_lttb_downsample, tw_cumulative_uniques) that
-    # register past slot 50 — they join the round-7 rotation pool. ---
+    # mm_keyframe_select, ht_lttb_downsample, tw_cumulative_uniques,
+    # tx_tokenizer_fertility, ss_vector_audit, tx_source_vocab_overlap,
+    # gr_bipartite_projection, ht_cusum_changepoint, fx_column_profile,
+    # dd_split_leakage, tx_mixture_alloc, ss_label_centroid_sim,
+    # gr_clustering_coeff, ss_knn_label_eval, fx_value_histogram,
+    # tx_unigram_entropy, ht_acf, gr_assortativity, ss_ood_knn_distance)
+    # that register past slot 50 — they join the round-7 rotation pool. ---
     "dd_ngram_jaccard_prefix",
     "ss_ivf_kmeans_topk",
     # advice-fixed this round
