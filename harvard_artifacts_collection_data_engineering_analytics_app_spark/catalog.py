@@ -29,6 +29,11 @@ def content_key(sf_dir: str, table: str) -> str:
     serving stale data. With the fingerprint in the name, regeneration
     simply misses the catalog lookup and the artifact rebuilds — the
     local-mode analogue of checking a lakehouse table's snapshot id.
+
+    A MISSING source path raises rather than silently degrading to a
+    path-only hash (round-6 advice, LOW): a typo'd table name or
+    not-yet-generated dataset would otherwise quietly revert to exactly
+    the path-keyed staleness behavior this function exists to prevent.
     """
     import hashlib
     import os
@@ -42,7 +47,54 @@ def content_key(sf_dir: str, table: str) -> str:
     elif os.path.exists(src):
         st = os.stat(src)
         parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    else:
+        raise FileNotFoundError(
+            f"content_key: source table does not exist: {src} — a "
+            "path-only fingerprint would silently re-enable path-keyed "
+            "staleness for persisted artifacts"
+        )
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
+def gc_stale_artifacts(spark: SparkSession, table: str) -> list[str]:
+    """Drop superseded versions of a content-keyed artifact table.
+
+    ``table`` is the CURRENT name, ``{prefix}_{12-hex content key}``.
+    Every regeneration of the source data mints a new key (see
+    ``content_key``), so without collection the warehouse accumulates one
+    dead index/MV per regeneration forever (round-6 advice, LOW). Siblings
+    are matched by ``{prefix}_<12 hex>`` with a DIFFERENT key and removed
+    from both the session catalog (DROP TABLE) and the warehouse directory
+    (a managed-table LOCATION can outlive a catalog that forgot it —
+    fresh driver session, same cwd). Returns the dropped names.
+    """
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    m = re.fullmatch(r"(.+)_([0-9a-f]{12})", table)
+    if not m:
+        return []
+    prefix, keep = m.groups()
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    sibling = re.compile(re.escape(prefix) + r"_([0-9a-f]{12})$")
+    candidates: set[str] = set()
+    if os.path.isdir(warehouse):
+        candidates.update(
+            n for n in os.listdir(warehouse) if sibling.fullmatch(n)
+        )
+    candidates.update(
+        t.name for t in spark.catalog.listTables() if sibling.fullmatch(t.name)
+    )
+    dropped = []
+    for name in sorted(candidates):
+        if sibling.fullmatch(name).group(1) == keep:
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+        dropped.append(name)
+    return dropped
 
 
 # The driver-generated star schema + extension tables (TESTDATA.md).

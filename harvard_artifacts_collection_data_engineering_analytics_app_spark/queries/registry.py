@@ -79,55 +79,41 @@ _PRIORITY: tuple[str, ...] = (
     # the every-family invariant)
     "rj_price_tier_broadcast",
     "sk_salted_join",
-    # --- round-6 rotation: 26 never-recorded queries (judge VERDICT r5
-    # #2). Leads with the two the r5 round displaced
-    # (dd_ngram_jaccard_prefix, ss_ivf_kmeans_topk), then everything the
-    # r5 advice fixed this round (rfm/burst/gap/mv-refresh/segment-rewrite
-    # — a driver-recorded green row is the proof the fixes hold), the
-    # newly capped Adamic-Adar, and the round-5-built remainder. After
-    # this window: never-recorded count 82 → 56 of the round-5 surface;
-    # round 6 also added 30 new operators (dd_lsh_param_sweep, tx_zipf_fit,
-    # sk_hot_keys, sk_gini_activity, fx_entropy_source_mix,
-    # ss_embedding_drift, aj_purchase_last_click_tol, tx_dedup_shift,
-    # st_near_dup_ingest, ss_rrf_hybrid, gr_labelprop_communities,
-    # mm_keyframe_select, ht_lttb_downsample, tw_cumulative_uniques,
-    # tx_tokenizer_fertility, ss_vector_audit, tx_source_vocab_overlap,
-    # gr_bipartite_projection, ht_cusum_changepoint, fx_column_profile,
-    # dd_split_leakage, tx_mixture_alloc, ss_label_centroid_sim,
-    # gr_clustering_coeff, ss_knn_label_eval, fx_value_histogram,
-    # tx_unigram_entropy, ht_acf, gr_assortativity, ss_ood_knn_distance)
-    # that register past slot 50 — they join the round-7 rotation pool. ---
-    "dd_ngram_jaccard_prefix",
-    "ss_ivf_kmeans_topk",
-    # advice-fixed this round
-    "tw_rfm_segments",
-    "tw_burst_detection",
-    "fx_id_gap_audit",
-    "fx_incremental_agg_refresh",
-    "dd_segment_rewrite",
-    # capped wedge link prediction (r5 verdict #3, fixed this round)
-    "gr_linkpred_adamic_adar",
-    # recall-floor'd evaluation reports (r5 verdict #6)
-    "dd_lsh_recall_report",
-    "ss_ann_recall_report",
-    # round-5-built operators, never recorded
-    "gr_kcore",
-    "tx_dsir_weight",
-    "tx_bpe_first_merges",
-    "fx_skyline_pareto",
-    "ss_pq_persisted_topk",
-    "mm_image_near_dup",
-    "dd_fuzzy_name_pairs",
-    "st_event_transitions",
-    "fx_psi_drift",
-    # family coverage for the window invariant + long-tail rotation
-    "aj_purchase_nearest_click",
-    "wf_ntile_cume",
-    "ht_m4_downsample",
-    "tw_top_paths",
-    "st_running_totals",
-    "mm_shot_boundaries",
-    "tx_epoch_order",
+    # --- round-7 rotation: 26 never-recorded queries (standing judge
+    # directive r4 #2 / r5 #2). Selected family-diverse by
+    # scripts/rotation_suggest.py from the 86-name never-recorded pool
+    # (60 remain after this window; exhaustion ~round 9-10). Includes
+    # ht_lttb_downsample deliberately: its triangle-area sign flip was
+    # fixed this round on BOTH the Spark and oracle sides (round-6 advice,
+    # MEDIUM), so a driver-recorded green row is the proof the fix holds
+    # under the real gate. The round-6 window's 26 names are all recorded
+    # green in CORRECTNESS_r06.json. ---
+    "aj_purchase_last_click_tol",
+    "dd_minhash_lsh_expr",
+    "fx_intersect_all",
+    "gr_degree_hist",
+    "ht_seasonal_naive_error",
+    "mm_blob_metadata",
+    "sk_hot_keys",
+    "ss_brute_topk_numpy",
+    "st_sliding_2h_1h",
+    "tw_sliding_2h_1h",
+    "tx_fingerprint",
+    "wf_running_sum",
+    "dd_incremental_minhash",
+    "fx_except_all",
+    "gr_edge_jaccard",
+    "ht_lttb_downsample",
+    "mm_frame_plan",
+    "sk_gini_activity",
+    "ss_lsh_multiprobe_topk",
+    "st_dedup_count",
+    "tw_funnel_conversion",
+    "tx_ngram_freq",
+    "dd_incremental_minhash_indexed",
+    "fx_unpivot",
+    "gr_supplier_segments",
+    "ht_cusum_changepoint",
 )
 
 

@@ -54,6 +54,29 @@ def _events_raw_schema(ts_type) -> StructType:
     )
 
 
+def _stream_table(reader, sf_dir: str, table: str) -> DataFrame:
+    """Open a file-source stream over ``{sf_dir}/{table}.parquet`` that works
+    for BOTH physical layouts the pipeline sees:
+
+    - a Spark-written DIRECTORY of part files (var/sf1, var/sf0.1-zipf) →
+      stream the directory itself;
+    - a SINGLE parquet file (the driver's testdata) → the file source
+      rejects a bare file as basePath, so stream the parent dir with a
+      pathGlobFilter selecting just that file.
+
+    A pathGlobFilter alone matches only the single-file layout — against a
+    directory table it lists zero files and the stream silently yields an
+    empty relation (round-6 advice). On a real cluster tables are always
+    directories, so the directory branch is the production path.
+    """
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -63,13 +86,10 @@ def read_events_stream(
     ensure_analytics_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
-    raw = (
-        spark.readStream.schema(_events_raw_schema(physical))
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        # file source requires a directory; select just the events file
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(_events_raw_schema(physical)).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    raw = _stream_table(reader, sf_dir, "events")
     if isinstance(physical, LongType):  # TIMESTAMP(NANOS) via nanosAsLong
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     # TIMESTAMP_NTZ (or already an instant): cast under the pinned-UTC
@@ -519,9 +539,5 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_analytics_conf(spark)
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    return _stream_table(reader, sf_dir, "documents")

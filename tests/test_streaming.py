@@ -369,3 +369,30 @@ def test_event_transitions_state_carries_across_batches(spark, sf_dir, tmp_path)
     one_batch = _counts("t_trans_1batch")
     assert two_batch == one_batch
     assert sum(one_batch.values()) > 0
+
+
+def test_stream_readers_handle_directory_style_tables(spark, sf_dir, tmp_path):
+    """Round-6 advice (HIGH): a pathGlobFilter of '<table>.parquet' on the
+    parent dir matches only the single-file testdata layout; against a
+    Spark-written DIRECTORY table it listed zero files and the stream
+    silently returned an empty relation. Both readers must yield every row
+    for both layouts."""
+    dir_sf = str(tmp_path / "dirsf")
+    for table in ("events", "documents"):
+        batch = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        # a multi-file Spark-written directory table
+        batch.repartition(3).write.parquet(f"{dir_sf}/{table}.parquet")
+
+    for reader, table in (
+        (P.read_events_stream, "events"),
+        (P.read_documents_stream, "documents"),
+    ):
+        want = spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+        assert want > 0
+        for src in (sf_dir, dir_sf):  # single-file and directory layouts
+            name = f"t_layout_{table}_{'dir' if src == dir_sf else 'file'}"
+            P.run_to_memory(
+                reader(spark, src).groupBy().count(), name, output_mode="complete"
+            )
+            got = spark.table(name).collect()[0][0]
+            assert got == want, (table, src, got, want)

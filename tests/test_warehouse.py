@@ -256,4 +256,38 @@ def test_content_key_changes_when_source_regenerates(tmp_path):
     os.utime(dst, ns=(1, 1))  # same bytes, regenerated mtime
     k2 = content_key(str(dst_dir), "events")
     assert k1 != k2, "regeneration under the same path must change the key"
-    assert k1 != content_key(str(dst_dir), "documents"), "table not in key"
+    # a missing source (typo'd table / not-yet-generated data) must raise,
+    # not silently fall back to a path-only hash (r6 advice)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        content_key(str(dst_dir), "documents")
+
+
+def test_gc_stale_artifacts_drops_superseded_keys(spark, tmp_path):
+    """Every source regeneration mints a new content-keyed artifact name;
+    the superseded siblings (same prefix, different 12-hex key) must be
+    collected from both the catalog and the warehouse dir, or the
+    warehouse grows one dead index per regeneration forever (r6 advice)."""
+    import os
+    from urllib.parse import urlparse
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.catalog import (
+        gc_stale_artifacts,
+    )
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    old, new = "gcdemo_idx_aaaaaaaaaaaa", "gcdemo_idx_bbbbbbbbbbbb"
+    unrelated = "gcdemo_other_cccccccccccc"
+    for t in (old, new, unrelated):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.range(3).write.mode("overwrite").format("parquet").saveAsTable(t)
+    dropped = gc_stale_artifacts(spark, new)
+    assert dropped == [old]
+    assert not spark.catalog.tableExists(old)
+    assert not os.path.exists(os.path.join(warehouse, old))
+    # the current key and a different-prefix artifact both survive
+    assert spark.table(new).count() == 3
+    assert spark.table(unrelated).count() == 3
+    for t in (new, unrelated):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
