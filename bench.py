@@ -146,6 +146,22 @@ HEADLINE = [
     "ht_acf",
     "gr_assortativity",
     "ss_ood_knn_distance",
+    # round-7 additions
+    "tx_bm25_search",
+    "ss_maxmin_diversity",
+    "ss_knn_graph",
+    "sk_hot_key_split_join",
+    "fx_ks_drift",
+    "fx_gaps_islands",
+    "dd_bloom_novelty",
+    "ht_rolling_mad_anomaly",
+    "tx_mattr",
+    "mm_patch_grid_plan",
+    "st_topk_per_window",
+    "gr_personalized_pagerank",
+    "rj_scd2_temporal_join",
+    "tw_inter_event_stats",
+    "ss_pca_power_topdim",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -2387,3 +2387,225 @@ def tx_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_nats"),
     ).orderBy("source")
+
+
+# --- BM25 retrieval ----------------------------------------------------------
+
+BM25_TERMS = ("join", "filter", "window", "shuffle")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 10
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "tx_bm25_search",
+    oracle=f"""
+    WITH dl AS (
+        SELECT doc_id, CAST(len({SQL_TOKENS}) AS BIGINT) AS dlen
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n, AVG(dlen::DOUBLE) AS avgdl FROM dl
+    ),
+    toks AS (
+        SELECT doc_id, UNNEST({SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term IN ({_BM25_TERMS_SQL})
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                   ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * ({BM25_K1} + 1))
+                   / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                        + {BM25_B} * dl.dlen / s.avgdl))
+                   * 1e6) AS BIGINT) AS c_micro
+        FROM tf
+        JOIN dfreq d USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(c_micro) AS BIGINT) AS score_micro,
+           ROUND(SUM(c_micro) / 1e6, 6) AS bm25
+    FROM contrib GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {BM25_TOPN}
+    """,
+    tags=("text", "retrieval", "bm25"),
+)
+def tx_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a fixed query-term set — the classic
+    retrieval scorer over an inverted-index shape (Robertson & Zaragoza,
+    "The Probabilistic Relevance Framework: BM25 and Beyond").
+
+    Exactness: each (doc, term) contribution is computed in double and
+    quantized to integer MICRO-units before summing, so the per-doc score
+    is an exact BIGINT sum — per-term float math is identical on both
+    engines (same inputs, same expression tree), while the SUM of several
+    doubles would depend on aggregation order. Ranking ties break on
+    doc_id.
+
+    Plan shape (100 TB): the token explode filters to the query terms
+    BEFORE the (doc, term) aggregation, so only matching postings shuffle
+    — the distributed analogue of reading |query| posting lists, not the
+    corpus. Document lengths aggregate map-side; N/avgdl is a broadcast
+    scalar; df is |query terms| rows. One corpus-sized shuffle total (the
+    tf aggregation), everything downstream is postings-sized.
+    """
+    d = _t(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(T.tokens("text")).cast("long").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg(F.col("dlen").cast("double")).alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c_micro",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl"))
+                )
+                * 1e6
+            ).cast("bigint"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c_micro").cast("bigint").alias("score_micro"))
+        .withColumn("bm25", F.round(F.col("score_micro") / 1e6, 6))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(BM25_TOPN)
+    )
+
+
+# --- MATTR lexical diversity ---------------------------------------------------
+
+MATTR_W = 30  # moving-window width in tokens
+
+
+@register(
+    "tx_mattr",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, {SQL_TOKENS} AS arr,
+               CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, n_tokens,
+               UNNEST(range(1, CAST(n_tokens - {MATTR_W} + 2 AS BIGINT))) AS w
+        FROM arrs WHERE n_tokens >= {MATTR_W}
+    ),
+    toks AS (
+        SELECT a.doc_id, p.pos, a.arr[p.pos] AS tok
+        FROM arrs a, LATERAL (
+            SELECT UNNEST(range(1, CAST(a.n_tokens + 1 AS BIGINT))) AS pos
+        ) p
+        WHERE a.n_tokens >= {MATTR_W}
+    ),
+    u AS (
+        SELECT w.doc_id, w.n_tokens, w.w,
+               COUNT(DISTINCT t.tok) AS utypes
+        FROM wins w JOIN toks t
+          ON t.doc_id = w.doc_id
+         AND t.pos BETWEEN w.w AND w.w + {MATTR_W} - 1
+        GROUP BY w.doc_id, w.n_tokens, w.w
+    )
+    SELECT doc_id, n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(utypes) AS BIGINT) AS sum_utypes,
+           CAST((1000 * SUM(utypes)) // ({MATTR_W} * COUNT(*)) AS BIGINT)
+               AS mattr_milli
+    FROM u GROUP BY doc_id, n_tokens
+    ORDER BY doc_id
+    """,
+    tags=("text", "lexical-diversity", "mattr"),
+)
+def tx_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR (moving-average type-token ratio, Covington & McFall 2010) —
+    the length-robust lexical-diversity score: the type/token ratio
+    averaged over every sliding MATTR_W-token window, per document. Plain
+    TTR (tx_unigram_entropy's ttr_milli) decays mechanically with
+    document length; MATTR is comparable across lengths and is a standard
+    quality feature next to the Gopher rules.
+
+    Exactness: reported in integer milli-units — (1000·Σ window types)
+    DIV (W·windows) — the cross-engine truncating-division pair, so no
+    float reaches the hash.
+
+    Plan shape (100 TB): one Arrow pass, each doc scored by an O(n)
+    add/evict sliding counter (the n·W blowup lives ONLY in the DuckDB
+    oracle, which proves the incremental counter against the
+    materialized-windows definition). Per-doc state is the window
+    counter; nothing shuffles but the final |docs|-sized result.
+    """
+    import collections
+
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mattr(it):
+        for pdf in it:
+            out = {"doc_id": [], "n_tokens": [], "n_windows": [], "sum_utypes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.strip().split()
+                n = len(toks)
+                if n < MATTR_W:
+                    continue
+                cnt = collections.Counter(toks[:MATTR_W])
+                total = len(cnt)
+                for i in range(MATTR_W, n):
+                    cnt[toks[i]] += 1
+                    old = toks[i - MATTR_W]
+                    cnt[old] -= 1
+                    if cnt[old] == 0:
+                        del cnt[old]
+                    total += len(cnt)
+                out["doc_id"].append(int(doc_id))
+                out["n_tokens"].append(n)
+                out["n_windows"].append(n - MATTR_W + 1)
+                out["sum_utypes"].append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_tokens": pd.Series(out["n_tokens"], dtype="int64"),
+                    "n_windows": pd.Series(out["n_windows"], dtype="int64"),
+                    "sum_utypes": pd.Series(out["sum_utypes"], dtype="int64"),
+                }
+            )
+
+    scored = d.mapInPandas(
+        mattr, "doc_id long, n_tokens long, n_windows long, sum_utypes long"
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        "sum_utypes",
+        F.expr(f"(1000 * sum_utypes) DIV ({MATTR_W} * n_windows)").alias(
+            "mattr_milli"
+        ),
+    ).orderBy("doc_id")

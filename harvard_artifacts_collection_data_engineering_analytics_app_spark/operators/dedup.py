@@ -1527,10 +1527,13 @@ def build_corpus_dedup_index(
     # a managed-table LOCATION can survive a session whose catalog forgot
     # the table (fresh driver session, same cwd) — clear both, else
     # saveAsTable fails with LOCATION_ALREADY_EXISTS
+    from ..catalog import gc_stale_artifacts
+
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for tbl in (band_table, sig_table):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+        gc_stale_artifacts(spark, tbl)  # superseded content keys (r6 advice)
     sig = (
         _signature_relation(
             _docs(spark, sf_dir).filter(~_incoming_pred())
@@ -2210,4 +2213,109 @@ def dd_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("leak").alias("n_leaking"),
         )
         .orderBy("split_a", "split_b")
+    )
+
+
+# --- bloom-filter novelty gate (streaming-ingest dedup shape) -------------------
+
+BLOOM_NOVELTY_BITS = 1 << 20  # m: filter width in bits
+BLOOM_NOVELTY_K = 7  # k: hash functions (seeded xxhash64)
+
+
+@register(
+    "dd_bloom_novelty",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, md5(text) AS fp,
+               CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 >= {INCR_BATCH_GE} AS incoming
+        FROM documents
+    ),
+    corpus AS (SELECT DISTINCT fp FROM tagged WHERE NOT incoming),
+    inc AS (SELECT doc_id, fp FROM tagged WHERE incoming)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(SUM(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup,
+           CAST(SUM(CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+    FROM inc LEFT JOIN corpus c ON inc.fp = c.fp
+    """,
+    tags=("dedup", "bloom", "incremental"),
+)
+def dd_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated novelty check of an incoming batch against the corpus —
+    the first stage of a production ingest dedup: a corpus-side Bloom
+    filter (built once, O(bits) bytes, broadcast) splits the batch into
+    "definitely new" (bloom miss — a Bloom filter has NO false negatives,
+    so these skip the join entirely) and "possibly seen" (bloom hit —
+    only these shuffle into the exact fingerprint join). The final
+    novel/dup split is EXACT regardless of the filter's false-positive
+    rate, which is why the plain-join oracle matches bit for bit; the
+    bloom's only effect is pruning join input, same contract as
+    sk_bloom_prune_join's runtime filter but held as a persistent ingest
+    artifact rather than re-derived per query.
+
+    The filter itself is PURE CATALYST (Spark exposes its built-in bloom
+    only to the optimizer's runtime-filter rewrite, not as a SQL
+    function): k = BLOOM_NOVELTY_K seeded xxhash64 positions per
+    fingerprint, OR-folded into an int64-word bitmap by a bit_or
+    aggregation — m/64 rows, broadcast to the batch side, membership =
+    all k bits set. bit_or is order-insensitive, so the filter is
+    deterministic under any partitioning.
+
+    Plan shape (100 TB): the corpus is scanned once to build the filter
+    (map-side partial bit_or per word, one m/64-row exchange); per batch,
+    only the bloom-hit fraction (true dup rate + FPP ≈ (1-e^{-kn/m})^k)
+    of incoming rows joins against the corpus fingerprints, and the
+    corpus side of that join can be bucketed by fp exactly like the
+    minhash band index.
+    """
+    ensure_analytics_conf(spark)
+    d = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
+    inc = d.filter(_incoming_pred())
+    corpus = d.filter(~_incoming_pred()).select("fp").distinct()
+
+    seeds = F.array(*[F.lit(i) for i in range(BLOOM_NOVELTY_K)])
+
+    def positions(rel: DataFrame) -> DataFrame:
+        pos = F.pmod(F.xxhash64(F.col("fp"), F.col("seed")), BLOOM_NOVELTY_BITS)
+        return (
+            rel.withColumn("seed", F.explode(seeds))
+            .withColumn("word", (pos / 64).cast("long"))
+            .withColumn("bit", (pos % 64).cast("int"))
+        )
+
+    bloom_words = (
+        positions(corpus)
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits"))
+    )
+    gated = (
+        positions(inc)
+        .join(F.broadcast(bloom_words), "word", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                F.expr("shiftright(bits, bit)").bitwiseAND(1), F.lit(0)
+            ),
+        )
+        .groupBy("doc_id", "fp")
+        .agg((F.min("hit") == 1).alias("maybe_seen"))
+    )
+    hits = gated.filter(F.col("maybe_seen")).join(
+        corpus.withColumnRenamed("fp", "cfp"),
+        F.col("fp") == F.col("cfp"),
+        "left",
+    )
+    verified = hits.select(
+        "doc_id", F.col("cfp").isNotNull().alias("is_dup")
+    ).unionByName(
+        gated.filter(~F.col("maybe_seen")).select(
+            "doc_id", F.lit(False).alias("is_dup")
+        )
+    )
+    return verified.agg(
+        F.count("*").cast("long").alias("n_incoming"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_exact_dup"),
+        F.sum((~F.col("is_dup")).cast("long")).cast("long").alias("n_novel"),
     )

@@ -1297,3 +1297,122 @@ def gr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# --- personalized PageRank -------------------------------------------------------
+
+PPR_SEED_CUSTKEYS = (1, 2)  # seed set S: customer nodes 2·k
+PPR_ROUNDS = 3
+PPR_TOP = 20
+
+
+def _ppr_oracle() -> str:
+    seeds = ", ".join(str(2 * k) for k in PPR_SEED_CUSTKEYS)
+    ns = len(PPR_SEED_CUSTKEYS)
+    base = f"(3 * {PR_SCALE} // 20) // {ns}"  # teleport mass per seed
+    ctes = [
+        """raw AS (
+        SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, COUNT(*) AS w
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_custkey * 2, l_suppkey * 2 + 1
+    )""",
+        """e AS (
+        SELECT src, dst, w FROM raw
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM raw
+    )""",
+        "deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS W FROM e GROUP BY src)",
+        f"seeds AS (SELECT UNNEST([{seeds}]) AS node)",
+        f"p0 AS (SELECT node, CAST({PR_SCALE} // {ns} AS BIGINT) AS p FROM seeds)",
+    ]
+    for k in range(PPR_ROUNDS):
+        ctes.append(
+            f"""p{k + 1} AS (
+        SELECT node, CAST(SUM(v) AS BIGINT) AS p FROM (
+            SELECT e.dst AS node,
+                   (85 * SUM((p{k}.p * e.w) // deg.W)) // 100 AS v
+            FROM e
+            JOIN p{k} ON p{k}.node = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+            UNION ALL
+            SELECT node, {base} FROM seeds
+        ) GROUP BY node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, p FROM p{PPR_ROUNDS}
+    ORDER BY p DESC, node LIMIT {PPR_TOP}
+    """
+    )
+
+
+@register(
+    "gr_personalized_pagerank",
+    oracle=_ppr_oracle(),
+    tags=("graph", "pagerank", "personalized", "iterative"),
+)
+def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a 2-customer seed set on the symmetric
+    co-purchase graph (damping 0.85, 3 rounds, top-20) — the
+    recommendation/related-entities primitive: teleport mass returns to
+    the SEEDS instead of spreading uniformly, so ranks measure proximity
+    to the seed set rather than global centrality (gr_pagerank).
+
+    Two structural differences from global PageRank, both load-bearing at
+    scale: (1) the rank relation starts SEEDS-sized and grows only along
+    reachable frontier — on a power-law graph most nodes never hold mass,
+    so the per-round join is frontier×edges, not |V|×edges; (2) the seed
+    base term applies only to S, implemented as a union-then-reaggregate
+    so a seed with no incoming mass still keeps its teleport share (the
+    bipartite co-purchase graph makes this real: seeds receive nothing in
+    round 1).
+
+    Exactness: same 1e12 fixed-point integer grid and truncating-DIV
+    arithmetic as gr_pagerank — bit-identical across engines, oracle
+    replays every round.
+    """
+    ensure_analytics_conf(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    rev = raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    e = raw.unionByName(rev)
+    deg = e.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
+    edges = e.join(deg, "src").localCheckpoint(eager=True)
+
+    ns = len(PPR_SEED_CUSTKEYS)
+    base = (3 * PR_SCALE // 20) // ns
+    seeds = spark.createDataFrame(
+        [(2 * k,) for k in PPR_SEED_CUSTKEYS], "node long"
+    )
+    p = seeds.select("node", F.lit(PR_SCALE // ns).cast("long").alias("p"))
+    for _ in range(PPR_ROUNDS):
+        ranks = p.alias("P")
+        spread = (
+            edges.alias("E")
+            .join(ranks, F.col("E.src") == F.col("P.node"))
+            .groupBy(F.col("E.dst").alias("node"))
+            .agg(
+                F.expr("(85 * SUM((P.p * E.w) DIV E.outw)) DIV 100").alias("v")
+            )
+        )
+        p = (
+            spread.unionByName(
+                seeds.select("node", F.lit(base).cast("long").alias("v"))
+            )
+            .groupBy("node")
+            .agg(F.sum("v").cast("long").alias("p"))
+            .localCheckpoint(eager=True)
+        )
+    return p.orderBy(F.desc("p"), F.asc("node")).limit(PPR_TOP)

@@ -1119,3 +1119,110 @@ def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "shot_no")
     )
+
+
+# --- ViT patch-grid planning ----------------------------------------------------
+#
+# Vision-transformer preprocessing splits, like frame sampling above, into
+# PLANNING (which 16x16 patches exist for an image of (w, h), where each
+# starts, how much right/bottom padding the resize adds — pure metadata
+# arithmetic) and EXTRACTION (slice + normalize pixels — the Arrow/decode
+# stage). Keeping the plan in Catalyst means the patch relation is
+# prunable/pushdownable before any pixel byte moves.
+
+PATCH_SIZE = 16
+PATCH_IMG_LT = 40  # images to expand into patch rows
+
+
+@register(
+    "mm_patch_grid_plan",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT doc_id,
+               CAST(64 + (doc_id % 7) * 16 + (doc_id % 3) AS BIGINT) AS w,
+               CAST(48 + (doc_id % 5) * 16 + (doc_id % 2) AS BIGINT) AS h
+        FROM documents WHERE doc_id < {PATCH_IMG_LT}
+    ),
+    grids AS (
+        SELECT doc_id, w, h,
+               CAST(ceil(w / {PATCH_SIZE}.0) AS BIGINT) AS grid_w,
+               CAST(ceil(h / {PATCH_SIZE}.0) AS BIGINT) AS grid_h
+        FROM imgs
+    )
+    SELECT g.doc_id, g.w, g.h, g.grid_w, g.grid_h,
+           g.grid_w * g.grid_h AS n_patches,
+           g.grid_w * {PATCH_SIZE} - g.w AS pad_w,
+           g.grid_h * {PATCH_SIZE} - g.h AS pad_h,
+           p.idx AS patch_idx,
+           (p.idx % g.grid_w) * {PATCH_SIZE} AS px0,
+           (p.idx // g.grid_w) * {PATCH_SIZE} AS py0
+    FROM grids g, LATERAL (
+        SELECT UNNEST(range(0, g.grid_w * g.grid_h)) AS idx
+    ) p
+    ORDER BY doc_id, patch_idx
+    """,
+    tags=("multimodal", "vit", "plan"),
+)
+def mm_patch_grid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch-grid plan: one row per 16x16 patch per image — its index,
+    top-left pixel origin (row-major), and the image's grid/padding
+    summary. Image dimensions are deterministic fake metadata derived
+    from doc_id (the testdata has no real media; with a real corpus these
+    come from mm_blob_metadata's header parse), covering the ragged cases
+    — widths/heights NOT multiples of the patch size get right/bottom
+    padding, exactly what a resize-to-grid preprocessor must plan.
+
+    Plan shape (100 TB): pure Catalyst sequence + posexplode — the patch
+    relation is |images|·|patches| metadata rows that partition-prune and
+    predicate-push BEFORE any pixel decode runs; the extraction stage
+    (mapInPandas over (blob, px0, py0) — same seam as frame_extract)
+    touches only planned patches. Row-major offsets mean a columnar
+    decode can slice each patch without materializing the full image.
+    """
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < PATCH_IMG_LT
+    )
+    imgs = d.select(
+        "doc_id",
+        (64 + (F.col("doc_id") % 7) * 16 + F.col("doc_id") % 3)
+        .cast("long")
+        .alias("w"),
+        (48 + (F.col("doc_id") % 5) * 16 + F.col("doc_id") % 2)
+        .cast("long")
+        .alias("h"),
+    )
+    grids = imgs.select(
+        "doc_id",
+        "w",
+        "h",
+        F.ceil(F.col("w") / PATCH_SIZE).cast("long").alias("grid_w"),
+        F.ceil(F.col("h") / PATCH_SIZE).cast("long").alias("grid_h"),
+    )
+    return (
+        grids.withColumn(
+            "patch_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.col("grid_w") * F.col("grid_h") - 1,
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            "w",
+            "h",
+            "grid_w",
+            "grid_h",
+            (F.col("grid_w") * F.col("grid_h")).alias("n_patches"),
+            (F.col("grid_w") * PATCH_SIZE - F.col("w")).alias("pad_w"),
+            (F.col("grid_h") * PATCH_SIZE - F.col("h")).alias("pad_h"),
+            "patch_idx",
+            ((F.col("patch_idx") % F.col("grid_w")) * PATCH_SIZE).alias("px0"),
+            (
+                F.expr("patch_idx DIV grid_w") * PATCH_SIZE
+            ).alias("py0"),
+        )
+        .orderBy("doc_id", "patch_idx")
+    )

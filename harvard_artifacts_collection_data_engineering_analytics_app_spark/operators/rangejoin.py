@@ -324,3 +324,93 @@ def rj_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e_end",
         F.round(overlap, 6).alias("overlap_s"),
     )
+
+
+# --- temporally-correct SCD2 dimension join --------------------------------------
+
+SCD2_CUSTKEY_LT = 50  # demo slice; the plan is per-key generic
+
+
+@register(
+    "rj_scd2_temporal_join",
+    oracle=f"""
+    WITH dim AS (
+        SELECT o_custkey, o_orderstatus,
+               o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS valid_to
+        FROM orders WHERE o_custkey < {SCD2_CUSTKEY_LT}
+    ),
+    fact AS (
+        SELECT o.o_custkey, l.l_shipdate,
+               CAST(ROUND(l.l_quantity * 100) AS BIGINT) AS qty_cents
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey < {SCD2_CUSTKEY_LT}
+    )
+    SELECT d.o_orderstatus AS status_at_ship,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(f.qty_cents) AS BIGINT) AS sum_qty_cents
+    FROM fact f JOIN dim d
+      ON d.o_custkey = f.o_custkey
+     AND f.l_shipdate >= d.valid_from
+     AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+    GROUP BY d.o_orderstatus
+    ORDER BY status_at_ship
+    """,
+    tags=("rangejoin", "scd2", "temporal"),
+)
+def rj_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporally-correct dimension enrichment: each shipment joins the
+    SCD2 status interval its customer was in AT SHIP TIME (half-open
+    [valid_from, valid_to) containment — the standard "join fact to the
+    dimension version as of event time" warehouse pattern, composing
+    fx_scd2_intervals' interval builder with the range-join family).
+    Zero-length intervals (same-day successive changes) contain nothing,
+    exactly as SCD2 semantics require.
+
+    Plan shape (100 TB): the containment predicate rides a plain EQUI
+    join on the business key — per-key interval counts are bounded
+    (a dimension's change history), so the per-key fan-out is |versions|,
+    never a cross product; both sides shuffle once on custkey (or zero
+    times with the bucketed warehouse layout). Contrast with
+    rj_interval_overlap, where neither side has an equi key and bucketing
+    must come from time itself.
+    """
+    ensure_analytics_conf(spark)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < SCD2_CUSTKEY_LT
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = o.select(
+        F.col("o_custkey").alias("d_custkey"),
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    fact = o.select("o_orderkey", "o_custkey").join(
+        li, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "o_custkey",
+        "l_shipdate",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_cents"),
+    )
+    joined = fact.join(
+        dim,
+        (F.col("o_custkey") == F.col("d_custkey"))
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+    )
+    return (
+        joined.groupBy(F.col("o_orderstatus").alias("status_at_ship"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("qty_cents").cast("long").alias("sum_qty_cents"),
+        )
+        .orderBy("status_at_ship")
+    )

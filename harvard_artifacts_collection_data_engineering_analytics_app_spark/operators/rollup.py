@@ -491,7 +491,7 @@ LTTB_BUCKET_H = 24  # one representative point per day per series
                    abs( (sp.sx * sn.n - sn.sx * sp.n)
                             * (p.y * sp.n - sp.sy)
                       - (sp.sx - p.x * sp.n)
-                            * (sp.sy * sn.n - sn.sy * sp.n) )
+                            * (sn.sy * sp.n - sp.sy * sn.n) )
                ELSE p.y END AS sel
         FROM p
         LEFT JOIN s sp ON sp.event_type = p.event_type AND sp.b = p.b - 1
@@ -576,11 +576,20 @@ def ht_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     anchored = F.col("n_p").isNotNull() & F.col("n_n").isNotNull()
+    # Twice the triangle area (prev-anchor, candidate, next-anchor), cleared
+    # of divisions by multiplying through by n_p²·n_n: with P=(sx_p/n_p,
+    # sy_p/n_p), C=(x,y), N=(sx_n/n_n, sy_n/n_n),
+    #   area2·n_p²·n_n = |(sx_p·n_n − sx_n·n_p)(y·n_p − sy_p)
+    #                     − (sx_p − x·n_p)(sy_n·n_p − sy_p·n_n)|.
+    # The second factor is (sy_n·n_p − sy_p·n_n) — the round-6 advisor
+    # caught the sign flipped, which turned |T1−T2| into |T1+T2| and could
+    # score a collinear candidate ABOVE an off-line one (unit-tested in
+    # tests/test_rollup_lttb.py).
     area2 = F.abs(
         (F.col("sx_p") * F.col("n_n") - F.col("sx_n") * F.col("n_p"))
         * (F.col("y") * F.col("n_p") - F.col("sy_p"))
         - (F.col("sx_p") - F.col("x") * F.col("n_p"))
-        * (F.col("sy_p") * F.col("n_n") - F.col("sy_n") * F.col("n_p"))
+        * (F.col("sy_n") * F.col("n_p") - F.col("sy_p") * F.col("n_n"))
     )
     sel = F.when(anchored, area2).otherwise(F.col("y"))
     from pyspark.sql import Window
@@ -774,3 +783,112 @@ def ht_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# --- rolling median/MAD anomaly detection --------------------------------------
+
+MAD_WINDOW_D = 7  # trailing days forming the robust baseline
+MAD_SIGMAS = 3  # flag when |cnt - med| > MAD_SIGMAS * MAD
+
+
+@register(
+    "ht_rolling_mad_anomaly",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+                   AS day_num,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY day_num
+    ),
+    win AS (
+        SELECT c.day_num, c.cnt,
+               CAST(2 * median(p.cnt) AS BIGINT) AS med2,
+               CAST(COUNT(*) AS BIGINT) AS n_base
+        FROM d c JOIN d p
+          ON p.day_num BETWEEN c.day_num - {MAD_WINDOW_D} AND c.day_num - 1
+        GROUP BY c.day_num, c.cnt
+        HAVING COUNT(*) = {MAD_WINDOW_D}
+    ),
+    mad AS (
+        SELECT w.day_num, w.cnt, w.med2,
+               CAST(2 * median(abs(2 * p.cnt - w.med2)) AS BIGINT) AS mad4
+        FROM win w JOIN d p
+          ON p.day_num BETWEEN w.day_num - {MAD_WINDOW_D} AND w.day_num - 1
+        GROUP BY w.day_num, w.cnt, w.med2
+    )
+    SELECT day_num, cnt, med2, mad4,
+           2 * abs(2 * cnt - med2) > {MAD_SIGMAS} * mad4 AS is_anomaly
+    FROM mad
+    ORDER BY day_num
+    """,
+    tags=("hypertable", "anomaly", "robust"),
+)
+def ht_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median/MAD anomaly detection over the daily event-count
+    series: each day is scored against the robust center/spread of its
+    TRAILING 7 days (median + median-absolute-deviation — immune to the
+    very outliers it hunts, unlike mean/stddev z-scores), flagged when
+    |cnt − med| > 3·MAD. Days without a full 7-day baseline are omitted.
+
+    Exactness: medians of integers land on the half-grid, so the
+    comparison is carried in exact integer units — med2 = 2·median(cnt),
+    mad4 = 2·median(|2·cnt − med2|) (quarter-units of MAD), and the flag
+    2·|2·cnt − med2| > 3·mad4 is an exact BIGINT inequality equivalent to
+    |cnt − med| > 3·MAD. No float ever reaches the hash.
+
+    Plan shape (100 TB): the raw scan collapses to |days| rows in one
+    map-side-combined aggregate; the trailing windows materialize as a
+    days×7 self-join (a |days|·W relation — nested medians don't compose
+    as window functions, and W is a constant), so every stage after the
+    first aggregation is calendar-sized, never event-sized. Per-series
+    extension partitions both join sides by the series key.
+    """
+    ensure_analytics_conf(spark)
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    p = d.select(
+        F.col("day_num").alias("p_day"), F.col("cnt").alias("p_cnt")
+    )
+    base = d.join(
+        p,
+        (F.col("p_day") >= F.col("day_num") - MAD_WINDOW_D)
+        & (F.col("p_day") <= F.col("day_num") - 1),
+    )
+    win = (
+        base.groupBy("day_num", "cnt")
+        .agg(
+            F.floor(2 * F.expr("median(p_cnt)") + 0.5).cast("long").alias("med2"),
+            F.count("*").cast("long").alias("n_base"),
+        )
+        .filter(F.col("n_base") == MAD_WINDOW_D)
+    )
+    mad = (
+        win.join(
+            p,
+            (F.col("p_day") >= F.col("day_num") - MAD_WINDOW_D)
+            & (F.col("p_day") <= F.col("day_num") - 1),
+        )
+        .groupBy("day_num", "cnt", "med2")
+        .agg(
+            F.floor(
+                2 * F.expr("median(abs(2 * p_cnt - med2))") + 0.5
+            )
+            .cast("long")
+            .alias("mad4")
+        )
+    )
+    return mad.select(
+        F.col("day_num").cast("long").alias("day_num"),
+        "cnt",
+        "med2",
+        "mad4",
+        (
+            2 * F.abs(2 * F.col("cnt") - F.col("med2"))
+            > MAD_SIGMAS * F.col("mad4")
+        ).alias("is_anomaly"),
+    ).orderBy("day_num")

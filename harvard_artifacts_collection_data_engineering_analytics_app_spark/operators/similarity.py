@@ -1086,10 +1086,13 @@ def build_ivf_index(
     import shutil
     from urllib.parse import urlparse
 
+    from ..catalog import gc_stale_artifacts
+
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for tbl in (idx_table, cent_table):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+        gc_stale_artifacts(spark, tbl)  # superseded content keys (r6 advice)
     vfix = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
     centroids = _train_centroids(vfix)
     assigned = _km_assign(vfix, centroids).select("vec_id", "cluster")
@@ -1634,10 +1637,13 @@ def build_pq_index(
     import shutil
     from urllib.parse import urlparse
 
+    from ..catalog import gc_stale_artifacts
+
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for tbl in (codes_table, books_table):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+        gc_stale_artifacts(spark, tbl)  # superseded content keys (r6 advice)
     vfix = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
     books = _pq_train(vfix)
     (
@@ -2595,4 +2601,385 @@ def ss_ood_knn_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mean_knn_cos_micro", "vec_id")
         .limit(OOD_TOP)
+    )
+
+
+# --- max-min (k-center greedy) diversity sampling -----------------------------
+
+MAXMIN_K = 6
+
+
+def _maxmin_oracle(k: int = MAXMIN_K) -> str:
+    """Unrolled greedy k-center CTE chain: pick i maximizes the min squared
+    distance to the picks before it (exact fixed-point BIGINT arithmetic,
+    ties to the smaller vec_id). Generated from the same constants the
+    Spark path uses so the two sides cannot drift."""
+    parts = [
+        f"""x AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   e -> CAST(floor(e * {KM_SCALE} + 0.5) AS BIGINT)) AS x
+        FROM embeddings
+    )""",
+        """p1 AS (
+        SELECT CAST(1 AS BIGINT) AS pick, vec_id, x,
+               CAST(NULL AS BIGINT) AS min_dist2
+        FROM x WHERE vec_id = (SELECT MIN(vec_id) FROM x)
+    )""",
+        "s1 AS (SELECT * FROM p1)",
+    ]
+    for i in range(2, k + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+        SELECT CAST({i} AS BIGINT) AS pick, vec_id, x, min_dist2 FROM (
+            SELECT v.vec_id, v.x,
+                   MIN({_km_dist_sql("v.x", "s.x")}) AS min_dist2
+            FROM x v CROSS JOIN {prev} s
+            WHERE v.vec_id NOT IN (SELECT vec_id FROM {prev})
+            GROUP BY v.vec_id, v.x
+        ) ORDER BY min_dist2 DESC, vec_id LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"s{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{i})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT pick, vec_id, min_dist2 FROM s{k} ORDER BY pick"
+    )
+
+
+@register(
+    "ss_maxmin_diversity",
+    oracle=_maxmin_oracle(),
+    tags=("similarity", "diversity", "coreset"),
+)
+def ss_maxmin_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-min (k-center) diversity sample of the embedding corpus:
+    MAXMIN_K vectors, each maximizing its minimum distance to the already-
+    selected set — the classic 2-approximation coreset picker (Gonzalez
+    1985) used to select maximally-diverse training examples.
+
+    Exactness: distances are exact int64 on the KM_SCALE fixed-point grid
+    (same quantization as ss_kmeans); argmax ties break to the smaller
+    vec_id; the first pick is the minimum vec_id, so the whole trajectory
+    is deterministic and the DuckDB oracle replays it move for move.
+
+    Plan shape (100 TB): the candidate relation stays DISTRIBUTED the
+    whole time — each of the K-1 rounds is one Arrow pass computing
+    min-distance-to-selected (the selected matrix, O(K·DIM) ints, ships in
+    the task closure exactly like the k-means centroid matrix) followed by
+    a top-1 reduce; only the single argmax ROW is collected per round.
+    Driver state is O(K·DIM); nothing corpus-sized ever leaves the
+    executors. K actions over a cached fixed-point relation — the same
+    iteration-invariant plan argument as ss_kmeans.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vfix = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    first = vfix.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(1, int(first["vec_id"]), None, list(first["x"]))]
+
+    out_schema = "vec_id long, min_dist2 long"
+    for i in range(2, MAXMIN_K + 1):
+        sel_ids = {p[1] for p in picks}
+        sel_mat = np.array([p[3] for p in picks], dtype=np.int64)
+
+        def min_dist(it):
+            for pdf in it:
+                ids = pdf["vec_id"].to_numpy(dtype="int64")
+                mat = np.array(list(pdf["x"]), dtype="int64")
+                if len(ids) == 0:
+                    yield pd.DataFrame(
+                        {"vec_id": pd.Series(dtype="int64"),
+                         "min_dist2": pd.Series(dtype="int64")}
+                    )
+                    continue
+                # exact: (a-b)^2 summed in int64; values are ~1e3 per dim,
+                # 64 dims -> well under 2^63
+                d2 = (
+                    (mat[:, None, :] - sel_mat[None, :, :]).astype(np.int64)
+                    ** 2
+                ).sum(axis=2)
+                yield pd.DataFrame(
+                    {"vec_id": ids, "min_dist2": d2.min(axis=1)}
+                )
+
+        best = (
+            vfix.filter(~F.col("vec_id").isin(*sel_ids))
+            .mapInPandas(min_dist, out_schema)
+            .orderBy(F.desc("min_dist2"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        row = vfix.filter(F.col("vec_id") == int(best["vec_id"])).collect()[0]
+        picks.append(
+            (i, int(best["vec_id"]), int(best["min_dist2"]), list(row["x"]))
+        )
+
+    return spark.createDataFrame(
+        [(p, v, d) for p, v, d, _ in picks],
+        "pick long, vec_id long, min_dist2 long",
+    )
+
+
+# --- exact kNN graph (directed block-pair matmul) ------------------------------
+
+KNN_GRAPH_K = 3
+KNN_BLOCKS = 4
+KNN_LOCAL_MARGIN = 20  # local per-query keep; >> K so rounding ties survive
+
+
+@register(
+    "ss_knn_graph",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                   AS nrm
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               ROUND(list_dot_product(a.emb, b.emb)
+                         / nullif(a.nrm * b.nrm, 0), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id != b.vec_id
+    )
+    SELECT a_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, b_id, cosine FROM (
+        SELECT a_id, b_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a_id ORDER BY cosine DESC, b_id
+               ) AS nbr_rank
+        FROM pairs
+    ) WHERE nbr_rank <= {KNN_GRAPH_K}
+    ORDER BY a_id, nbr_rank
+    """,
+    tags=("similarity", "knn-graph", "blocked"),
+)
+def ss_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbor GRAPH over the embedding corpus: the top-3
+    cosine neighbors of EVERY vector — the building block under SemDeDup-
+    style semantic dedup, kNN label propagation, and graph-based ANN
+    index construction.
+
+    Distributed shape: directed block-pair decomposition. Vectors land in
+    KNN_BLOCKS blocks by id; every (query block, corpus block) ordered
+    pair becomes one applyInPandas group that BLAS-matmuls its cross and
+    keeps each query's local top-KNN_LOCAL_MARGIN; a row_number window
+    per query then cuts the global top-3. Per-task memory is
+    O((n/blocks)·dim), never O(n²); each vector is replicated 2·blocks-1
+    times in ONE shuffle (the exact-kNN analogue of
+    dd_embedding_topk_pairs' unordered blocks). At 100 TB raise
+    KNN_BLOCKS ~ sqrt(tasks); the sub-quadratic path is the IVF/LSH probe
+    (ss_ivf_*): restrict corpus blocks to the query's probed lists.
+
+    Exactness: ordering uses the 6-decimal-rounded cosine with b_id as
+    tie-break; the local margin (20 >> 3) keeps every candidate that
+    could tie into the global top-3 at the rounding quantum.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qa = pdf[pdf["role"] == "q"]
+        cb = pdf[pdf["role"] == "c"]
+        empty = pd.DataFrame(
+            {
+                "a_id": pd.Series(dtype="int64"),
+                "b_id": pd.Series(dtype="int64"),
+                "cosine_raw": pd.Series(dtype="float64"),
+            }
+        )
+        if len(qa) == 0 or len(cb) == 0:
+            return empty
+        ids_q = qa["vec_id"].to_numpy(dtype="int64")
+        ids_c = cb["vec_id"].to_numpy(dtype="int64")
+        mq = np.array(list(qa["embedding"]), dtype="float64")
+        mc = np.array(list(cb["embedding"]), dtype="float64")
+        nq = np.sqrt((mq * mq).sum(axis=1))
+        nc = np.sqrt((mc * mc).sum(axis=1))
+        denom = np.outer(nq, nc)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (mq @ mc.T) / denom
+        sims = np.where(ids_q[:, None] == ids_c[None, :], -np.inf, sims)
+        keep = min(KNN_LOCAL_MARGIN, sims.shape[1])
+        # per-row top-keep by (-cos, b_id): argsort the c-ids first so equal
+        # cosines resolve to the smaller id, then stable-sort by -cos
+        order_c = np.argsort(ids_c)
+        sims = sims[:, order_c]
+        ids_c_sorted = ids_c[order_c]
+        part = np.argsort(-sims, axis=1, kind="stable")[:, :keep]
+        rows = np.repeat(ids_q, keep)
+        cols = ids_c_sorted[part].ravel()
+        vals = np.take_along_axis(sims, part, axis=1).ravel()
+        ok = vals > -np.inf
+        return pd.DataFrame(
+            {"a_id": rows[ok], "b_id": cols[ok], "cosine_raw": vals[ok]}
+        )
+
+    blk = (F.col("vec_id") % KNN_BLOCKS).cast("int")
+    base = e.select("vec_id", "embedding", blk.alias("blk"))
+    others = F.explode(F.array(*[F.lit(j) for j in range(KNN_BLOCKS)]))
+    as_query = base.withColumn("gc", others).select(
+        F.col("blk").alias("gq"), "gc", F.lit("q").alias("role"),
+        "vec_id", "embedding",
+    )
+    as_corpus = base.withColumn("gq", others).select(
+        "gq", F.col("blk").alias("gc"), F.lit("c").alias("role"),
+        "vec_id", "embedding",
+    )
+    pairs = (
+        as_query.unionByName(as_corpus)
+        .groupBy("gq", "gc")
+        .applyInPandas(local_topk, "a_id long, b_id long, cosine_raw double")
+    )
+    raw = F.col("cosine_raw")
+    w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            F.round(F.when(F.isnan(raw), None).otherwise(raw), 6).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("nbr_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nbr_rank") <= KNN_GRAPH_K)
+        .select("a_id", "nbr_rank", "b_id", "cosine")
+        .orderBy("a_id", "nbr_rank")
+    )
+
+
+# --- power iteration (top principal direction) ------------------------------------
+
+PCA_ROUNDS = 3
+PCA_VSCALE = 1_000_000  # fixed-point grid for the direction vector
+PCA_DOT_SHRINK = 1024  # per-row dot downscale keeping accumulators < 2^63
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration CTE chain over the ELEMENT relation
+    (vec_id, i, x) — one matrix-free y = Σ_rows x·(x·v) step per round,
+    rescaled to the PCA_VSCALE integer grid by truncating division (the
+    cross-engine DIV/`//` pair), so every round is exact BIGINT."""
+    ctes = [
+        f"""el AS (
+        SELECT vec_id, p.i,
+               CAST(floor(embedding[p.i + 1] * {KM_SCALE} + 0.5) AS BIGINT)
+                   AS x
+        FROM embeddings, LATERAL (
+            SELECT UNNEST(range(0, len(embedding))) AS i
+        ) p
+    )""",
+        f"""v0 AS (
+        SELECT UNNEST(range(0, {KM_DIM})) AS i,
+               CAST({PCA_VSCALE} AS BIGINT) AS v
+    )""",
+    ]
+    for k in range(PCA_ROUNDS):
+        ctes.append(
+            f"""d{k} AS (
+        SELECT el.vec_id, CAST(SUM(el.x * v{k}.v) AS BIGINT) AS dot
+        FROM el JOIN v{k} ON v{k}.i = el.i GROUP BY el.vec_id
+    )""",
+        )
+        ctes.append(
+            f"""y{k} AS (
+        SELECT el.i,
+               CAST(SUM(el.x * (d{k}.dot // {PCA_DOT_SHRINK})) AS BIGINT)
+                   AS y
+        FROM el JOIN d{k} ON d{k}.vec_id = el.vec_id GROUP BY el.i
+    )""",
+        )
+        ctes.append(
+            f"""v{k + 1} AS (
+        SELECT i, CAST(y // greatest(
+                   1, (SELECT MAX(abs(y)) FROM y{k}) // {PCA_VSCALE}
+               ) AS BIGINT) AS v
+        FROM y{k}
+    )""",
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(i AS BIGINT) AS dim_idx, v AS v_fixed FROM v{PCA_ROUNDS}
+    ORDER BY dim_idx
+    """
+    )
+
+
+@register(
+    "ss_pca_power_topdim",
+    oracle=_pca_oracle(),
+    tags=("similarity", "pca", "iterative"),
+)
+def ss_pca_power_topdim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding second-moment
+    matrix by PCA_ROUNDS matrix-free power-iteration steps — the
+    embedding-space health primitive under whitening, anisotropy checks,
+    and "is the index collapsing onto one axis" drift monitoring.
+
+    The covariance matrix is never materialized: y = X^T(Xv) as two
+    relational joins over the ELEMENT relation (vec_id, dim, x) — dots
+    per vector, then the x-weighted dim sums — so one round is two
+    key-partitioned shuffles regardless of dimension, and the direction
+    state is DIM rows, never O(DIM²) anywhere.
+
+    Exactness: everything is BIGINT on fixed grids — x on KM_SCALE, v
+    re-quantized each round to PCA_VSCALE by y DIV max(1, max|y| DIV
+    PCA_VSCALE) (truncating division on both engines), and per-row dots
+    shrunk by PCA_DOT_SHRINK before re-accumulation, which bounds the
+    round accumulator by |rows|·KM_SCALE·(64·KM_SCALE·PCA_VSCALE /
+    PCA_DOT_SHRINK) ≈ 2.5e11·|rows| — under 2⁶³ past 10⁷ vectors; at
+    larger corpora the shrink constant scales with log n. The oracle
+    replays the identical trajectory, so the parity gate proves every
+    round.
+    """
+    ensure_analytics_conf(spark)
+    el = (
+        _km_fixed_vectors(spark, sf_dir)
+        .select("vec_id", F.posexplode("x").alias("i", "xv"))
+        .localCheckpoint(eager=True)
+    )
+    v = spark.range(KM_DIM).select(
+        F.col("id").cast("int").alias("i"),
+        F.lit(PCA_VSCALE).cast("long").alias("v"),
+    )
+    for _ in range(PCA_ROUNDS):
+        dots = (
+            el.join(F.broadcast(v), "i")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xv") * F.col("v")).cast("long").alias("dot"))
+        )
+        y = (
+            el.join(dots, "vec_id")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("xv") * F.expr(f"dot DIV {PCA_DOT_SHRINK}")
+                )
+                .cast("long")
+                .alias("y")
+            )
+        )
+        m = y.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"MAX(abs(y)) DIV {PCA_VSCALE}"),
+            ).alias("m")
+        )
+        v = (
+            y.crossJoin(F.broadcast(m))
+            .select("i", F.expr("y DIV m").cast("long").alias("v"))
+        )
+    return (
+        v.select(F.col("i").cast("long").alias("dim_idx"), F.col("v").alias("v_fixed"))
+        .orderBy("dim_idx")
     )

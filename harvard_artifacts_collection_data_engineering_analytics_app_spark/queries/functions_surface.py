@@ -1505,9 +1505,12 @@ def fx_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
         from urllib.parse import urlparse
 
+        from ..catalog import gc_stale_artifacts
+
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+        gc_stale_artifacts(spark, tbl)  # superseded content keys (r6 advice)
         (
             e.filter(F.col("ts") < MV_CUTOFF)
             .groupBy("user_id")
@@ -1974,4 +1977,158 @@ def fx_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
         .orderBy("bucket")
+    )
+
+
+# --- two-sample Kolmogorov-Smirnov drift --------------------------------------
+
+KS_BIN_DECIMALS = 2  # CDF support = values rounded to cents
+
+
+@register(
+    "fx_ks_drift",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CAST(ROUND(value, {KS_BIN_DECIMALS}) AS DOUBLE) AS v,
+               CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+        FROM events
+    ),
+    binned AS (
+        SELECT v, CAST(SUM(is_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - is_a) AS BIGINT) AS cb
+        FROM tagged GROUP BY v
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+        FROM binned
+    ),
+    cdf AS (
+        SELECT v,
+               SUM(ca) OVER (ORDER BY v) AS fa,
+               SUM(cb) OVER (ORDER BY v) AS fb
+        FROM binned
+    )
+    SELECT t.na, t.nb,
+           CAST(MAX(abs(c.fa * t.nb - c.fb * t.na)) AS BIGINT) AS d_num,
+           ROUND(MAX(abs(c.fa * t.nb - c.fb * t.na))::DOUBLE
+                     / (t.na * t.nb), 6) AS ks
+    FROM cdf c CROSS JOIN tot t
+    GROUP BY t.na, t.nb
+    """,
+    tags=("quality", "drift", "ks-test"),
+)
+def fx_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the ``value``
+    distributions of two deterministic event cohorts (event_id parity —
+    the A/B-split shape; swap in week-over-week or source-vs-source
+    predicates unchanged). Complements fx_psi_drift: PSI needs chosen
+    bins and misses tail shifts; KS is the max CDF gap.
+
+    Exactness: the statistic is carried as the integer numerator
+    max|F_a·n_b − F_b·n_a| over exact BIGINT running counts — no float
+    division until the final reported ratio — so both engines hash
+    identically regardless of summation order.
+
+    Scale note: the CDF support is the value rounded to cents, so the
+    windowed running sum runs over a BOUNDED-cardinality relation (the
+    price-grid bins, not the events) after a map-side-combined
+    aggregation; the unpartitioned window is |bins|-sized by
+    construction, never events-sized. The per-bin KS equals the raw KS of
+    the rounded values — the standard discretized-KS production trade.
+    """
+    e = _t(spark, sf_dir, "events")
+    tagged = e.select(
+        F.round(F.col("value"), KS_BIN_DECIMALS).cast("double").alias("v"),
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+    )
+    binned = tagged.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = binned.select(
+        "v",
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cb").over(w).alias("fb"),
+        F.sum("ca").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("na"),
+        F.sum("cb").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nb"),
+    )
+    gap = F.abs(F.col("fa") * F.col("nb") - F.col("fb") * F.col("na"))
+    return cdf.groupBy("na", "nb").agg(
+        F.max(gap).cast("long").alias("d_num"),
+        F.round(
+            F.max(gap).cast("double") / (F.col("na") * F.col("nb")), 6
+        ).alias("ks"),
+    )
+
+
+# --- gaps & islands -----------------------------------------------------------
+
+ISLANDS_TOPN = 20
+
+
+@register(
+    "fx_gaps_islands",
+    oracle=f"""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+                   AS day_num
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, day_num,
+               day_num - ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day_num
+               ) AS isl
+        FROM days
+    )
+    SELECT user_id,
+           CAST(MIN(day_num) AS BIGINT) AS start_day,
+           CAST(MAX(day_num) AS BIGINT) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS len_days
+    FROM grp GROUP BY user_id, isl
+    ORDER BY len_days DESC, user_id, start_day
+    LIMIT {ISLANDS_TOPN}
+    """,
+    tags=("relational", "gaps-islands", "window"),
+)
+def fx_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest streaks of CONSECUTIVE active
+    days (top-20 streaks). The canonical sessionize-by-sequence relational
+    pattern — day_num minus the per-user row_number is constant exactly
+    within a run of consecutive days, turning streak detection into a
+    plain GROUP BY.
+
+    Plan shape (100 TB): one distinct on (user, day) — map-side partial —
+    then a per-user window and a (user, island) aggregation, all
+    partitioned on user_id: the window never sees more than one user's
+    days and the day relation is |user·active-days|, already collapsed
+    from raw events at the scan aggregation. No unpartitioned window
+    anywhere; the final top-20 is a TakeOrdered.
+    """
+    e = _t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    grp = days.withColumn("isl", F.col("day_num") - F.row_number().over(w))
+    return (
+        grp.groupBy("user_id", "isl")
+        .agg(
+            F.min("day_num").cast("long").alias("start_day"),
+            F.max("day_num").cast("long").alias("end_day"),
+            F.count("*").cast("long").alias("len_days"),
+        )
+        .select("user_id", "start_day", "end_day", "len_days")
+        .orderBy(F.desc("len_days"), F.asc("user_id"), F.asc("start_day"))
+        .limit(ISLANDS_TOPN)
     )

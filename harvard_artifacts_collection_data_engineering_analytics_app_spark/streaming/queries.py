@@ -21,7 +21,7 @@ the production sink (see streaming/pipelines.py docstrings).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..queries.registry import register
 from ..session import ensure_analytics_conf
@@ -474,4 +474,52 @@ def st_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("ex_id").alias("n_matches"),
             F.round(F.max("jac"), 6).alias("best_jaccard"),
         )
+    )
+
+
+ST_TOPK_PER_WINDOW = 3
+
+
+@register(
+    "st_topk_per_window",
+    oracle=f"""
+    WITH h AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type, COUNT(*) AS cnt
+        FROM events GROUP BY window_start, event_type
+    )
+    SELECT window_start, event_type, cnt, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT window_start, event_type, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY window_start ORDER BY cnt DESC, event_type
+               ) AS rnk
+        FROM h
+    ) WHERE rnk <= {ST_TOPK_PER_WINDOW}
+    ORDER BY window_start, rnk
+    """,
+    tags=("streaming", "timewindow", "topk"),
+)
+def st_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly leaderboard: the top-3 event types per tumbling
+    window. Structured Streaming forbids a rank window inside the
+    streaming plan (non-monotonic per-window state), so the production
+    shape is exactly this split: the STREAM maintains the watermarked
+    (window × type) counts — bounded state, updated incrementally — and
+    the rank is applied at read time over the tiny aggregated sink (a
+    |windows|·|types| relation), here after the AvailableNow drain.
+    Ties break on event_type; rank runs over the rounded/exact counts so
+    both engines order identically.
+    """
+    ensure_analytics_conf(spark)
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    agg = _drain(spark, stream, "st_topk_window_mem", "complete").select(
+        "window_start", "event_type", "cnt"
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= ST_TOPK_PER_WINDOW)
+        .orderBy("window_start", "rnk")
     )

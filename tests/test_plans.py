@@ -392,3 +392,131 @@ def test_round6_new_ops_plan_shapes(spark, sf_dir):
         assert not X.has_cartesian_product(df), name
     sweep = _df(spark, sf_dir, "dd_lsh_param_sweep")
     assert not X.has_cartesian_product(sweep), "sweep band join degraded"
+
+
+def test_round7_new_ops_plan_shapes(spark, sf_dir):
+    """Round-7 operators: aggregation/broadcast/no-cartesian shapes."""
+    # BM25: the postings aggregation combines map-side; df/stats broadcast
+    bm25 = _df(spark, sf_dir, "tx_bm25_search")
+    assert X.has_partial_aggregate(bm25), "bm25: no map-side partials"
+    assert X.uses_broadcast_join(bm25), "bm25: df/stats not broadcast"
+    assert X.uses_take_ordered(bm25), "bm25: top-10 is a global sort"
+    # hot-key isolation: broadcast on the hot path, no cartesian anywhere
+    split = _df(spark, sf_dir, "sk_hot_key_split_join")
+    assert X.uses_broadcast_join(split), "hot path not broadcast"
+    assert not X.has_cartesian_product(split)
+    # bloom novelty: the word bitmap joins broadcast; no cartesian
+    bloom = _df(spark, sf_dir, "dd_bloom_novelty")
+    assert X.uses_broadcast_join(bloom), "bloom words not broadcast"
+    assert not X.has_cartesian_product(bloom)
+    # knn graph / diversity: block relations stay equi-grouped
+    for name in ("ss_knn_graph", "fx_ks_drift", "fx_gaps_islands",
+                 "ht_rolling_mad_anomaly", "mm_patch_grid_plan",
+                 "tx_mattr", "st_topk_per_window",
+                 "gr_personalized_pagerank", "rj_scd2_temporal_join",
+                 "tw_inter_event_stats", "ss_pca_power_topdim"):
+        assert not X.has_cartesian_product(_df(spark, sf_dir, name)), name
+    # SCD2 temporal join: containment rides the custkey EQUI join
+    scd2 = _df(spark, sf_dir, "rj_scd2_temporal_join")
+    plan = X.formatted_plan(scd2)
+    assert "BroadcastNestedLoopJoin" not in plan, "containment degraded to BNLJ"
+
+
+def test_bloom_novelty_has_no_false_negatives(spark, tmp_path):
+    """The bloom gate must never mark a true duplicate 'definitely new'
+    (bloom FNs are impossible by construction; this pins the Catalyst
+    bitmap implementation) and must prune at least some of the batch from
+    the exact join (the operator's entire point). The driver testdata has
+    no exact cross-split text dups at small SF, so the corpus is
+    synthesized: 400 docs where every 4th text repeats, guaranteeing dups
+    on both sides of the hash split."""
+    import pyspark.sql.functions as F
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators import (
+        dedup as D,
+    )
+
+    rows = [
+        (i, f"shared text {i % 100}" if i % 4 == 0 else f"unique text {i}")
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text").cast("long")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf_dir = str(tmp_path)
+
+    # value parity on the synthetic corpus too: the registered operator
+    # must equal the plain anti-join ground truth
+    got = D.dd_bloom_novelty(spark, sf_dir).collect()[0]
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    inc = d.filter(D._incoming_pred())
+    corpus = d.filter(~D._incoming_pred()).select("fp").distinct()
+
+    seeds = F.array(*[F.lit(i) for i in range(D.BLOOM_NOVELTY_K)])
+
+    def positions(rel):
+        pos = F.pmod(
+            F.xxhash64(F.col("fp"), F.col("seed")), D.BLOOM_NOVELTY_BITS
+        )
+        return (
+            rel.withColumn("seed", F.explode(seeds))
+            .withColumn("word", (pos / 64).cast("long"))
+            .withColumn("bit", (pos % 64).cast("int"))
+        )
+
+    words = (
+        positions(corpus)
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits"))
+    )
+    gated = (
+        positions(inc)
+        .join(F.broadcast(words), "word", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(F.expr("shiftright(bits, bit)").bitwiseAND(1), F.lit(0)),
+        )
+        .groupBy("doc_id", "fp")
+        .agg((F.min("hit") == 1).alias("maybe_seen"))
+    )
+    truth = inc.join(
+        corpus.withColumnRenamed("fp", "cfp"), F.col("fp") == F.col("cfp"), "left"
+    ).select("doc_id", F.col("cfp").isNotNull().alias("is_dup"))
+    merged = gated.join(truth, "doc_id").collect()
+    n_inc = len(merged)
+    n_dup = sum(r["is_dup"] for r in merged)
+    n_maybe = sum(r["maybe_seen"] for r in merged)
+    assert n_inc > 0 and n_dup > 0, "fixture degenerated: no cross-split dups"
+    assert (got["n_incoming"], got["n_exact_dup"], got["n_novel"]) == (
+        n_inc,
+        n_dup,
+        n_inc - n_dup,
+    )
+    # no false negatives: every true dup is bloom-hit
+    assert all(r["maybe_seen"] for r in merged if r["is_dup"])
+    # pruning: the exact join sees only bloom hits, strictly less than the batch
+    assert n_maybe < n_inc, f"bloom pruned nothing ({n_maybe}/{n_inc})"
+
+
+def test_maxmin_diversity_distances_non_increasing(spark, sf_dir):
+    """Greedy k-center invariant: each successive pick's max-min distance
+    is non-increasing, the first pick is the minimum vec_id, and picks are
+    distinct."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.similarity import (
+        ss_maxmin_diversity,
+    )
+
+    rows = ss_maxmin_diversity(spark, sf_dir).collect()
+    assert [r["pick"] for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[0]["min_dist2"] is None
+    dists = [r["min_dist2"] for r in rows[1:]]
+    assert all(d is not None and d > 0 for d in dists)
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
