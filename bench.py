@@ -162,6 +162,8 @@ HEADLINE = [
     "rj_scd2_temporal_join",
     "tw_inter_event_stats",
     "ss_pca_power_topdim",
+    "ht_dow_seasonal",
+    "tw_new_vs_returning",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -892,3 +892,97 @@ def ht_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             > MAD_SIGMAS * F.col("mad4")
         ).alias("is_anomaly"),
     ).orderBy("day_num")
+
+
+# --- day-of-week seasonal decomposition ------------------------------------------
+
+
+@register(
+    "ht_dow_seasonal",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+                   AS day_num,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY day_num
+    ),
+    t AS (
+        SELECT day_num, cnt,
+               SUM(cnt) OVER (
+                   ORDER BY day_num
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               ) AS trend7_sum,
+               COUNT(*) OVER (
+                   ORDER BY day_num
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               ) AS n_win
+        FROM d
+    ),
+    det AS (
+        SELECT day_num % 7 AS dow,
+               7 * cnt - trend7_sum AS d7
+        FROM t WHERE n_win = 7
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d7) AS BIGINT) AS d7_sum,
+           CAST((1000 * SUM(d7)) // (7 * COUNT(*)) AS BIGINT)
+               AS seasonal_milli
+    FROM det GROUP BY dow
+    ORDER BY dow
+    """,
+    tags=("hypertable", "seasonality", "decomposition"),
+)
+def ht_dow_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of the daily event-count series — the
+    additive-decomposition building block (classic STL's seasonal step,
+    restricted to the weekly period): detrend by a CENTERED 7-day moving
+    window, then average the detrended residual per weekday. A positive
+    seasonal_milli for dow k means day k runs above its local trend —
+    the number behind "is Monday traffic really lower or is that the
+    trend?".
+
+    Exactness: the trend is carried as the 7-day SUM (not mean), so the
+    detrended residual 7·cnt − trend7_sum is an exact BIGINT; the per-dow
+    index divides once at the end with the truncating-DIV pair. Edge days
+    without a full centered window are excluded by the window-count
+    guard, not padded — no partial-window bias.
+
+    Plan shape (100 TB): the raw scan collapses to |days| rows map-side;
+    the RANGE window and the 7-row aggregate run over the calendar-sized
+    relation (same bounded-window argument as ht_cusum_changepoint). A
+    per-series extension partitions the window by the series key.
+    """
+    ensure_analytics_conf(spark)
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-3, 3)
+    t = d.select(
+        "day_num",
+        "cnt",
+        F.sum("cnt").over(w).alias("trend7_sum"),
+        F.count("*").over(w).alias("n_win"),
+    ).filter(F.col("n_win") == 7)
+    det = t.select(
+        (F.col("day_num") % 7).cast("long").alias("dow"),
+        (7 * F.col("cnt") - F.col("trend7_sum")).alias("d7"),
+    )
+    return (
+        det.groupBy("dow")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("d7").cast("long").alias("d7_sum"),
+        )
+        .select(
+            "dow",
+            "n_days",
+            "d7_sum",
+            F.expr("(1000 * d7_sum) DIV (7 * n_days)").alias("seasonal_milli"),
+        )
+        .orderBy("dow")
+    )

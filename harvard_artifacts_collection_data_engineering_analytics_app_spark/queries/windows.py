@@ -1079,3 +1079,58 @@ def tw_inter_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- new vs returning users -------------------------------------------------------
+
+
+@register(
+    "tw_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    )
+    SELECT d.day,
+           CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM daily d JOIN firsts f USING (user_id)
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+    tags=("timewindow", "retention", "first-seen"),
+)
+def tw_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the standard growth-accounting
+    series (every product dashboard's first chart), computed by the same
+    first-seen rewrite as tw_cumulative_uniques: each user's first day is
+    ONE aggregate over the (user, day) distinct relation, then every
+    active day classifies against it with a user-keyed join.
+
+    Plan shape (100 TB): one (user, day) distinct (map-side partial), one
+    |users|-row first-seen aggregate, one user-partitioned equi-join —
+    no window at all, nothing re-scans history per day. Both relations
+    shuffle on user_id and can share the bucketed layout.
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firsts = daily.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        daily.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("long"))
+            .cast("long")
+            .alias("new_users"),
+            F.sum((F.col("day") > F.col("first_day")).cast("long"))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+    )

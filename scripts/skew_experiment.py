@@ -231,11 +231,82 @@ def exp_linkpred() -> None:
     }))
 
 
+def exp_hotkey() -> None:
+    """Round-7 sk_hot_key_split_join on the 177x hub-skewed suppkey:
+    plain sort-merge join vs the two-path hot-key isolation, result
+    equality checked. The hot path must carry the hubs via broadcast so
+    no reducer ever sees a hub's full row set."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.skew import (
+        HOT_KEY_TOPN,
+    )
+
+    spark = _fresh_spark("skew-hotkey")
+    spark.sparkContext.setLogLevel("ERROR")
+    li = spark.read.parquet(f"{ZIPF_DIR}/lineitem.parquet").select(
+        "l_suppkey", "l_quantity"
+    )
+    sup = spark.read.parquet(f"{ZIPF_DIR}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+
+    def agg(joined):
+        return joined.groupBy("s_name").agg(
+            F.count("*").alias("cnt"),
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")) / 100.0)
+            .alias("sum_qty"),
+        )
+
+    plain = agg(
+        li.join(sup.hint("merge"), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    hot_keys = [
+        r["l_suppkey"]
+        for r in li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("kcnt"))
+        .orderBy(F.desc("kcnt"), F.asc("l_suppkey"))
+        .limit(HOT_KEY_TOPN)
+        .collect()
+    ]
+    split = agg(
+        li.filter(F.col("l_suppkey").isin(hot_keys))
+        .join(
+            F.broadcast(sup.filter(F.col("s_suppkey").isin(hot_keys))),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .unionByName(
+            li.filter(~F.col("l_suppkey").isin(hot_keys)).join(
+                sup.filter(~F.col("s_suppkey").isin(hot_keys)).hint("merge"),
+                F.col("l_suppkey") == F.col("s_suppkey"),
+            )
+        )
+    )
+    plain.count(); split.count()  # warm
+    t_plain = min(_timed(plain), _timed(plain))
+    t_split = min(_timed(split), _timed(split))
+    eq = (
+        plain.alias("p").join(split.alias("s"), "s_name")
+        .filter(
+            (F.col("p.cnt") != F.col("s.cnt"))
+            | (F.abs(F.col("p.sum_qty") - F.col("s.sum_qty")) > 1e-6)
+        ).count() == 0
+        and plain.count() == split.count()
+    )
+    print(json.dumps({
+        "experiment": "hotkey_split_join_hub_suppliers",
+        "plain_sec": t_plain,
+        "split_sec": t_split,
+        "speedup": round(t_plain / t_split, 2),
+        "hot_keys": len(hot_keys),
+        "equal_results": eq,
+    }))
+
+
 EXPERIMENTS = {
     "jaccard": exp_jaccard,
     "salted": exp_salted,
     "aqe": exp_aqe,
     "linkpred": exp_linkpred,
+    "hotkey": exp_hotkey,
 }
 
 
