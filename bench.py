@@ -164,6 +164,8 @@ HEADLINE = [
     "ss_pca_power_topdim",
     "ht_dow_seasonal",
     "tw_new_vs_returning",
+    "ss_ivf_nprobe_sweep",
+    "gr_hits",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -1416,3 +1416,150 @@ def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return p.orderBy(F.desc("p"), F.asc("node")).limit(PPR_TOP)
+
+
+# --- HITS (hubs & authorities) ----------------------------------------------------
+
+HITS_ROUNDS = 2
+HITS_SCALE = 1_000_000
+HITS_TOP = 10
+
+
+def _hits_oracle() -> str:
+    ctes = [
+        """be AS (
+        SELECT o_custkey AS c, l_suppkey AS s, CAST(COUNT(*) AS BIGINT) AS w
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_suppkey
+    )""",
+        f"""h0 AS (
+        SELECT DISTINCT c, CAST({HITS_SCALE} AS BIGINT) AS h FROM be
+    )""",
+    ]
+    for k in range(HITS_ROUNDS):
+        ctes.append(
+            f"""ar{k} AS (
+        SELECT be.s, CAST(SUM(h{k}.h * be.w) AS BIGINT) AS a
+        FROM be JOIN h{k} ON h{k}.c = be.c GROUP BY be.s
+    )""",
+        )
+        ctes.append(
+            f"""a{k + 1} AS (
+        SELECT s, a // greatest(
+                   1, (SELECT MAX(a) FROM ar{k}) // {HITS_SCALE}
+               ) AS a
+        FROM ar{k}
+    )""",
+        )
+        ctes.append(
+            f"""hr{k} AS (
+        SELECT be.c, CAST(SUM(a{k + 1}.a * be.w) AS BIGINT) AS h
+        FROM be JOIN a{k + 1} ON a{k + 1}.s = be.s GROUP BY be.c
+    )""",
+        )
+        ctes.append(
+            f"""h{k + 1} AS (
+        SELECT c, h // greatest(
+                   1, (SELECT MAX(h) FROM hr{k}) // {HITS_SCALE}
+               ) AS h
+        FROM hr{k}
+    )""",
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT side, node, score, rnk FROM (
+        SELECT 'authority' AS side, s AS node, a AS score,
+               ROW_NUMBER() OVER (ORDER BY a DESC, s) AS rnk
+        FROM a{HITS_ROUNDS}
+        UNION ALL
+        SELECT 'hub', c, h, ROW_NUMBER() OVER (ORDER BY h DESC, c)
+        FROM h{HITS_ROUNDS}
+    ) WHERE rnk <= {HITS_TOP}
+    ORDER BY side, rnk
+    """
+    )
+
+
+@register(
+    "gr_hits",
+    oracle=_hits_oracle(),
+    tags=("graph", "hits", "iterative"),
+)
+def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hubs & authorities on the directed bipartite
+    customer→supplier purchase graph: authority(s) = Σ hub(c)·w and
+    hub(c) = Σ authority(s)·w, alternating — on a two-sided market this
+    separates "customers whose purchases concentrate on important
+    suppliers" from "suppliers bought by important customers", the
+    ranking PageRank's single score conflates.
+
+    Exactness: instead of the float L2 normalization of textbook HITS,
+    each half-round re-quantizes by score DIV max(1, max(score) DIV
+    HITS_SCALE) — truncating integer division on both engines — which is
+    a positive per-round rescale and therefore preserves the ranking
+    HITS converges to while keeping every value an exact BIGINT. The
+    oracle replays all rounds.
+
+    Plan shape (100 TB): the weighted bipartite edge relation is built
+    once and checkpointed; each half-round is one equi-join of edges
+    against the (|side|-sized) score relation plus one map-side-combined
+    aggregation — identical iteration profile to gr_pagerank, with the
+    scalar max re-scale as a broadcast 1-row join.
+    """
+    ensure_analytics_conf(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    be = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _rescale(df: DataFrame, col: str) -> DataFrame:
+        m = df.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"MAX({col}) DIV {HITS_SCALE}"),
+            ).alias("m")
+        )
+        return df.crossJoin(F.broadcast(m)).select(
+            *[c for c in df.columns if c != col],
+            F.expr(f"{col} DIV m").cast("long").alias(col),
+        )
+
+    h = be.select("c").distinct().select(
+        "c", F.lit(HITS_SCALE).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(HITS_ROUNDS):
+        a = _rescale(
+            be.join(h, "c")
+            .groupBy("s")
+            .agg(F.sum(F.col("h") * F.col("w")).cast("long").alias("a")),
+            "a",
+        ).localCheckpoint(eager=True)
+        h = _rescale(
+            be.join(a, "s")
+            .groupBy("c")
+            .agg(F.sum(F.col("a") * F.col("w")).cast("long").alias("h")),
+            "h",
+        ).localCheckpoint(eager=True)
+    wa = Window.orderBy(F.desc("score"), F.asc("node"))
+    auth = a.select(
+        F.lit("authority").alias("side"),
+        F.col("s").alias("node"),
+        F.col("a").alias("score"),
+    ).withColumn("rnk", F.row_number().over(wa).cast("long"))
+    hub = h.select(
+        F.lit("hub").alias("side"),
+        F.col("c").alias("node"),
+        F.col("h").alias("score"),
+    ).withColumn("rnk", F.row_number().over(wa).cast("long"))
+    return (
+        auth.unionByName(hub)
+        .filter(F.col("rnk") <= HITS_TOP)
+        .orderBy("side", "rnk")
+    )

@@ -2983,3 +2983,184 @@ def ss_pca_power_topdim(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.select(F.col("i").cast("long").alias("dim_idx"), F.col("v").alias("v_fixed"))
         .orderBy("dim_idx")
     )
+
+
+# --- IVF nprobe sweep (candidate volume vs recall) --------------------------------
+
+IVF_SWEEP_NPROBES = (1, 2, 4)
+
+
+def _ivf_sweep_oracle() -> str:
+    """One row per nprobe: candidate volume and recall@TOP_K against the
+    exact brute-force ranking — the IVF analogue of dd_lsh_param_sweep's
+    S-curve table, generated from the same k-means CTEs so the quantizer
+    is bit-identical to every other IVF oracle."""
+    parts = [_km_ctes(), SQL_V.strip()]
+    parts.append(
+        f"""qd_all AS (
+        SELECT vec_id, cluster, rn FROM (
+            SELECT v.vec_id, c.j AS cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_km_dist_sql("v.x", "c.m")}, c.j
+                   ) AS rn
+            FROM x v CROSS JOIN c{KM_ITERS} c
+            WHERE v.vec_id < {N_QUERIES}
+        )
+    )"""
+    )
+    parts.append(
+        f"""brute AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND({SQL_COS.format(a="q", b="c")}, 6)
+                                    DESC, c.vec_id
+                   ) AS rank
+            FROM v q JOIN v c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rank <= {TOP_K}
+    )"""
+    )
+    selects = []
+    for np_ in IVF_SWEEP_NPROBES:
+        parts.append(
+            f"""cand{np_} AS (
+        SELECT DISTINCT qd.vec_id AS q_id, a.vec_id AS neighbor_id
+        FROM qd_all qd
+        JOIN a{KM_ITERS} a ON a.cluster = qd.cluster
+                          AND a.vec_id != qd.vec_id
+        WHERE qd.rn <= {np_}
+    )"""
+        )
+        parts.append(
+            f"""ivf{np_} AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT cd.q_id, cd.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cd.q_id
+                       ORDER BY ROUND({SQL_COS.format(a="vq", b="vc")}, 6)
+                                    DESC, cd.neighbor_id
+                   ) AS rank
+            FROM cand{np_} cd
+            JOIN v vq ON vq.vec_id = cd.q_id
+            JOIN v vc ON vc.vec_id = cd.neighbor_id
+        ) WHERE rank <= {TOP_K}
+    )"""
+        )
+        selects.append(
+            f"""SELECT CAST({np_} AS BIGINT) AS nprobe,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{np_})
+                   AS n_candidates,
+               (SELECT CAST((1000 * COUNT(*))
+                            // {N_QUERIES * TOP_K} AS BIGINT)
+                FROM ivf{np_} i JOIN brute b
+                  ON b.q_id = i.q_id AND b.neighbor_id = i.neighbor_id)
+                   AS recall_milli"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+        + "\n    ORDER BY nprobe"
+    )
+
+
+@register(
+    "ss_ivf_nprobe_sweep",
+    oracle=_ivf_sweep_oracle(),
+    tags=("similarity", "ann", "ivf", "sweep"),
+)
+def ss_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning table: candidate volume AND recall@10 against exact
+    brute force for nprobe ∈ {1, 2, 4} — the number a vector-search
+    operator actually tunes (dd_lsh_param_sweep's S-curve, for IVF). One
+    quantizer training and ONE corpus assignment pass are amortized
+    across all probe depths; each depth adds only its candidate
+    equi-join, whose size (n_candidates) is the quantity being measured.
+
+    Recall uses the shared deterministic ranking contract (6-decimal
+    cosine, id tie-break) on both the IVF and brute sides, so the
+    intersection — and therefore the reported recall — is engine-exact
+    on the 1e3 milli grid.
+
+    Plan shape (100 TB): brute-force ground truth is the expensive half
+    by design (it IS the exactness baseline; production samples queries
+    for the recall audit — the registered form keeps N_QUERIES small for
+    the same reason). The sweep itself reads the assignment relation
+    once per depth through cluster equi-joins — nprobe/K of the corpus
+    each, the IVF promise being verified.
+    """
+    import pandas as pd
+
+    vfix = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    centroids = _train_centroids(vfix)
+    assigned = _km_assign(vfix, centroids).select("vec_id", "cluster")
+
+    q_rows = vfix.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "x").collect()
+    # full ranked probe list once; each depth filters its prefix
+    probes = []
+    for r in q_rows:
+        xq = [int(val) for val in r["x"]]
+        dists = sorted(
+            (sum((xi - mi) * (xi - mi) for xi, mi in zip(xq, m)), j)
+            for j, m in centroids
+        )
+        for rn, (_, j) in enumerate(dists, start=1):
+            probes.append((int(r["vec_id"]), int(j), rn))
+    probe_df = spark.createDataFrame(
+        pd.DataFrame(probes, columns=["q_id", "cluster", "rn"])
+    )
+
+    emb = _vectors(spark, sf_dir).localCheckpoint(eager=True)
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    brute = _ranked_topk(
+        emb.crossJoin(F.broadcast(qe))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")),
+                6,
+            ),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine"),
+        TOP_K,
+    ).select("q_id", "neighbor_id")
+
+    out = []
+    for np_ in IVF_SWEEP_NPROBES:
+        cand = (
+            F.broadcast(probe_df.filter(F.col("rn") <= np_))
+            .join(assigned, "cluster")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id")
+            .distinct()
+        )
+        n_cand = cand.count()
+        ivf = _ranked_topk(
+            cand.join(F.broadcast(qe), "q_id")
+            .join(emb, "vec_id")
+            .withColumn(
+                "cosine",
+                F.round(
+                    _cosine(
+                        F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
+                    ),
+                    6,
+                ),
+            )
+            .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine"),
+            TOP_K,
+        ).select("q_id", "neighbor_id")
+        hits = ivf.join(brute, ["q_id", "neighbor_id"]).count()
+        out.append((np_, n_cand, (1000 * hits) // (N_QUERIES * TOP_K)))
+    return spark.createDataFrame(
+        out, "nprobe long, n_candidates long, recall_milli long"
+    )
