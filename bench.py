@@ -166,6 +166,7 @@ HEADLINE = [
     "tw_new_vs_returning",
     "ss_ivf_nprobe_sweep",
     "gr_hits",
+    "mm_modality_join",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -1226,3 +1226,73 @@ def mm_patch_grid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "patch_idx")
     )
+
+
+# --- multimodal record assembly ---------------------------------------------------
+
+MODALITY_BLOB_LT = 100  # doc_ids below this carry a (synthetic) image blob
+
+
+@register(
+    "mm_modality_join",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, len(embedding) AS edim FROM embeddings),
+    j AS (
+        SELECT d.doc_id, d.source,
+               e.vec_id IS NOT NULL AS has_embedding,
+               d.doc_id < {MODALITY_BLOB_LT} AS has_blob
+        FROM documents d LEFT JOIN e ON e.vec_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN has_embedding THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_embedding,
+           CAST(SUM(CASE WHEN has_blob THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_blob,
+           CAST(SUM(CASE WHEN has_embedding AND has_blob THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_complete
+    FROM j GROUP BY source
+    ORDER BY source
+    """,
+    tags=("multimodal", "assembly", "completeness"),
+)
+def mm_modality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal training-example ASSEMBLY with a completeness audit: one
+    record per document joining its text row, its embedding (by id), and
+    its image blob (synthetic presence rule — a real corpus joins a blob
+    table by the same id), rolled up per source as docs / with-embedding
+    / with-blob / fully-complete counts. This is the step every
+    multimodal pipeline runs before packing — and the report that
+    catches "40% of source X lost its embeddings in the backfill" before
+    training does.
+
+    Plan shape (100 TB): two id equi-joins (embedding and blob tables
+    both keyed by the document id — bucketed layouts make them
+    shuffle-free) feeding one map-side-combined per-source aggregation.
+    The embedding side projects ONLY (vec_id) for the presence check —
+    no vector bytes move to build the audit.
+    """
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("emb_id")
+    )
+    j = d.join(e, F.col("doc_id") == F.col("emb_id"), "left").select(
+        "source",
+        F.col("emb_id").isNotNull().alias("has_embedding"),
+        (F.col("doc_id") < MODALITY_BLOB_LT).alias("has_blob"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("has_embedding").cast("long"))
+            .cast("long")
+            .alias("n_with_embedding"),
+            F.sum(F.col("has_blob").cast("long")).cast("long").alias("n_with_blob"),
+            F.sum((F.col("has_embedding") & F.col("has_blob")).cast("long"))
+            .cast("long")
+            .alias("n_complete"),
+        )
+        .orderBy("source")
+    )

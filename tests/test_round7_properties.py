@@ -141,3 +141,110 @@ def test_maxmin_diversity_matches_model(spark, tmp_path_factory, vecs):
     # both read the same parquet floats, so replicate via the written rows
     written = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
     assert got == _model_maxmin(written)
+
+
+def _model_ks(vals):
+    """Binned two-sample KS: cohorts by index parity, support = values
+    rounded to KS_BIN_DECIMALS."""
+    from collections import Counter
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries.functions_surface import (
+        KS_BIN_DECIMALS,
+    )
+
+    a = Counter(round(v, KS_BIN_DECIMALS) for i, v in enumerate(vals) if i % 2 == 0)
+    b = Counter(round(v, KS_BIN_DECIMALS) for i, v in enumerate(vals) if i % 2 == 1)
+    na, nb = sum(a.values()), sum(b.values())
+    fa = fb = 0
+    d = 0
+    for v in sorted(set(a) | set(b)):
+        fa += a.get(v, 0)
+        fb += b.get(v, 0)
+        d = max(d, abs(fa * nb - fb * na))
+    return na, nb, d
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=50.0, allow_nan=False, width=32),
+        min_size=4,
+        max_size=60,
+    )
+)
+def test_ks_drift_matches_model(spark, tmp_path_factory, vals):
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries.functions_surface import (
+        fx_ks_drift,
+    )
+
+    path = str(tmp_path_factory.mktemp("ks"))
+    df = spark.createDataFrame(
+        [
+            (
+                i,  # event_id: parity defines the cohort
+                EPOCH + dt.timedelta(minutes=i),
+                i % 7,
+                "X",
+                float(v),
+                "{}",
+            )
+            for i, v in enumerate(vals)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    row = fx_ks_drift(spark, path).collect()[0]
+    na, nb, d = _model_ks([float(v) for v in vals])
+    assert (row["na"], row["nb"], row["d_num"]) == (na, nb, d)
+
+
+def _model_mattr(text, w):
+    toks = text.strip().split()
+    n = len(toks)
+    if n < w:
+        return None
+    total = sum(len(set(toks[i : i + w])) for i in range(n - w + 1))
+    return n, n - w + 1, total
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "ee", "ff"]),
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_mattr_matches_brute_force_windows(spark, tmp_path_factory, docs):
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.functions.text_queries import (
+        MATTR_W,
+        tx_mattr,
+    )
+
+    path = str(tmp_path_factory.mktemp("mattr"))
+    rows = [(i, " ".join(toks), "en", "t", len(" ".join(toks))) for i, toks in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_windows"], r["sum_utypes"])
+        for r in tx_mattr(spark, path).collect()
+    }
+    want = {}
+    for i, toks in enumerate(docs):
+        m = _model_mattr(" ".join(toks), MATTR_W)
+        if m is not None:
+            want[i] = m
+    assert got == want
