@@ -167,6 +167,7 @@ HEADLINE = [
     "ss_ivf_nprobe_sweep",
     "gr_hits",
     "mm_modality_join",
+    "gr_hierarchy_closure",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

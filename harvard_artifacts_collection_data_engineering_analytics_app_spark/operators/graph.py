@@ -1563,3 +1563,103 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= HITS_TOP)
         .orderBy("side", "rnk")
     )
+
+
+# --- hierarchy transitive closure (recursive-CTE equivalent) ----------------------
+
+CLOSURE_MAX_DEPTH = 8  # safety bound; the region→nation→customer tree is depth 2
+
+
+@register(
+    "gr_hierarchy_closure",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+        SELECT r_regionkey * 1000000 AS parent,
+               100000 + n_nationkey * 1000000 AS child
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+        UNION ALL
+        SELECT 100000 + n_nationkey * 1000000,
+               200000 + c_custkey * 1000000
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+    ),
+    roots AS (SELECT r_regionkey * 1000000 AS node FROM region),
+    closure(root, node, depth) AS (
+        SELECT node, node, 0 FROM roots
+        UNION ALL
+        SELECT c.root, e.child, c.depth + 1
+        FROM closure c JOIN edges e ON e.parent = c.node
+        WHERE c.depth < {CLOSURE_MAX_DEPTH}
+    )
+    SELECT CAST(root // 1000000 AS BIGINT) AS root_region,
+           CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM closure
+    GROUP BY root_region, depth
+    ORDER BY root_region, depth
+    """,
+    tags=("graph", "hierarchy", "recursive", "iterative"),
+)
+def gr_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the region→nation→customer hierarchy from
+    every region root, reported as node counts per (root, depth) — the
+    recursive-CTE workload (org charts, BOM explosion, category trees)
+    Spark SQL famously lacks. The distributed equivalent is exactly this
+    operator's shape: an iterative frontier expansion — per round ONE
+    equi-join of the checkpointed edge list against the current frontier
+    — terminating when the frontier empties, bounded by
+    CLOSURE_MAX_DEPTH against cyclic inputs. The DuckDB oracle IS the
+    recursive CTE, proving the loop computes the textbook semantics.
+
+    Node ids from different levels are disambiguated by a typed encoding
+    (level tag + key·10⁶), so the operator is a GENERIC closure over any
+    heterogeneous parent-child edge relation, not a hardcoded 3-way
+    join.
+
+    Plan shape (100 TB): rounds = hierarchy depth (tiny for real
+    hierarchies); each round shuffles only the frontier against the
+    edge list's join key — with edges bucketed by parent the frontier
+    side is the only exchange, and lineage is truncated per round
+    exactly like the connected-components loop.
+    """
+    ensure_analytics_conf(spark)
+    r = load_table(spark, sf_dir, "region").select("r_regionkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    enc_r = F.col("r_regionkey") * 1_000_000
+    edges = (
+        r.join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            enc_r.alias("parent"),
+            (100_000 + F.col("n_nationkey") * 1_000_000).alias("child"),
+        )
+        .unionByName(
+            n.join(c, F.col("c_nationkey") == F.col("n_nationkey")).select(
+                (100_000 + F.col("n_nationkey") * 1_000_000).alias("parent"),
+                (200_000 + F.col("c_custkey") * 1_000_000).alias("child"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = r.select(enc_r.alias("root"), enc_r.alias("node"))
+    closure = frontier.withColumn("depth", F.lit(0))
+    depth = 0
+    while depth < CLOSURE_MAX_DEPTH:
+        depth += 1
+        frontier = (
+            frontier.join(edges, F.col("node") == F.col("parent"))
+            .select("root", F.col("child").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        closure = closure.unionByName(
+            frontier.withColumn("depth", F.lit(depth))
+        )
+    return (
+        closure.groupBy(
+            F.expr("root DIV 1000000").alias("root_region"),
+            F.col("depth").cast("long").alias("depth"),
+        )
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("root_region", "depth")
+    )

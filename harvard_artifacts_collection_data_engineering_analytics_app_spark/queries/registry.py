@@ -82,7 +82,9 @@ _PRIORITY: tuple[str, ...] = (
     # --- round-7 rotation: 26 never-recorded queries (standing judge
     # directive r4 #2 / r5 #2). Selected family-diverse by
     # scripts/rotation_suggest.py from the 86-name never-recorded pool
-    # (60 remain after this window; exhaustion ~round 9-10). Includes
+    # (60 of those remain after this window; round 7 also added 21 new
+    # operators registering past slot 50, so the round-8 pool is ~81 —
+    # exhaustion ~round 10-11). Includes
     # ht_lttb_downsample deliberately: its triangle-area sign flip was
     # fixed this round on BOTH the Spark and oracle sides (round-6 advice,
     # MEDIUM), so a driver-recorded green row is the proof the fix holds
