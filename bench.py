@@ -168,6 +168,7 @@ HEADLINE = [
     "gr_hits",
     "mm_modality_join",
     "gr_hierarchy_closure",
+    "dd_er_linkage_score",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

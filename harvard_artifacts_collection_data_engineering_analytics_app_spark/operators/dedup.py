@@ -2319,3 +2319,145 @@ def dd_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_exact_dup"),
         F.sum((~F.col("is_dup")).cast("long")).cast("long").alias("n_novel"),
     )
+
+
+# --- Fellegi-Sunter probabilistic record linkage ---------------------------------
+
+ER_W_NAME_EXACT = 4000  # agreement log-odds, integer milli units
+ER_W_NAME_CLOSE = 2000  # edit distance 1
+ER_W_NATION = (1500, -500)  # (agree, disagree)
+ER_W_SEGMENT = (800, -300)
+ER_W_ACCTBAL = (700, -200)  # within/beyond 1000 cents
+ER_MATCH_GE = 5000
+ER_POSSIBLE_GE = 2500
+ER_TOP = 20
+
+_ER_SCORE_SQL = f"""
+           CASE WHEN a.c_name = b.c_name THEN {ER_W_NAME_EXACT}
+                ELSE {ER_W_NAME_CLOSE} END
+           + CASE WHEN a.c_nationkey = b.c_nationkey
+                  THEN {ER_W_NATION[0]} ELSE {ER_W_NATION[1]} END
+           + CASE WHEN a.c_mktsegment = b.c_mktsegment
+                  THEN {ER_W_SEGMENT[0]} ELSE {ER_W_SEGMENT[1]} END
+           + CASE WHEN abs(CAST(ROUND(a.c_acctbal * 100) AS BIGINT)
+                           - CAST(ROUND(b.c_acctbal * 100) AS BIGINT))
+                       <= 1000
+                  THEN {ER_W_ACCTBAL[0]} ELSE {ER_W_ACCTBAL[1]} END"""
+
+
+@register(
+    "dd_er_linkage_score",
+    oracle=f"""
+    WITH cand AS (
+        SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+               CAST({_ER_SCORE_SQL} AS BIGINT) AS score_milli
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND levenshtein(a.c_name, b.c_name) <= 1
+    )
+    SELECT a_key, b_key, score_milli,
+           CASE WHEN score_milli >= {ER_MATCH_GE} THEN 'match'
+                WHEN score_milli >= {ER_POSSIBLE_GE} THEN 'possible'
+                ELSE 'non-match' END AS tier
+    FROM cand
+    ORDER BY score_milli DESC, a_key, b_key
+    LIMIT {ER_TOP}
+    """,
+    tags=("dedup", "entity-resolution", "fellegi-sunter"),
+)
+def dd_er_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over customer records:
+    candidate pairs come from the SAME lossless FastSS deletion-variant
+    blocking as dd_fuzzy_name_pairs (never an all-pairs DP), then each
+    pair is scored by summed per-field agreement/disagreement log-odds —
+    name (exact vs close), nation, market segment, account balance
+    within $10 — and cut into match / possible / non-match tiers. This
+    is the Splink/record-linkage shape: block, compare fields, sum
+    weights, threshold; with learned m/u probabilities the weights
+    change, not the plan.
+
+    Exactness: weights are fixed integer milli log-odds, so scores are
+    exact BIGINT sums; tiers are integer threshold cuts; the top-20
+    ordering ties break on the key pair. The oracle scores the
+    brute-force quadratic candidate set, proving the blocking lossless
+    at k=1 (the pigeonhole argument in dd_fuzzy_name_pairs).
+
+    Plan shape (100 TB): variant equi-join for candidates (|name|+1 rows
+    per record through one shuffle), exact levenshtein + field compare
+    on candidates only, TakeOrderedAndProject for the report. Field
+    values re-attach to candidates by key equi-joins.
+    """
+    ensure_analytics_conf(spark)
+    n_par = spark.sparkContext.defaultParallelism
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    names = cust.select("c_name").distinct().repartition(n_par)
+    s = F.col("c_name")
+    variants = F.concat(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substr(s, F.lit(1), i - 1),
+                F.substr(s, i + 1, F.length(s)),
+            ),
+        ),
+    )
+    inv = names.select(s.alias("name"), F.explode(variants).alias("v"))
+    a, b = inv.alias("a"), inv.alias("b")
+    name_pairs = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.name") <= F.col("b.name")),
+        )
+        .select(F.col("a.name").alias("na"), F.col("b.name").alias("nb"))
+        .distinct()
+        .repartition(n_par)
+        .filter(F.levenshtein("na", "nb") <= 1)
+    )
+    ca = cust.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("na"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_a"),
+    )
+    cb = cust.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("nb"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_b"),
+    )
+    pairs = (
+        name_pairs.join(ca, "na")
+        .join(cb, "nb")
+        .filter(F.col("a_key") < F.col("b_key"))
+    )
+    score = (
+        F.when(F.col("na") == F.col("nb"), ER_W_NAME_EXACT).otherwise(
+            ER_W_NAME_CLOSE
+        )
+        + F.when(F.col("nat_a") == F.col("nat_b"), ER_W_NATION[0]).otherwise(
+            ER_W_NATION[1]
+        )
+        + F.when(F.col("seg_a") == F.col("seg_b"), ER_W_SEGMENT[0]).otherwise(
+            ER_W_SEGMENT[1]
+        )
+        + F.when(
+            F.abs(F.col("bal_a") - F.col("bal_b")) <= 1000, ER_W_ACCTBAL[0]
+        ).otherwise(ER_W_ACCTBAL[1])
+    ).cast("bigint")
+    tier = (
+        F.when(F.col("score_milli") >= ER_MATCH_GE, "match")
+        .when(F.col("score_milli") >= ER_POSSIBLE_GE, "possible")
+        .otherwise("non-match")
+    )
+    return (
+        pairs.withColumn("score_milli", score)
+        .select("a_key", "b_key", "score_milli", tier.alias("tier"))
+        .orderBy(F.desc("score_milli"), F.asc("a_key"), F.asc("b_key"))
+        .limit(ER_TOP)
+    )

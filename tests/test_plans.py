@@ -417,7 +417,7 @@ def test_round7_new_ops_plan_shapes(spark, sf_dir):
                  "tw_inter_event_stats", "ss_pca_power_topdim",
                  "ht_dow_seasonal", "tw_new_vs_returning",
                  "ss_ivf_nprobe_sweep", "gr_hits", "mm_modality_join",
-                 "gr_hierarchy_closure"):
+                 "gr_hierarchy_closure", "dd_er_linkage_score"):
         assert not X.has_cartesian_product(_df(spark, sf_dir, name)), name
     # SCD2 temporal join: containment rides the custkey EQUI join
     scd2 = _df(spark, sf_dir, "rj_scd2_temporal_join")
