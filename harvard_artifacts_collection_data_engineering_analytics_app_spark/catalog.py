@@ -34,12 +34,20 @@ def content_key(sf_dir: str, table: str) -> str:
     path-only hash (round-6 advice, LOW): a typo'd table name or
     not-yet-generated dataset would otherwise quietly revert to exactly
     the path-keyed staleness behavior this function exists to prevent.
+
+    Key layout: first 4 hex = SOURCE-DIR tag (abspath of ``sf_dir``),
+    last 8 hex = content fingerprint. ``gc_stale_artifacts`` scopes its
+    sibling sweep to the same 4-hex tag, so building an index for one
+    scale factor no longer deletes the still-valid index of another —
+    alternating-SF runs (bench.py sf0.1 vs var/sf1) used to thrash every
+    persisted IVF/PQ/dedup index each time the other side rebuilt
+    (round-7 advice, LOW).
     """
     import hashlib
     import os
 
     src = os.path.join(sf_dir, f"{table}.parquet")
-    parts = [sf_dir.rstrip("/"), table]
+    parts = [table]
     if os.path.isdir(src):
         for name in sorted(os.listdir(src)):
             st = os.stat(os.path.join(src, name))
@@ -53,7 +61,8 @@ def content_key(sf_dir: str, table: str) -> str:
             "path-only fingerprint would silently re-enable path-keyed "
             "staleness for persisted artifacts"
         )
-    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    tag = hashlib.md5(os.path.abspath(sf_dir).rstrip("/").encode()).hexdigest()[:4]
+    return tag + hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
 
 
 def gc_stale_artifacts(spark: SparkSession, table: str) -> list[str]:
@@ -63,10 +72,14 @@ def gc_stale_artifacts(spark: SparkSession, table: str) -> list[str]:
     Every regeneration of the source data mints a new key (see
     ``content_key``), so without collection the warehouse accumulates one
     dead index/MV per regeneration forever (round-6 advice, LOW). Siblings
-    are matched by ``{prefix}_<12 hex>`` with a DIFFERENT key and removed
-    from both the session catalog (DROP TABLE) and the warehouse directory
-    (a managed-table LOCATION can outlive a catalog that forgot it —
-    fresh driver session, same cwd). Returns the dropped names.
+    are matched by ``{prefix}_<12 hex>`` with a DIFFERENT key **but the
+    SAME leading 4-hex source-dir tag** — a sibling keyed to a different
+    ``sf_dir`` is a concurrently-valid artifact for another scale factor,
+    not a superseded one, and sweeping it made alternating-SF runs thrash
+    each other's persisted indexes (round-7 advice, LOW). Matches are
+    removed from both the session catalog (DROP TABLE) and the warehouse
+    directory (a managed-table LOCATION can outlive a catalog that forgot
+    it — fresh driver session, same cwd). Returns the dropped names.
     """
     import os
     import re
@@ -89,7 +102,8 @@ def gc_stale_artifacts(spark: SparkSession, table: str) -> list[str]:
     )
     dropped = []
     for name in sorted(candidates):
-        if sibling.fullmatch(name).group(1) == keep:
+        key = sibling.fullmatch(name).group(1)
+        if key == keep or key[:4] != keep[:4]:  # current, or other sf_dir
             continue
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)

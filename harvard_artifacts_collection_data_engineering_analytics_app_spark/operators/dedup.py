@@ -2431,8 +2431,22 @@ def dd_er_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg_b"),
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_b"),
     )
+    # Both orientations of every close-name pair must exist before the
+    # key-order cut: name_pairs carries only na <= nb, but the pair's
+    # SMALLER custkey may belong to the LARGER name — with one
+    # orientation that pair would reach a_key < b_key in the wrong slots
+    # and be silently dropped (round-7 advice, MEDIUM; held on fixtures
+    # only because Customer#%09d names sort exactly like keys). The
+    # swapped union makes key order independent of name order; no pair
+    # duplicates because a customer has one name, so exactly one
+    # orientation puts its key in the a-slot.
+    name_pairs_sym = name_pairs.unionByName(
+        name_pairs.filter(F.col("na") != F.col("nb")).select(
+            F.col("nb").alias("na"), F.col("na").alias("nb")
+        )
+    )
     pairs = (
-        name_pairs.join(ca, "na")
+        name_pairs_sym.join(ca, "na")
         .join(cb, "nb")
         .filter(F.col("a_key") < F.col("b_key"))
     )

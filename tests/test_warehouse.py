@@ -277,17 +277,24 @@ def test_gc_stale_artifacts_drops_superseded_keys(spark, tmp_path):
     )
 
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    old, new = "gcdemo_idx_aaaaaaaaaaaa", "gcdemo_idx_bbbbbbbbbbbb"
-    unrelated = "gcdemo_other_cccccccccccc"
-    for t in (old, new, unrelated):
+    # key layout: 4-hex sf_dir tag + 8-hex content hash. Only a sibling
+    # with the SAME tag (same source dir, regenerated content) is
+    # superseded; a different tag is another scale factor's still-valid
+    # artifact and must survive (r7 advice — alternating-SF runs used to
+    # thrash each other's persisted indexes).
+    old, new = "gcdemo_idx_feedaaaaaaaa", "gcdemo_idx_feedbbbbbbbb"
+    other_sf = "gcdemo_idx_beefcccccccc"
+    unrelated = "gcdemo_other_feeddddddddd"  # different prefix, same tag
+    for t in (old, new, other_sf, unrelated):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.range(3).write.mode("overwrite").format("parquet").saveAsTable(t)
     dropped = gc_stale_artifacts(spark, new)
     assert dropped == [old]
     assert not spark.catalog.tableExists(old)
     assert not os.path.exists(os.path.join(warehouse, old))
-    # the current key and a different-prefix artifact both survive
+    # current key, other-sf_dir key, and different-prefix artifact survive
     assert spark.table(new).count() == 3
+    assert spark.table(other_sf).count() == 3
     assert spark.table(unrelated).count() == 3
-    for t in (new, unrelated):
+    for t in (new, other_sf, unrelated):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
