@@ -169,6 +169,9 @@ HEADLINE = [
     "mm_modality_join",
     "gr_hierarchy_closure",
     "dd_er_linkage_score",
+    # round-8 additions
+    "ss_knn_graph_ivf",
+    "tx_corpus_build",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness
@@ -177,8 +180,11 @@ HEADLINE = [
 
 
 # isolated re-measurement: shared-vs-previous-round ratio that triggers a
-# fresh-JVM re-run, and a cap so a globally slow round can't stall the bench
-ISOLATE_RATIO = 1.5
+# fresh-JVM re-run, and a cap so a globally slow round can't stall the bench.
+# 1.3 (was 1.5 through r7): ht_ewma_smooth drifted 1.44x in the r7 shared
+# session and escaped adjudication — judge VERDICT r7 #3 asked for the
+# tighter trigger so sub-1.5x drifts still get a steady-state number.
+ISOLATE_RATIO = 1.3
 ISOLATE_MAX = 10
 ISOLATED_REPS = 2  # timed reps after warm-up; min is the steady-state number
 
@@ -199,27 +205,63 @@ def run_isolated(name: str) -> None:
     print(json.dumps({"query": name, "isolated_sec": round(min(reps), 4)}))
 
 
-def _previous_round_timings() -> dict[str, float]:
-    """Latest BENCH_r*.json at the repo root, for mover detection."""
+def _round_files_newest_first(pattern: str, regex: str) -> list[str]:
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best, best_n = None, -1
-    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_n:
-            best, best_n = p, int(m.group(1))
-    if not best:
-        return {}
-    try:
-        with open(best) as f:
-            rec = json.load(f)
+    hits = []
+    for p in glob.glob(os.path.join(here, pattern)):
+        m = re.search(regex, p)
+        if m:
+            hits.append((int(m.group(1)), p))
+    return [p for _, p in sorted(hits, reverse=True)]
+
+
+def _latest_round_file(pattern: str, regex: str) -> tuple[str | None, int]:
+    import re
+
+    files = _round_files_newest_first(pattern, regex)
+    if not files:
+        return None, -1
+    return files[0], int(re.search(regex, files[0]).group(1))
+
+
+def _previous_round_timings() -> dict[str, float]:
+    """Per-query timings from the most recent prior run AT THIS SF, for
+    mover detection.
+
+    Preferred source: ``var/bench_r*_final.json`` (this script writes the
+    full per-query map there every run — the driver's stdout capture only
+    gets the compact family-subtotal line, which carries no per-query
+    history). Fallback: old BENCH_r*.json records whose ``parsed.queries``
+    was still per-query (rounds ≤5, before the line outgrew the capture).
+    A record at a DIFFERENT sf is skipped, not used: comparing a default
+    sf0.1 run against a smoke run's sf0.01 numbers would flag half the
+    suite as regressed and burn ISOLATE_MAX fresh JVMs.
+    """
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    candidates = _round_files_newest_first(
+        os.path.join("var", "bench_r*_final.json"), r"bench_r(\d+)_final\.json$"
+    ) + _round_files_newest_first("BENCH_r*.json", r"BENCH_r(\d+)\.json$")
+    for path in candidates:
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
         # the driver's record wraps this script's JSON line under "parsed"
-        q = rec.get("queries") or (rec.get("parsed") or {}).get("queries") or {}
-        return {k: v for k, v in q.items() if v > 0}
-    except (OSError, ValueError, AttributeError):
-        return {}
+        parsed = rec.get("parsed") or {}
+        q = rec.get("queries") or parsed.get("queries") or {}
+        rec_sf = rec.get("sf", parsed.get("sf"))
+        if rec_sf is not None and str(rec_sf) != sf:
+            continue
+        out = {
+            k: v for k, v in q.items() if isinstance(v, (int, float)) and v > 0
+        }
+        if out:
+            return out
+    return {}
 
 
 def _isolate_movers(timings: dict[str, float]) -> dict[str, float]:
@@ -295,19 +337,55 @@ def main() -> None:
                 break
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    result = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
         "metric": "headline_queries_total_time",
         "value": round(sum(t for t in timings.values() if t >= 0), 4),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if failed:
-        result["failed"] = failed
+        full["failed"] = failed
     isolated = _isolate_movers(timings)
     if isolated:
-        result["isolated"] = isolated
-    print(json.dumps(result))
+        full["isolated"] = isolated
+
+    # Full per-query map → var/bench_r{N}_final.json (next round's mover
+    # baseline; N = latest driver BENCH record + 1). The stdout line below
+    # stays compact: the driver's capture failed to parse the 115-query
+    # one-liner in rounds 6-7 (BENCH_r06/r07 "parsed": null — judge
+    # VERDICT r7 #2), so the line the driver records carries the headline
+    # total plus per-FAMILY subtotals (~15 keys, well under ~1.8 KB) and
+    # the per-query trail lands in var/.
+    _, prev_n = _latest_round_file("BENCH_r*.json", r"BENCH_r(\d+)\.json$")
+    here = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(os.path.join(here, "var"), exist_ok=True)
+    full_path = os.path.join(here, "var", f"bench_r{max(prev_n + 1, 1)}_final.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f)
+
+    import re
+
+    fams: dict[str, float] = {}
+    for name, t in timings.items():
+        if t >= 0:
+            fam = re.match(r"[a-z]+", name).group()  # rq20/rq19 → rq
+            fams[fam] = round(fams.get(fam, 0.0) + t, 4)
+    compact = {
+        "metric": "headline_queries_total_time",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": fams,  # per-family subtotals; per-query map in var/
+        "sf": sf_val,
+        "n_queries": len([t for t in timings.values() if t >= 0]),
+        "per_query_file": os.path.relpath(full_path, here),
+    }
+    if failed:
+        compact["failed"] = failed
+    if isolated:
+        compact["isolated"] = isolated
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

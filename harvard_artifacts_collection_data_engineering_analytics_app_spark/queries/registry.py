@@ -74,48 +74,45 @@ _PRIORITY: tuple[str, ...] = (
     "rq20_join_agg_topk",
     "flagship_pricing_summary",
     "rq20_preagg_variant",
-    # family keepers (recorded before; rj and sk have NO never-recorded
-    # members left, so a previously-recorded keeper holds their slot in
-    # the every-family invariant)
-    "rj_price_tier_broadcast",
-    "sk_salted_join",
-    # --- round-7 rotation: 26 never-recorded queries (standing judge
-    # directive r4 #2 / r5 #2). Selected family-diverse by
-    # scripts/rotation_suggest.py from the 86-name never-recorded pool
-    # (60 of those remain after this window; round 7 also added 21 new
-    # operators registering past slot 50, so the round-8 pool is ~81 —
-    # exhaustion ~round 10-11). Includes
-    # ht_lttb_downsample deliberately: its triangle-area sign flip was
-    # fixed this round on BOTH the Spark and oracle sides (round-6 advice,
-    # MEDIUM), so a driver-recorded green row is the proof the fix holds
-    # under the real gate. The round-6 window's 26 names are all recorded
-    # green in CORRECTNESS_r06.json. ---
+    # family keepers (recorded before; aj and wf have NO never-recorded
+    # members left this round, so a previously-recorded keeper holds
+    # their slot in the every-family invariant — rj/sk rotate real
+    # never-recorded members below instead)
     "aj_purchase_last_click_tol",
-    "dd_minhash_lsh_expr",
-    "fx_intersect_all",
-    "gr_degree_hist",
-    "ht_seasonal_naive_error",
-    "mm_blob_metadata",
-    "sk_hot_keys",
-    "ss_brute_topk_numpy",
-    "st_sliding_2h_1h",
-    "tw_sliding_2h_1h",
-    "tx_fingerprint",
     "wf_running_sum",
-    "dd_incremental_minhash",
-    "fx_except_all",
-    "gr_edge_jaccard",
-    "ht_lttb_downsample",
-    "mm_frame_plan",
-    "sk_gini_activity",
-    "ss_lsh_multiprobe_topk",
-    "st_dedup_count",
-    "tw_funnel_conversion",
-    "tx_ngram_freq",
-    "dd_incremental_minhash_indexed",
-    "fx_unpivot",
-    "gr_supplier_segments",
-    "ht_cusum_changepoint",
+    # --- round-8 rotation: 26 never-recorded queries (standing judge
+    # directive r4 #2 / r5 #2 / r7 #1). Selected family-diverse by
+    # scripts/rotation_suggest.py from the 82-name never-recorded pool
+    # (56 of those remain after this window; round-8 operators register
+    # past slot 50 and join the pool — exhaustion ~round 10-11). The
+    # round-7 window's 26 names are all recorded green in
+    # CORRECTNESS_r07.json. ---
+    "dd_lsh_param_sweep",
+    "fx_weighted_sample",
+    "gr_labelprop_communities",
+    "ht_acf",
+    "mm_frame_extract",
+    "rj_scd2_temporal_join",
+    "sk_hot_key_split_join",
+    "ss_ivf_persisted_topk",
+    "st_static_enrich",
+    "tw_cohort_retention",
+    "tx_levenshtein",
+    "dd_split_leakage",
+    "fx_snapshot_diff",
+    "gr_bipartite_projection",
+    "ht_rolling_mad_anomaly",
+    "mm_audio_chunks",
+    "ss_ivf_pq_topk",
+    "st_near_dup_ingest",
+    "tw_rolling_active_users",
+    "tx_pii_redact",
+    "dd_bloom_novelty",
+    "fx_quality_checks",
+    "gr_clustering_coeff",
+    "ht_dow_seasonal",
+    "mm_audio_energy",
+    "ss_radius_search",
 )
 
 

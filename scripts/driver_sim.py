@@ -39,12 +39,24 @@ def main() -> int:
     assert len(rows) > 0, "t1 smoke: entry() returned no rows"
     print(f"t1 smoke OK ({len(rows)} rows)")
 
+    import time
+
     qs, osql = e.queries(), e.oracle_sql()
     failures = []
+    timings: dict[str, float] = {}
     for name in sorted(qs):
+        # per-query elapsed on every line (judge VERDICT r7 #6): under CPU
+        # contention a 10-minute query is otherwise indistinguishable from
+        # a hang, because nothing prints until the query returns
+        t0 = time.perf_counter()
         pdf = qs[name](spark, sf).toPandas()
         if name not in osql:
-            print(f"  rows-only {name}: {len(pdf)} rows")
+            timings[name] = time.perf_counter() - t0
+            print(
+                f"  rows-only {name}: {len(pdf)} rows"
+                f"  [{timings[name]:.1f}s]",
+                flush=True,
+            )
             continue
         con = duckdb_connection(sf)
         try:
@@ -52,10 +64,19 @@ def main() -> int:
         finally:
             con.close()
         errs = compare(pdf, odf)
-        print(f"  {'OK  ' if not errs else 'FAIL'} {name}: {len(pdf)} rows")
+        timings[name] = time.perf_counter() - t0
+        print(
+            f"  {'OK  ' if not errs else 'FAIL'} {name}: {len(pdf)} rows"
+            f"  [{timings[name]:.1f}s]",
+            flush=True,
+        )
         if errs:
             failures.append((name, errs))
     print(f"t2: {len(qs)} queries, {len(osql)} oracles, {len(failures)} failures")
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    print("slowest 10 (spark+oracle+compare, shared-session):")
+    for name, t in slow:
+        print(f"  {t:7.1f}s  {name}")
     for name, errs in failures:
         print(f"FAIL {name}: {errs}")
     return 1 if failures else 0
