@@ -26,3 +26,4 @@ def load_all() -> None:
     from ..operators import multimodal  # noqa: F401
     from ..functions import text_queries  # noqa: F401
     from ..streaming import queries as streaming_queries  # noqa: F401
+    from . import corpus_build  # noqa: F401

