@@ -172,6 +172,17 @@ HEADLINE = [
     # round-8 additions
     "ss_knn_graph_ivf",
     "tx_corpus_build",
+    "gr_modularity",
+    "gr_bfs_distance",
+    "tx_readability",
+    "tx_code_detect",
+    "fx_upsert_merge",
+    "mm_aspect_bucket_plan",
+    "ht_theil_sen_slope",
+    "st_quality_filter_count",
+    "ss_binary_quantize_hamming",
+    "ss_cluster_balance_report",
+    "dd_minhash_jaccard_calibration",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -2609,3 +2609,149 @@ def tx_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mattr_milli"
         ),
     ).orderBy("doc_id")
+
+
+# --- readability scoring -----------------------------------------------------------
+
+# Flesch-Kincaid grade coefficients (Kincaid et al. 1975). Syllables are
+# approximated by vowel-group counts — the standard dependency-free
+# estimator; the SAME regex runs in both engines so the estimate is
+# engine-exact even where it is linguistically approximate.
+FK_WPS = 0.39
+FK_SPW = 11.8
+FK_BIAS = 15.59
+
+
+@register(
+    "tx_readability",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({SQL_TOKENS}) AS BIGINT) AS n_words,
+               CAST(len(string_split(text, '. ')) AS BIGINT) AS n_sents,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+                   AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sents, n_syllables,
+           ROUND({FK_WPS} * (n_words::DOUBLE / nullif(n_sents, 0))
+                 + {FK_SPW} * (n_syllables::DOUBLE / nullif(n_words, 0))
+                 - {FK_BIAS}, 6) AS fk_grade
+    FROM t
+    """,
+    tags=("text", "quality", "readability"),
+)
+def tx_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade-level estimate per document — the readability
+    signal quality-filter stacks (C4, FineWeb-edu style) report alongside
+    Gopher rules: words per sentence and (vowel-group-estimated) syllables
+    per word, combined with the published FK coefficients.
+
+    Exactness: the three counts are integers from the shared tokenizer, a
+    literal '. ' sentence split (tx_sentences_udtf's convention), and one
+    vowel-group regex evaluated by both engines; the grade is a fixed
+    expression over doubles rounded to 6 decimals — the same float-
+    proofing every scored operator here uses.
+
+    Plan shape (100 TB): one Catalyst projection per document, no
+    shuffle at all (the scan's own partitioning is the parallelism);
+    regexp_count and split are JVM-side codegen, never Python.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(T.tokens("text")).cast("long")
+    n_sents = F.size(F.split(F.col("text"), r"\. ")).cast("long")
+    n_syll = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).cast("long")
+    grade = F.round(
+        F.lit(FK_WPS)
+        * (F.col("n_words").cast("double") / F.nullif(F.col("n_sents"), F.lit(0)))
+        + F.lit(FK_SPW)
+        * (
+            F.col("n_syllables").cast("double")
+            / F.nullif(F.col("n_words"), F.lit(0))
+        )
+        - F.lit(FK_BIAS),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syllables"),
+    ).withColumn("fk_grade", grade)
+
+
+# --- code-vs-prose detection --------------------------------------------------------
+
+CODE_PUNCT_RE = r"[{}();=<>\[\]]"
+CODE_KEYWORDS = (
+    "def", "return", "import", "class", "for", "while", "if", "else",
+    "function", "var", "const", "int", "void",
+)
+CODE_MIN_PUNCT = 8
+CODE_SYMBOL_GT = 0.05
+CODE_KW_MIN = 2
+
+
+@register(
+    "tx_code_detect",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[{{}}();=<>\\[\\]]')) AS BIGINT)
+                   AS code_punct,
+               ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                     / nullif(length(text), 0), 6) AS symbol_ratio,
+               CAST(len(list_intersect({SQL_TOKENS},
+                        [{", ".join(f"'{k}'" for k in CODE_KEYWORDS)}]))
+                    AS BIGINT) AS kw_hits
+        FROM documents
+    )
+    SELECT doc_id, code_punct, symbol_ratio, kw_hits,
+           ((code_punct >= {CODE_MIN_PUNCT} AND symbol_ratio > {CODE_SYMBOL_GT})
+            OR kw_hits >= {CODE_KW_MIN}) AS is_code
+    FROM t
+    """,
+    tags=("text", "quality", "code-detection"),
+)
+def tx_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic code-vs-prose classifier per document — the routing
+    signal a mixed-corpus pipeline uses to send documents to the code or
+    prose branch (different dedup thresholds, different quality rules):
+    code-punctuation density, overall symbol ratio (Gopher's definition),
+    and distinct programming-keyword hits, cut by fixed thresholds.
+
+    The decision is computed from the ROUNDED symbol ratio and integer
+    counts in both engines, so boundary documents cannot flip between
+    them (the tx_gopher_quality convention). With a learned classifier
+    the thresholds change, not the plan.
+
+    Plan shape (100 TB): one Catalyst projection per document (regex
+    count + array intersect in codegen), zero shuffles — classification
+    is scan-side, so the downstream branch filter pushes to the scan.
+    """
+    d = _t(spark, sf_dir, "documents")
+    code_punct = F.regexp_count(F.col("text"), F.lit(CODE_PUNCT_RE)).cast("long")
+    symbol_ratio = F.round(
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
+        / F.nullif(F.length("text"), F.lit(0)),
+        6,
+    )
+    kw_hits = F.size(
+        F.array_intersect(
+            T.tokens("text"), F.array(*[F.lit(k) for k in CODE_KEYWORDS])
+        )
+    ).cast("long")
+    out = d.select(
+        "doc_id",
+        code_punct.alias("code_punct"),
+        symbol_ratio.alias("symbol_ratio"),
+        kw_hits.alias("kw_hits"),
+    )
+    return out.withColumn(
+        "is_code",
+        (
+            (F.col("code_punct") >= CODE_MIN_PUNCT)
+            & (F.col("symbol_ratio") > CODE_SYMBOL_GT)
+        )
+        | (F.col("kw_hits") >= CODE_KW_MIN),
+    )

@@ -2475,3 +2475,150 @@ def dd_er_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_milli"), F.asc("a_key"), F.asc("b_key"))
         .limit(ER_TOP)
     )
+
+
+# --- MinHash estimator calibration ------------------------------------------------
+
+CAL_PPM = 1_000_000
+
+
+def _cal_oracle() -> str:
+    """LSH candidates + per-position signature agreement vs exact Jaccard.
+    The 32 per-position minhashes reuse the exact affine family the band
+    hashes are built from, so the estimate is the one production sketches
+    would ship."""
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hs, h -> "
+        f"((h % {MINHASH_MOD}) * {a} + {c}) % {MINHASH_MOD})) AS s{i}"
+        for i, (a, c) in enumerate(_AFFINE[:NUM_HASHES])
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+    WITH {DUCK_LSH_PAIR_CTES},
+    sigs AS (SELECT doc_id, {sig_cols} FROM shn)
+    SELECT v.a_id, v.b_id,
+           CAST({match_sum} AS BIGINT) AS n_match_pos,
+           CAST((({match_sum}) * {CAL_PPM}) // {NUM_HASHES} AS BIGINT)
+               AS est_ppm,
+           ROUND(v.jac, 6) AS jaccard
+    FROM verified v
+    JOIN sigs sa ON sa.doc_id = v.a_id
+    JOIN sigs sb ON sb.doc_id = v.b_id
+    ORDER BY v.a_id, v.b_id
+    """
+
+
+@register(
+    "dd_minhash_jaccard_calibration",
+    oracle=_cal_oracle(),
+    tags=("dedup", "minhash", "calibration"),
+)
+def dd_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimator calibration: for every LSH candidate pair, the
+    MinHash Jaccard ESTIMATE (fraction of the 32 signature positions that
+    agree — the unbiased estimator the sketch exists to provide) next to
+    the EXACT shingle Jaccard — the report that tells a pipeline whether
+    its signature budget (NUM_HASHES) is adequate before it trusts the
+    estimate at a scale where exact verification is unaffordable
+    (stderr ≈ sqrt(J(1-J)/32) ≈ 0.09 at J=0.5; doubling hashes halves
+    nothing — it shrinks stderr by √2, which is why this is measured,
+    not assumed).
+
+    Exactness: signature positions are the identical affine family the
+    band hashes use (shared coefficients), agreement counts are
+    integers, the estimate is integer ppm via truncating division, and
+    the exact Jaccard is the repo's standard rounded intersect/union —
+    every column replays bit-for-bit in the oracle.
+
+    Plan shape (100 TB): candidates come from the banded LSH join (never
+    all-pairs); the per-position signatures are the SAME 32 map-side
+    min-aggregates dd_minhash_lsh_expr documents (no extra hashing pass
+    — one relation feeds bands, estimates, and the exact verify); the
+    report join touches candidates only.
+    """
+    d = (
+        _shingle_relation(_docs(spark, sf_dir))
+        .withColumn("hs", shingle_base_hashes(F.col("sh")))
+        .repartition("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    minh = (
+        d.select("doc_id", F.explode("hs").alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    ((F.col("h") % MINHASH_MOD) * a + c) % MINHASH_MOD
+                ).alias(f"m{i}")
+                for i, (a, c) in enumerate(_AFFINE[:NUM_HASHES])
+            ]
+        )
+        .localCheckpoint(eager=True)  # feeds bands AND both estimate sides
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        )
+        for b in range(NUM_BANDS)
+    ]
+    bands = minh.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("a_id"), F.col("bb.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sig_a = minh.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sig_b = minh.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    ).cast("long")
+    sh_a = d.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sh_b = d.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.nullif(
+        F.size(F.array_union("sh_a", "sh_b")).cast("double"), F.lit(0.0)
+    )
+    return (
+        candidates.join(sig_a, "a_id")
+        .join(sig_b, "b_id")
+        .withColumn("n_match_pos", n_match)
+        .select("a_id", "b_id", "n_match_pos")
+        .join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_match_pos",
+            F.expr(f"(n_match_pos * {CAL_PPM}) DIV {NUM_HASHES}").alias(
+                "est_ppm"
+            ),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("a_id", "b_id")
+    )

@@ -965,10 +965,11 @@ def gr_supplier_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ROUNDS = 3
 
 
-def _lpa_oracle() -> str:
+def _lpa_ctes() -> list[str]:
     """Chained per-round CTEs (the gr_pagerank replay pattern): each round
     re-labels every node with the weight-majority label among its
-    neighbors, ties broken by the smaller label."""
+    neighbors, ties broken by the smaller label. Composable (no WITH, no
+    final SELECT) so gr_modularity can score the identical label state."""
     ctes = [
         f"""os AS (
         SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
@@ -999,9 +1000,13 @@ def _lpa_oracle() -> str:
         ) WHERE rn = 1
     )"""
         )
+    return ctes
+
+
+def _lpa_oracle() -> str:
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_lpa_ctes())
         + f"""
     SELECT lbl AS community, node,
            CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
@@ -1035,6 +1040,22 @@ def gr_labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-co-partitioned at scale; rounds are Θ(diameter)-bounded like
     every fixed-point operator in this repo.
     """
+    edges, labels = _coservice_lpa(spark, sf_dir)
+    wsz = Window.partitionBy("lbl")
+    return (
+        labels.select(
+            F.col("lbl").alias("community"),
+            "node",
+            F.count("*").over(wsz).cast("long").alias("community_size"),
+        )
+        .orderBy("community", "node")
+    )
+
+
+def _coservice_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetrized weighted January co-service edge list (x, y, w) —
+    shared by label propagation, modularity scoring, and BFS so every
+    consumer sees the identical checkpointed graph."""
     ensure_analytics_conf(spark)
     o = (
         load_table(spark, sf_dir, "orders")
@@ -1057,10 +1078,18 @@ def gr_labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
         .agg(F.count("*").alias("w"))
     )
-    edges = (
-        p.unionByName(p.select(F.col("y").alias("x"), F.col("x").alias("y"), "w"))
-        .localCheckpoint(eager=True)
-    )
+    return p.unionByName(
+        p.select(F.col("y").alias("x"), F.col("x").alias("y"), "w")
+    ).localCheckpoint(eager=True)
+
+
+def _coservice_lpa(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(edges, final LPA labels) — the synchronous weighted-majority loop
+    gr_labelprop_communities documents, factored so gr_modularity scores
+    the IDENTICAL label state the communities query reports."""
+    edges = _coservice_weighted_edges(spark, sf_dir)
     labels = edges.select(F.col("x").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -1080,15 +1109,7 @@ def gr_labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "lbl")
             .localCheckpoint(eager=True)
         )
-    wsz = Window.partitionBy("lbl")
-    return (
-        labels.select(
-            F.col("lbl").alias("community"),
-            "node",
-            F.count("*").over(wsz).cast("long").alias("community_size"),
-        )
-        .orderBy("community", "node")
-    )
+    return edges, labels
 
 
 # --- bipartite projection (market-basket co-purchase) -------------------------
@@ -1662,4 +1683,196 @@ def gr_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_nodes"))
         .orderBy("root_region", "depth")
+    )
+
+
+# --- partition quality: weighted modularity of the LPA communities -------------
+
+MOD_PPM = 1_000_000
+
+
+@register(
+    "gr_modularity",
+    oracle=f"""
+    WITH {{lpa_ctes}},
+    deg AS (SELECT x AS node, CAST(SUM(w) AS BIGINT) AS deg FROM edges GROUP BY x),
+    dtot AS (SELECT CAST(SUM(w) AS BIGINT) AS d FROM edges),
+    lab AS (SELECT node, lbl FROM l{{rounds}}),
+    win AS (
+        SELECT la.lbl AS lbl, CAST(SUM(e.w) AS BIGINT) AS win_c
+        FROM edges e
+        JOIN lab la ON la.node = e.x
+        JOIN lab lb ON lb.node = e.y
+        WHERE la.lbl = lb.lbl
+        GROUP BY la.lbl
+    ),
+    degc AS (
+        SELECT la.lbl, CAST(SUM(d.deg) AS BIGINT) AS deg_c
+        FROM deg d JOIN lab la ON la.node = d.node
+        GROUP BY la.lbl
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           dtot.d AS d_total,
+           CAST(SUM(COALESCE(win.win_c, 0) * dtot.d
+                    - degc.deg_c * degc.deg_c) AS BIGINT) AS q_num,
+           CAST((SUM(COALESCE(win.win_c, 0) * dtot.d
+                     - degc.deg_c * degc.deg_c) * {MOD_PPM})
+                // (dtot.d * dtot.d) AS BIGINT) AS q_ppm
+    FROM degc
+    LEFT JOIN win ON win.lbl = degc.lbl, dtot
+    GROUP BY dtot.d
+    """.replace("{lpa_ctes}", ",\n    ".join(_lpa_ctes())).replace(
+        "{rounds}", str(LPA_ROUNDS)
+    ),
+    tags=("graph", "community-detection", "modularity"),
+)
+def gr_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted modularity (Newman Q) of the EXACT label state
+    gr_labelprop_communities produces — the standard "was this community
+    structure better than chance?" score a graph pipeline reports next to
+    its partition: Q = Σ_c (win_c/D − (deg_c/D)²) where D = total directed
+    edge weight, win_c = intra-community directed weight, deg_c = summed
+    weighted degree of community c.
+
+    Exactness: Q is kept as the exact integer pair (q_num = Σ_c(win_c·D −
+    deg_c²), d_total = D) plus the derived q_ppm = q_num·1e6 DIV D² —
+    integer arithmetic end to end, so summation order cannot perturb it
+    and the oracle replays the identical LPA rounds (shared CTE chain)
+    before scoring. Overflow headroom: q_ppm's product needs |q_num|·1e6 <
+    2^63, i.e. D ≲ 3e6; beyond that report (q_num, d_total) and divide in
+    the consumer (documented here because a 100 TB co-occurrence graph
+    crosses it — the exact pair is the scale-safe contract, q_ppm the
+    convenience).
+
+    Plan shape (100 TB): label relation joined twice onto the edge list
+    (both equi-joins on node id, co-partitioned with the LPA loop's own
+    shuffles), then two map-side-combined aggregations over |C| rows and
+    one scalar reduce. Adds one pass over the edges beyond LPA itself.
+    """
+    edges, labels = _coservice_lpa(spark, sf_dir)
+    la = labels.select(F.col("node").alias("x"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("node").alias("y"), F.col("lbl").alias("lb"))
+    d_total = edges.agg(F.sum("w").cast("long").alias("d")).select("d")
+    deg = edges.groupBy("x").agg(F.sum("w").cast("long").alias("deg"))
+    win = (
+        edges.join(la, "x")
+        .join(lb, "y")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.sum("w").cast("long").alias("win_c"))
+    )
+    degc = (
+        deg.join(la, "x")
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.sum("deg").cast("long").alias("deg_c"))
+    )
+    percom = degc.join(win, "lbl", "left").select(
+        "lbl",
+        F.coalesce(F.col("win_c"), F.lit(0)).alias("win_c"),
+        "deg_c",
+    )
+    return (
+        percom.crossJoin(F.broadcast(d_total))
+        .groupBy("d")
+        .agg(
+            F.count("*").cast("long").alias("n_communities"),
+            F.sum(
+                F.col("win_c") * F.col("d") - F.col("deg_c") * F.col("deg_c")
+            )
+            .cast("long")
+            .alias("q_num"),
+        )
+        .select(
+            "n_communities",
+            F.col("d").alias("d_total"),
+            "q_num",
+            F.expr(f"(q_num * {MOD_PPM}) DIV (d_total * d_total)")
+            .cast("long")
+            .alias("q_ppm"),
+        )
+    )
+
+
+# --- multi-source BFS hop distance ---------------------------------------------
+
+BFS_SEED_MOD = 25  # seeds: supplier ids ≡ 0 (mod 25)
+BFS_MAX_HOPS = 4
+
+
+@register(
+    "gr_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE os AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderdate >= TIMESTAMP '{TRI_MONTH_LO}'
+          AND o_orderdate <  TIMESTAMP '{TRI_MONTH_HI}'
+    ),
+    p AS (
+        SELECT a.s AS x, b.s AS y, COUNT(*) AS w
+        FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+        GROUP BY a.s, b.s
+    ),
+    edges AS (SELECT x, y, w FROM p UNION ALL SELECT y, x, w FROM p),
+    walk(node, d) AS (
+        SELECT DISTINCT x, 0 FROM edges WHERE x % {BFS_SEED_MOD} = 0
+        UNION
+        SELECT e.y, w.d + 1
+        FROM walk w JOIN edges e ON e.x = w.node
+        WHERE w.d < {BFS_MAX_HOPS}
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+    FROM walk GROUP BY node ORDER BY node
+    """,
+    tags=("graph", "bfs", "iterative"),
+)
+def gr_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the co-service graph: every
+    node's minimum hop count from the seed set (supplier ids ≡ 0 mod
+    {BFS_SEED_MOD}), capped at BFS_MAX_HOPS — the reachability-with-
+    distance primitive under influence radius, blast-radius, and
+    "how far is every record from a trusted set" analyses (the hop-cap is
+    the production norm: beyond a few hops the signal is noise).
+
+    Spark runs textbook frontier iteration: the frontier joins the static
+    checkpointed edge list, already-labeled nodes are anti-joined away,
+    survivors get distance h — each hop is ONE equi-join + one anti-join,
+    both on node id, and the frontier only shrinks. The oracle's
+    recursive CTE enumerates (node, d ≤ cap) pairs and takes MIN(d);
+    BFS's layer-by-layer discovery provably equals that min, and the
+    fixed cap makes both sides finite. Distances are integers — nothing
+    to round.
+
+    Plan shape (100 TB): per hop the shuffle is |frontier ⋈ edges|, not
+    |V|; the known-set anti-join is the same broadcast/hash pattern the
+    dedup keeper join uses; BFS_MAX_HOPS bounds the rounds independent of
+    graph size (same argument as every fixed-point operator here).
+    """
+    edges = _coservice_weighted_edges(spark, sf_dir).select("x", "y")
+    seeds = (
+        edges.select("x")
+        .filter(F.col("x") % BFS_SEED_MOD == 0)
+        .distinct()
+        .select(F.col("x").alias("node"), F.lit(0).alias("d"))
+    )
+    known = seeds.localCheckpoint(eager=True)
+    frontier = known
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nbrs = (
+            frontier.join(edges, frontier["node"] == edges["x"])
+            .select(F.col("y").alias("node"))
+            .distinct()
+        )
+        new = (
+            nbrs.join(known.select("node"), "node", "left_anti")
+            .withColumn("d", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        known = known.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return known.select("node", F.col("d").cast("long").alias("dist")).orderBy(
+        "node"
     )

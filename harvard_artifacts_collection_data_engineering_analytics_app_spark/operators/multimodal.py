@@ -1296,3 +1296,135 @@ def mm_modality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- aspect-ratio bucketing (multi-resolution training batch plan) -------------
+
+# (width, height) training buckets — the SDXL-style multi-aspect grid: one
+# square bucket plus landscape/portrait pairs at matched pixel budgets.
+ASPECT_BUCKETS = ((640, 640), (768, 512), (512, 768), (896, 448), (448, 896))
+ASPECT_IMG_LT = 200  # images to plan (fake header dims derived from doc_id)
+ASPECT_BATCH = 16  # images per training batch within a bucket
+
+
+def _aspect_buckets_values() -> str:
+    return ", ".join(
+        f"({i}, {w}, {h}, {w * 1000 // h})"
+        for i, (w, h) in enumerate(ASPECT_BUCKETS)
+    )
+
+
+@register(
+    "mm_aspect_bucket_plan",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT doc_id,
+               CAST(64 + (doc_id % 7) * 16 + (doc_id % 3) AS BIGINT) AS w,
+               CAST(48 + (doc_id % 5) * 16 + (doc_id % 2) AS BIGINT) AS h
+        FROM documents WHERE doc_id < {ASPECT_IMG_LT}
+    ),
+    buckets(bucket_idx, bw, bh, bratio) AS (VALUES {_aspect_buckets_values()}),
+    assigned AS (
+        SELECT doc_id, bucket_idx, bw, bh, r FROM (
+            SELECT i.doc_id, b.bucket_idx, b.bw, b.bh,
+                   (i.w * 1000) // i.h AS r,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY i.doc_id
+                       ORDER BY abs((i.w * 1000) // i.h - b.bratio),
+                                b.bucket_idx
+                   ) AS rn
+            FROM imgs i CROSS JOIN buckets b
+        ) WHERE rn = 1
+    )
+    SELECT CAST(bucket_idx AS BIGINT) AS bucket_idx,
+           CAST(bw AS BIGINT) AS bucket_w,
+           CAST(bh AS BIGINT) AS bucket_h,
+           COUNT(*) AS n_images,
+           CAST((COUNT(*) + {ASPECT_BATCH} - 1) // {ASPECT_BATCH} AS BIGINT)
+               AS n_batches,
+           CAST(MIN(r) AS BIGINT) AS min_ratio_milli,
+           CAST(MAX(r) AS BIGINT) AS max_ratio_milli
+    FROM assigned
+    GROUP BY bucket_idx, bw, bh
+    ORDER BY bucket_idx
+    """,
+    tags=("multimodal", "plan", "bucketing", "training"),
+)
+def mm_aspect_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing plan (the SDXL/NovelAI multi-resolution
+    training recipe): assign every image to the training bucket whose
+    aspect ratio is nearest its own, then size the per-bucket batch
+    schedule — images inside one batch must share a bucket because the
+    tensor shape is per-bucket. Image dimensions are the same
+    deterministic fake header metadata mm_patch_grid_plan uses (real
+    corpora read them from mm_blob_metadata's header parse, no pixel
+    decode needed).
+
+    Exactness: ratios live on an integer milli grid (w·1000 DIV h);
+    nearest-bucket ties break to the smaller bucket index; batch counts
+    are ceiling division in integers — nothing floats.
+
+    Plan shape (100 TB): the bucket table is a constant broadcast (5
+    rows); assignment is scan-side projection + a per-image argmin over
+    5 candidates (window over a 5-row partition, or equivalently a
+    greatest-of expression); the report is one map-side-combined agg on
+    bucket_idx. The heavy artifact — the per-bucket shuffled batch
+    layout — partitions by (bucket_idx, hash(doc_id) % n_batches), which
+    is a single repartition of image IDS ONLY; pixels move once, later,
+    batch-addressed.
+    """
+    from pyspark.sql import Window
+
+    ensure_analytics_conf(spark)
+    imgs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < ASPECT_IMG_LT)
+        .select(
+            "doc_id",
+            (64 + (F.col("doc_id") % 7) * 16 + F.col("doc_id") % 3)
+            .cast("long")
+            .alias("w"),
+            (48 + (F.col("doc_id") % 5) * 16 + F.col("doc_id") % 2)
+            .cast("long")
+            .alias("h"),
+        )
+        .withColumn("r", F.expr("(w * 1000) DIV h"))
+    )
+    buckets = F.broadcast(
+        imgs.sparkSession.createDataFrame(
+            [
+                (i, w, h, w * 1000 // h)
+                for i, (w, h) in enumerate(ASPECT_BUCKETS)
+            ],
+            "bucket_idx long, bw long, bh long, bratio long",
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.abs(F.col("r") - F.col("bratio")), F.asc("bucket_idx")
+        )
+    )
+    assigned = (
+        imgs.crossJoin(buckets).withColumn("rn", rn).filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("bucket_idx", "bw", "bh")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.expr(f"(count(*) + {ASPECT_BATCH} - 1) DIV {ASPECT_BATCH}")
+            .cast("long")
+            .alias("n_batches"),
+            F.min("r").alias("min_ratio_milli"),
+            F.max("r").alias("max_ratio_milli"),
+        )
+        .select(
+            "bucket_idx",
+            F.col("bw").alias("bucket_w"),
+            F.col("bh").alias("bucket_h"),
+            "n_images",
+            "n_batches",
+            "min_ratio_milli",
+            "max_ratio_milli",
+        )
+        .orderBy("bucket_idx")
+    )

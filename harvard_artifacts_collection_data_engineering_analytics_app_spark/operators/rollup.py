@@ -986,3 +986,113 @@ def ht_dow_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# --- Theil-Sen robust trend slope ----------------------------------------------
+
+TS_SLOPE_SCALE = 1_000_000  # slope resolution: micro-cents per hour
+
+
+@register(
+    "ht_theil_sen_slope",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS h,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY event_type, h
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               ((b.y - a.y) * {TS_SLOPE_SCALE}) // (b.h - a.h) AS slope_micro,
+               a.h AS h1, b.h AS h2
+        FROM hourly a JOIN hourly b
+          ON a.event_type = b.event_type AND a.h < b.h
+    ),
+    ranked AS (
+        SELECT event_type, slope_micro,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY slope_micro, h1, h2
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM pairs
+    ),
+    npts AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM hourly GROUP BY event_type
+    )
+    SELECT r.event_type, n.n_points, CAST(r.n_pairs AS BIGINT) AS n_pairs,
+           r.slope_micro AS ts_slope_micro
+    FROM ranked r JOIN npts n USING (event_type)
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    ORDER BY r.event_type
+    """,
+    tags=("hypertable", "trend", "robust"),
+)
+def ht_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate per event type: the MEDIAN of all
+    pairwise slopes of the hourly value series — the outlier-immune
+    alternative to least-squares trend (breakdown point 29%), the
+    estimator monitoring stacks reach for when one spiky hour would drag
+    OLS. Slopes live on an integer micro-cents-per-hour grid
+    ((Δcents·1e6) DIV Δhours — the cross-engine truncating pair); the
+    median is the rank-picked lower median (rank (n+1)//2 with a full
+    (slope, h1, h2) tie-order), never an interpolation, so both engines
+    select the identical integer.
+
+    Plan shape (100 TB): the pairwise relation is quadratic in the
+    NUMBER OF HOURLY BUCKETS (720 points/month → 259k pairs per type),
+    not in raw event volume — the hourly pre-aggregation is the
+    map-side-combined pass that absorbs the 100 TB, after which the pair
+    join is per-type bounded work (the same series-not-corpus scaling
+    argument as ht_acf). Types partition independently; for multi-year
+    spans switch to per-window Theil-Sen over sliding blocks, same plan.
+    """
+    ensure_analytics_conf(spark)
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 3600000000").alias("h"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.h") < F.col("b.h")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.expr(
+            f"((b.y - a.y) * {TS_SLOPE_SCALE}) DIV (b.h - a.h)"
+        ).alias("slope_micro"),
+        F.col("a.h").alias("h1"),
+        F.col("b.h").alias("h2"),
+    )
+    wrank = Window.partitionBy("event_type").orderBy("slope_micro", "h1", "h2")
+    wcnt = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope_micro",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(wcnt).alias("n_pairs"),
+    )
+    npts = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_points")
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .join(npts, "event_type")
+        .select(
+            "event_type",
+            "n_points",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_micro").alias("ts_slope_micro"),
+        )
+        .orderBy("event_type")
+    )

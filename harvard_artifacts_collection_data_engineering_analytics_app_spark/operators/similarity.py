@@ -3324,3 +3324,236 @@ def ss_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "nprobe long, n_candidates long, recall_milli long"
     )
+
+
+# --- 1-bit (sign) quantization + Hamming shortlist + exact rerank ----------------
+
+HAM_WORD_BITS = 32  # dims per packed word (two words cover KM_DIM=64)
+HAM_SHORTLIST = 30  # Hamming candidates kept per query before exact rerank
+
+
+def _sql_sign_word(lo: int) -> str:
+    """BIGINT with bit i set iff embedding[lo + i] > 0 (i in [0, 32))."""
+    return (
+        f"list_sum(list_transform(range(0, {HAM_WORD_BITS}), i -> "
+        f"CASE WHEN embedding[{lo} + i + 1] > 0 "
+        f"THEN (1::BIGINT << i) ELSE 0 END))"
+    )
+
+
+@register(
+    "ss_binary_quantize_hamming",
+    oracle=f"""
+    WITH {SQL_V},
+    w AS (
+        SELECT vec_id,
+               CAST({_sql_sign_word(0)} AS BIGINT) AS w_lo,
+               CAST({_sql_sign_word(HAM_WORD_BITS)} AS BIGINT) AS w_hi
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM w WHERE vec_id < {N_QUERIES}),
+    ham AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q.w_lo, c.w_lo))
+                    + bit_count(xor(q.w_hi, c.w_hi)) AS BIGINT) AS hamming,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(q.w_lo, c.w_lo))
+                            + bit_count(xor(q.w_hi, c.w_hi)), c.vec_id
+               ) AS hrank
+        FROM q JOIN w c ON c.vec_id != q.vec_id
+    ),
+    rerank AS (
+        SELECT h.q_id, h.neighbor_id, h.hamming,
+               ROUND({SQL_COS.format(a="vq", b="vc")}, 6) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY h.q_id
+                   ORDER BY ROUND({SQL_COS.format(a="vq", b="vc")}, 6) DESC,
+                            h.neighbor_id
+               ) AS rank
+        FROM ham h
+        JOIN v vq ON vq.vec_id = h.q_id
+        JOIN v vc ON vc.vec_id = h.neighbor_id
+        WHERE h.hrank <= {HAM_SHORTLIST}
+    )
+    SELECT q_id, neighbor_id, hamming, cosine, CAST(rank AS BIGINT) AS rank
+    FROM rerank WHERE rank <= {TOP_K}
+    ORDER BY q_id, rank
+    """,
+    tags=("similarity", "ann", "quantization", "hamming"),
+)
+def ss_binary_quantize_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (sign) vector quantization with Hamming-distance shortlist and
+    exact-cosine rerank — the memory-floor serving recipe (binary
+    embeddings à la Yamada et al. / the faiss LSH index): each 64-dim
+    float vector packs into two 32-bit sign words (32× smaller), the
+    shortlist is a popcount scan over the packed words, and only the
+    HAM_SHORTLIST survivors fetch full vectors for the exact rounded-
+    cosine rerank (ties → smaller id at every stage).
+
+    Exactness: the packed words are integers (strict ``> 0`` sign test);
+    Hamming is integer popcount; rerank uses the repo's standard rounded
+    cosine — both engines replay all three stages bit-for-bit.
+
+    Plan shape (100 TB): the packed-word relation is 16 bytes/vector —
+    ~500 GB per trillion vectors, scannable where floats are not; the
+    Hamming pass is one broadcast-queries scan (JVM bit_count codegen,
+    no Python); the rerank join touches nprobe-free SHORTLIST·|Q| full
+    vectors only. Same pattern as ss_pq_adc_topk but with XOR+popcount
+    replacing the ADC table lookups.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = F.posexplode(F.col("embedding"))
+    bits = (
+        e.select("vec_id", pos.alias("pos", "x"))
+        .filter(F.col("x") > 0)
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("pos") < HAM_WORD_BITS,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))"),
+                ).otherwise(F.lit(0))
+            ).alias("w_lo"),
+            F.sum(
+                F.when(
+                    F.col("pos") >= HAM_WORD_BITS,
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), "
+                        f"CAST(pos - {HAM_WORD_BITS} AS INT))"
+                    ),
+                ).otherwise(F.lit(0))
+            ).alias("w_hi"),
+        )
+    )
+    # vectors with NO positive dim never appear after the filter — restore
+    # them with all-zero words so both engines rank the same corpus
+    w = (
+        e.select("vec_id")
+        .join(bits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("w_lo"), F.lit(0)).cast("long").alias("w_lo"),
+            F.coalesce(F.col("w_hi"), F.lit(0)).cast("long").alias("w_hi"),
+        )
+    )
+    q = w.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    hamming = (
+        F.bit_count(F.expr("q_lo ^ w_lo")) + F.bit_count(F.expr("q_hi ^ w_hi"))
+    ).cast("long")
+    wh = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    shortlist = (
+        w.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            hamming.alias("hamming"),
+        )
+        .withColumn("hrank", F.row_number().over(wh))
+        .filter(F.col("hrank") <= HAM_SHORTLIST)
+    )
+    v = _vectors(spark, sf_dir)
+    vq = v.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    ).filter(F.col("q_id") < N_QUERIES)
+    vc = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(F.broadcast(vq), "q_id")
+        .join(vc, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine(
+                    F.col("q_emb"), F.col("c_emb"), F.col("q_nrm"), F.col("c_nrm")
+                ),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "neighbor_id", "hamming", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+# --- IVF list-balance diagnostic -------------------------------------------------
+
+BAL_PPM = 1_000_000
+
+
+@register(
+    "ss_cluster_balance_report",
+    oracle=f"""
+    WITH {{km_ctes}},
+    sizes AS (
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM a{KM_ITERS} GROUP BY cluster
+    ),
+    tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n FROM sizes),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM sizes)
+    SELECT s.cluster, s.n_vecs,
+           (s.n_vecs * {BAL_PPM}) // tot.n AS share_ppm,
+           (s.n_vecs * k.k * {BAL_PPM}) // tot.n AS load_vs_even_ppm
+    FROM sizes s, tot, k
+    ORDER BY s.cluster
+    """.replace("{km_ctes}", _km_ctes()),
+    tags=("similarity", "ivf", "diagnostics"),
+)
+def ss_cluster_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance report: per-list size, corpus share, and
+    load-vs-even factor (1e6 = perfectly balanced) — the serving-health
+    diagnostic every ANN deployment watches, because probe latency is
+    bounded by the LARGEST probed list: one hot list (load 5-10×) makes
+    tail latency 5-10× regardless of mean, and the fix (split the hot
+    centroid, raise K) is driven by exactly this report.
+
+    Reads the sizes from the PERSISTED bucketed index
+    (ss_ivf_persisted_topk's artifact — building it if absent), so the
+    report prices the real serving layout; the oracle recomputes the
+    identical k-means assignment from scratch. All ratios are integer
+    ppm via the cross-engine truncating division.
+
+    Plan shape (100 TB): one map-side-combined count per list over the
+    index scan (cluster is the bucket key, so the agg is co-partitioned
+    with storage and shuffles K rows), one scalar total broadcast back.
+    """
+    ensure_analytics_conf(spark)
+    idx_table, cent_table = ivf_index_names(sf_dir)
+    if not (
+        spark.catalog.tableExists(idx_table)
+        and spark.catalog.tableExists(cent_table)
+    ):
+        build_ivf_index(spark, sf_dir, idx_table, cent_table)
+    sizes = (
+        spark.table(idx_table)
+        .groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+    )
+    tot = sizes.agg(
+        F.sum("n_vecs").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            "cluster",
+            "n_vecs",
+            F.expr(f"(n_vecs * {BAL_PPM}) DIV n").alias("share_ppm"),
+            F.expr(f"(n_vecs * k * {BAL_PPM}) DIV n").alias("load_vs_even_ppm"),
+        )
+        .orderBy("cluster")
+    )

@@ -2132,3 +2132,108 @@ def fx_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("len_days"), F.asc("user_id"), F.asc("start_day"))
         .limit(ISLANDS_TOPN)
     )
+
+
+# --- CDC upsert merge (MERGE INTO semantics as a value-checked report) ---------
+
+CDC_SPLIT_TS = "2024-01-20 00:00:00"
+
+
+@register(
+    "fx_upsert_merge",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, val_cents FROM (
+            SELECT user_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS val_cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events WHERE ts < TIMESTAMP '{CDC_SPLIT_TS}'
+        ) WHERE rn = 1
+    ),
+    incoming AS (
+        SELECT user_id, val_cents FROM (
+            SELECT user_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS val_cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events WHERE ts >= TIMESTAMP '{CDC_SPLIT_TS}'
+        ) WHERE rn = 1
+    ),
+    actions AS (
+        SELECT i.user_id,
+               CASE WHEN b.user_id IS NULL THEN 'insert'
+                    WHEN b.val_cents != i.val_cents THEN 'update'
+                    ELSE 'noop' END AS action,
+               CASE WHEN b.user_id IS NULL THEN i.val_cents
+                    ELSE abs(i.val_cents - b.val_cents) END AS delta_cents
+        FROM incoming i LEFT JOIN base b USING (user_id)
+    )
+    SELECT action,
+           COUNT(*) AS n_users,
+           CAST(SUM(delta_cents) AS BIGINT) AS sum_abs_delta_cents
+    FROM actions GROUP BY action ORDER BY action
+    """,
+    tags=("functions", "cdc", "merge", "incremental"),
+)
+def fx_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) semantics as a value-checked report: the base
+    state is each user's latest value before CDC_SPLIT_TS, the incoming
+    batch is each user's latest value after it, and every incoming key is
+    classified insert (new key) / update (value changed) / noop
+    (idempotent re-delivery) with the summed absolute value movement —
+    the audit row an incremental-ingestion job emits per merge commit.
+
+    Exactness: values are quantized to integer cents before any
+    comparison (the rollup-family convention), latest-per-key ties break
+    on (ts, event_id), and both engines classify from the same integers.
+
+    Plan shape (100 TB): two latest-per-key window passes (each one
+    shuffle on user_id — on a real lakehouse the base side is the
+    table's own key-sorted state, read not recomputed) feeding a single
+    key-partitioned left join; the MERGE classification itself is a
+    projection. This is exactly Delta/Iceberg MERGE's shuffle plan, with
+    the action counts as the checkable surface.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("val_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "val_cents")
+        )
+
+    base = latest(ev.filter(F.col("ts") < F.lit(CDC_SPLIT_TS).cast("timestamp")))
+    inc = latest(ev.filter(F.col("ts") >= F.lit(CDC_SPLIT_TS).cast("timestamp")))
+    b = base.select(
+        F.col("user_id"), F.col("val_cents").alias("base_cents")
+    )
+    action = (
+        F.when(F.col("base_cents").isNull(), "insert")
+        .when(F.col("base_cents") != F.col("val_cents"), "update")
+        .otherwise("noop")
+    )
+    delta = F.when(
+        F.col("base_cents").isNull(), F.col("val_cents")
+    ).otherwise(F.abs(F.col("val_cents") - F.col("base_cents")))
+    return (
+        inc.join(b, "user_id", "left")
+        .select(action.alias("action"), delta.alias("delta_cents"))
+        .groupBy("action")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("delta_cents").cast("long").alias("sum_abs_delta_cents"),
+        )
+        .orderBy("action")
+    )

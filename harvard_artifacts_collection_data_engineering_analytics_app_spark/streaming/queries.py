@@ -523,3 +523,110 @@ def st_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= ST_TOPK_PER_WINDOW)
         .orderBy("window_start", "rnk")
     )
+
+
+def _gopher_count_oracle() -> str:
+    """Batch SQL of the identical Gopher keep decision (shared constants
+    and fragments from functions/text_queries), aggregated per source."""
+    from ..functions.text_queries import (
+        _EN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MEAN_LEN_HI,
+        GOPHER_MEAN_LEN_LO,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS,
+        SQL_TOKENS,
+    )
+
+    return f"""
+    WITH t AS (
+        SELECT source,
+               (CAST(len({SQL_TOKENS}) AS BIGINT)
+                    BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND ROUND(list_sum(list_transform({SQL_TOKENS}, t -> length(t)))::DOUBLE
+                          / nullif(len({SQL_TOKENS}), 0), 6)
+                    BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
+                AND ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                          / nullif(length(text), 0), 6)
+                    <= {GOPHER_MAX_SYMBOL_RATIO}
+                AND CAST(len(list_intersect({SQL_TOKENS}, [{_EN}])) AS BIGINT)
+                    >= {GOPHER_MIN_STOPWORD_HITS}) AS keep
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+    FROM t GROUP BY source
+    """
+
+
+@register(
+    "st_quality_filter_count",
+    oracle=_gopher_count_oracle(),
+    tags=("streaming", "quality", "gopher"),
+)
+def st_quality_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-quality triage: the document stream flows through
+    the EXACT Gopher rules tx_gopher_quality/tx_corpus_build apply in
+    batch, counting kept vs dropped per source — the live ingest monitor
+    a corpus-build pipeline runs ahead of its batch rebuilds (a sudden
+    keep-rate drop for one source is the canonical feed-corruption
+    alarm).
+
+    The per-document rules are stateless projections, so the streaming
+    plan is scan → project → grouped count (complete mode); under
+    AvailableNow replay stream≡batch exactly, and the oracle is the same
+    SQL the batch twin uses. At scale the same query runs with a real
+    trigger and the memory sink swapped for the metrics store.
+    """
+    from ..functions.text_queries import (
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MEAN_LEN_HI,
+        GOPHER_MEAN_LEN_LO,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS,
+    )
+    from ..functions import text as T
+    from .pipelines import read_documents_stream
+
+    ensure_analytics_conf(spark)
+    d = read_documents_stream(spark, sf_dir)
+    toks = T.tokens("text")
+    n_words = F.size(toks).cast("long")
+    mean_len = F.round(
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+        .cast("double")
+        / F.nullif(F.size(toks), F.lit(0)),
+        6,
+    )
+    symbol_ratio = F.round(
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
+        / F.nullif(F.length("text"), F.lit(0)),
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in T.LANG_STOPWORDS["en"]])
+        )
+    ).cast("long")
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    stream = (
+        d.select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).cast("long").alias("n_dropped"),
+        )
+    )
+    return _drain(spark, stream, "st_quality_mem", "complete").select(
+        "source", "n_docs", "n_kept", "n_dropped"
+    )
