@@ -183,6 +183,10 @@ HEADLINE = [
     "ss_binary_quantize_hamming",
     "ss_cluster_balance_report",
     "dd_minhash_jaccard_calibration",
+    "fx_equidepth_histogram",
+    "dd_segment_attribution",
+    "ss_pq_distortion_report",
+    "ss_hamming_recall_report",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

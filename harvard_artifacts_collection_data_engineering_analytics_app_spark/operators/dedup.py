@@ -2622,3 +2622,112 @@ def dd_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# --- segment-duplication attribution (provenance report) -----------------------
+
+ATTR_TOP = 25
+
+
+@register(
+    "dd_segment_attribution",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS seg_no,
+               md5(array_to_string(
+                   a[(CAST(i AS BIGINT) * {{SEG_WORDS}} + 1):
+                     (CAST(i AS BIGINT) * {{SEG_WORDS}} + {{SEG_WORDS}})], ' '))
+                   AS h
+        FROM w, unnest(range(len(a) // {{SEG_WORDS}})) AS t(i)
+    ),
+    canon AS (
+        SELECT h, COUNT(*) AS n_copies,
+               MIN(struct_pack(doc_id := doc_id, seg_no := seg_no)) AS ckey
+        FROM seg GROUP BY h
+        HAVING COUNT(*) >= 2
+    ),
+    affected AS (
+        SELECT c.h,
+               CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs_affected
+        FROM canon c
+        JOIN seg s ON s.h = c.h
+        WHERE struct_pack(doc_id := s.doc_id, seg_no := s.seg_no) != c.ckey
+        GROUP BY c.h
+    )
+    SELECT c.ckey.doc_id AS canon_doc_id,
+           c.ckey.seg_no AS canon_seg_no,
+           CAST(c.n_copies AS BIGINT) AS n_copies,
+           a.n_docs_affected
+    FROM canon c JOIN affected a ON a.h = c.h
+    ORDER BY n_copies DESC, canon_doc_id, canon_seg_no
+    LIMIT {ATTR_TOP}
+    """.replace("{SEG_WORDS}", str(SEG_WORDS)),
+    tags=("dedup", "segment", "provenance"),
+)
+def dd_segment_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-provenance report for segment dedup: the most-copied
+    segments in the corpus, each identified by its CANONICAL occurrence
+    (the one dd_segment_rewrite keeps), with copy count and how many
+    DISTINCT documents carry non-canonical copies — the audit artifact
+    behind "which boilerplate dominates my corpus and where did it come
+    from", and the evidence base for source-level fixes (drop the feed
+    that injects the template rather than paying dedup forever).
+
+    Same fixed SEG_WORDS segmentation and min-struct canonical rule as
+    dd_segment_rewrite, so this report names exactly the survivors that
+    rewrite emits. Top-{ATTR_TOP} by (copies desc, canonical position).
+
+    Plan shape (100 TB): one segment shuffle to the hash-group relation
+    (map-side combined; only hashes move), one candidate-only join back
+    for the distinct-doc count (duplicated hashes are a tiny fraction of
+    segments), TakeOrderedAndProject for the report.
+    """
+    d = _docs(spark, sf_dir)
+    arr = F.split(F.col("text"), " ")
+    nseg = F.floor(F.size(arr) / SEG_WORDS).cast("long")
+    seg_structs = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), nseg - 1),
+            lambda i: F.struct(
+                i.alias("seg_no"),
+                F.md5(
+                    F.array_join(
+                        F.slice(arr, (i * SEG_WORDS + 1).cast("int"), SEG_WORDS),
+                        " ",
+                    )
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<seg_no:bigint,h:string>>"))
+    seg = (
+        d.select("doc_id", F.explode(seg_structs).alias("g"))
+        .select("doc_id", F.col("g.seg_no").alias("seg_no"), F.col("g.h").alias("h"))
+        .localCheckpoint(eager=True)  # feeds the canon build AND the attribution join
+    )
+    okey = F.struct(F.col("doc_id"), F.col("seg_no"))
+    canon = (
+        seg.groupBy("h")
+        .agg(F.count("*").alias("n_copies"), F.min(okey).alias("ckey"))
+        .filter(F.col("n_copies") >= 2)
+    )
+    affected = (
+        seg.join(canon, "h")
+        .filter(okey != F.col("ckey"))
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs_affected"))
+    )
+    return (
+        canon.join(affected, "h")
+        .select(
+            F.col("ckey.doc_id").alias("canon_doc_id"),
+            F.col("ckey.seg_no").alias("canon_seg_no"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+            "n_docs_affected",
+        )
+        .orderBy(F.desc("n_copies"), "canon_doc_id", "canon_seg_no")
+        .limit(ATTR_TOP)
+    )

@@ -2965,14 +2965,22 @@ def ss_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked, not just its recall.
 
     Plan shape (100 TB): probe assignment is one closure-shipped Arrow
-    pass (O(K·DIM) bytes per task, nothing collected); candidates come
-    from ONE cluster equi-join of (probes ⋈ query embeddings) against the
-    persisted bucketed inverted lists (``build_ivf_index`` — the same
-    index ss_ivf_persisted_topk serves from, bucket-pruned at the scan);
-    scoring is JVM-side ``F.zip_with`` dot products; the top-3 cut is a
-    per-a_id window. Each (a,b) candidate appears exactly once (b lives
-    in one list), so no dedup shuffle is needed.
+    pass (O(K·DIM) bytes per task, nothing collected); each inverted
+    LIST is one applyInPandas group scoring (probing queries × list
+    members) as a single BLAS matmul — ss_knn_graph's block-pair kernel
+    with IVF lists as the blocks, so the per-candidate cost is a fused
+    vector op, not an interpreted expression (the zip_with formulation
+    this replaced measured 91 s at sf1 vs ~14 s for the EXACT BLAS
+    graph — Arrow+BLAS is the difference between the probe restriction
+    paying off and drowning in per-row overhead). Each (a,b) candidate
+    appears exactly once (b lives in one list), so the per-list local
+    top-3 under the global (rounded, id) comparator composes exactly
+    into the global top-3 window. Queries ship to nprobe lists in ONE
+    shuffle; per-task memory is O(|list|·dim).
     """
+    import numpy as np
+    import pandas as pd
+
     ensure_analytics_conf(spark)
     idx_table, cent_table = ivf_index_names(sf_dir)
     if not (
@@ -2986,30 +2994,72 @@ def ss_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vfix = _km_fixed_vectors(spark, sf_dir)
     probes = _probe_all_vectors(vfix, centroids, KNN_IVF_NPROBE)
-    qe = _vectors(spark, sf_dir).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = probes.join(emb, probes["q_id"] == emb["vec_id"]).select(
+        "cluster", F.lit("q").alias("role"), "vec_id", "embedding"
     )
-    lists = spark.table(idx_table)  # (cluster, vec_id, emb, nrm)
-    scored = (
-        probes.join(qe, "q_id")
-        .join(lists, "cluster")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            F.col("q_id").alias("a_id"),
-            F.col("vec_id").alias("b_id"),
-            F.round(
-                _cosine(
-                    F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
-                ),
-                6,
-            ).alias("cosine"),
+    crows = spark.table(idx_table).select(
+        "cluster",
+        F.lit("c").alias("role"),
+        "vec_id",
+        F.col("emb").cast("array<double>").alias("embedding"),
+    )
+
+    def list_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qa = pdf[pdf["role"] == "q"]
+        cb = pdf[pdf["role"] == "c"]
+        empty = pd.DataFrame(
+            {
+                "a_id": pd.Series(dtype="int64"),
+                "b_id": pd.Series(dtype="int64"),
+                "cosine_raw": pd.Series(dtype="float64"),
+            }
         )
+        if len(qa) == 0 or len(cb) == 0:
+            return empty
+        ids_q = qa["vec_id"].to_numpy(dtype="int64")
+        ids_c = cb["vec_id"].to_numpy(dtype="int64")
+        mq = np.array(list(qa["embedding"]), dtype="float64")
+        mc = np.array(list(cb["embedding"]), dtype="float64")
+        nq = np.sqrt((mq * mq).sum(axis=1))
+        nc = np.sqrt((mc * mc).sum(axis=1))
+        denom = np.outer(nq, nc)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (mq @ mc.T) / denom
+        sims = np.where(ids_q[:, None] == ids_c[None, :], -np.inf, sims)
+        keep = min(KNN_GRAPH_K, sims.shape[1])
+        # local selection under the GLOBAL comparator (rounded desc, id
+        # asc) — the ss_knn_graph exactness argument: a per-list top-K
+        # prefix of the global order composes into the global top-K
+        order_c = np.argsort(ids_c)
+        sims = sims[:, order_c]
+        ids_c_sorted = ids_c[order_c]
+        qsims = np.floor(np.abs(sims) * 1e6 + 0.5) * np.sign(sims)
+        part = np.argsort(-qsims, axis=1, kind="stable")[:, :keep]
+        rows = np.repeat(ids_q, keep)
+        cols = ids_c_sorted[part].ravel()
+        vals = np.take_along_axis(sims, part, axis=1).ravel()
+        ok = vals > -np.inf
+        return pd.DataFrame(
+            {"a_id": rows[ok], "b_id": cols[ok], "cosine_raw": vals[ok]}
+        )
+
+    scored = (
+        qrows.unionByName(crows)
+        .groupBy("cluster")
+        .applyInPandas(list_topk, "a_id long, b_id long, cosine_raw double")
     )
+    raw = F.col("cosine_raw")
     w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
     return (
-        scored.withColumn("nbr_rank", F.row_number().over(w).cast("long"))
+        scored.select(
+            "a_id",
+            "b_id",
+            F.round(F.when(F.isnan(raw), None).otherwise(raw), 6).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("nbr_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("nbr_rank") <= KNN_GRAPH_K)
         .select("a_id", "nbr_rank", "b_id", "cosine")
         .orderBy("a_id", "nbr_rank")
@@ -3556,4 +3606,202 @@ def ss_cluster_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(n_vecs * k * {BAL_PPM}) DIV n").alias("load_vs_even_ppm"),
         )
         .orderBy("cluster")
+    )
+
+
+# --- PQ reconstruction-distortion report ------------------------------------------
+
+
+def _pq_distortion_oracle() -> str:
+    errs = " UNION ALL ".join(
+        f"""SELECT CAST({s} AS BIGINT) AS subspace, a.vec_id,
+               {_km_dist_sql("a.x", "cb.m")} AS sqerr
+        FROM a{s}_{KM_ITERS} a JOIN cb{s} cb ON cb.j = a.cluster"""
+        for s in range(PQ_M)
+    )
+    return f"""
+    WITH {_pq_ctes()},
+    err AS ({errs})
+    SELECT subspace,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(sqerr) AS BIGINT) AS total_sqerr,
+           CAST((SUM(sqerr) * 1000) // COUNT(*) AS BIGINT) AS mean_sqerr_milli
+    FROM err GROUP BY subspace ORDER BY subspace
+    """
+
+
+@register(
+    "ss_pq_distortion_report",
+    oracle=_pq_distortion_oracle(),
+    tags=("similarity", "pq", "quantization", "diagnostics"),
+)
+def ss_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction-distortion report: per sub-space, the summed and
+    mean squared quantization error between each vector's sub-vector and
+    its assigned codeword — THE acceptance metric for a product
+    quantizer (Jégou et al. §IV measure exactly this): distortion decides
+    whether PQ_M/PQ_KS give acceptable recall BEFORE anything is served,
+    and a sub-space whose distortion towers over the rest is the one
+    whose dimensions need a rotation (OPQ) or more codewords.
+
+    Exactness: errors are exact int64 squared distances on the KM_SCALE
+    fixed-point grid (the same arithmetic the trainer minimizes), means
+    are integer milli via truncating division, and the oracle replays the
+    identical per-sub-space trainings.
+
+    Plan shape (100 TB): codebooks train exactly as ss_pq_adc_topk
+    (combiner passes, O(PQ_M·PQ_KS·SUBDIM) driver state); the report is
+    ONE additional Arrow pass emitting per-partition (subspace, count,
+    error-sum) partials — PQ_M rows per partition, map-side combined,
+    nothing vector-sized shuffles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vfix = _km_fixed_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    books = _pq_train(vfix)
+    mats = [
+        (np.array([j for j, _ in bk], dtype=np.int64),
+         np.array([m for _, m in bk], dtype=np.int64))
+        for bk in books
+    ]
+
+    def partials(batches):
+        cnt = np.zeros(PQ_M, dtype=np.int64)
+        tot = np.zeros(PQ_M, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["x"].to_numpy()).astype(np.int64)
+            for s, (_ids, M) in enumerate(mats):
+                Xs = X[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                d = (
+                    (Xs * Xs).sum(axis=1)[:, None]
+                    - 2 * (Xs @ M.T)
+                    + (M * M).sum(axis=1)[None, :]
+                )
+                dm = d.min(axis=1)
+                cnt[s] += len(Xs)
+                tot[s] += int(dm.sum())
+        yield pd.DataFrame(
+            {
+                "subspace": np.arange(PQ_M, dtype=np.int64),
+                "cnt": cnt,
+                "tot": tot,
+            }
+        )
+
+    part = vfix.select("x").mapInPandas(
+        partials, schema="subspace long, cnt long, tot long"
+    )
+    return (
+        part.groupBy("subspace")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_vecs"),
+            F.sum("tot").cast("long").alias("total_sqerr"),
+        )
+        .select(
+            "subspace",
+            "n_vecs",
+            "total_sqerr",
+            F.expr("(total_sqerr * 1000) DIV n_vecs").alias(
+                "mean_sqerr_milli"
+            ),
+        )
+        .orderBy("subspace")
+    )
+
+
+# --- Hamming-shortlist recall report ----------------------------------------------
+
+
+@register(
+    "ss_hamming_recall_report",
+    oracle=f"""
+    WITH {SQL_V},
+    w AS (
+        SELECT vec_id,
+               CAST({_sql_sign_word(0)} AS BIGINT) AS w_lo,
+               CAST({_sql_sign_word(HAM_WORD_BITS)} AS BIGINT) AS w_hi
+        FROM embeddings
+    ),
+    qw AS (SELECT * FROM w WHERE vec_id < {N_QUERIES}),
+    ham AS (
+        SELECT qw.vec_id AS q_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qw.vec_id
+                   ORDER BY bit_count(xor(qw.w_lo, c.w_lo))
+                            + bit_count(xor(qw.w_hi, c.w_hi)), c.vec_id
+               ) AS hrank
+        FROM qw JOIN w c ON c.vec_id != qw.vec_id
+    ),
+    approx AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT h.q_id, h.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY h.q_id
+                       ORDER BY ROUND({SQL_COS.format(a="vq", b="vc")}, 6) DESC,
+                                h.neighbor_id
+                   ) AS rank
+            FROM ham h
+            JOIN v vq ON vq.vec_id = h.q_id
+            JOIN v vc ON vc.vec_id = h.neighbor_id
+            WHERE h.hrank <= {HAM_SHORTLIST}
+        ) WHERE rank <= {TOP_K}
+    ),
+    exact AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND({SQL_COS.format(a="q", b="c")}, 6) DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM v q JOIN v c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT e.q_id,
+           COUNT(*) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           (COUNT(a.neighbor_id) * 1000000) // COUNT(*) AS recall_ppm
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """,
+    tags=("similarity", "ann", "quantization", "recall"),
+)
+def ss_hamming_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the binary-quantized Hamming shortlist+rerank
+    against the exact cosine top-{TOP_K}, per query — the measured answer
+    to "is a 32× smaller index good enough", companion to
+    ss_ann_recall_report (which measures the IVF probe the same way).
+    Composes the two registered pipelines verbatim, so the number being
+    reported is the number being served.
+
+    Plan shape (100 TB): both sides are broadcast-queries scans; the
+    recall join touches N_QUERIES·TOP_K rows. The exact side is the
+    priced ground truth (bounded N_QUERIES for that reason, the
+    ss_ivf_nprobe_sweep adjudication).
+    """
+    approx = ss_binary_quantize_hamming(spark, sf_dir).select(
+        "q_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    exact = ss_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        exact.join(approx, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "q_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(n_hits * 1000000) DIV n_exact").alias("recall_ppm"),
+        )
+        .orderBy("q_id")
     )

@@ -2237,3 +2237,87 @@ def fx_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+# --- exact equi-depth histogram (ANALYZE-style column statistics) --------------
+
+EQD_BUCKETS = 10
+
+
+@register(
+    "fx_equidepth_histogram",
+    oracle=f"""
+    WITH r AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                            o_orderkey
+               ) AS rk,
+               COUNT(*) OVER () AS n
+        FROM orders
+    )
+    SELECT (rk - 1) * {EQD_BUCKETS} // n AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM r GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("functions", "statistics", "histogram"),
+)
+def fx_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (equi-height) histogram of order totals — the
+    column statistic an ANALYZE TABLE collects for optimizer selectivity
+    (equi-depth beats equi-width wherever the distribution is skewed,
+    which is always). Bucket of a row = floor((rank−1)·B / n) over the
+    global (cents, key) order; output is each bucket's row count and
+    [lo, hi] cent bounds.
+
+    The oracle is the naive formulation — one global ROW_NUMBER, which on
+    a cluster funnels every row through a single task. The Spark plan
+    computes the IDENTICAL ranks with the two-level decomposition
+    (tx_epoch_order's pattern): a row_number per distinct VALUE group
+    (parallel, partitioned by cents) plus an exclusive running sum of
+    value-group counts — a relation bounded by distinct prices, not rows
+    — broadcast back; rank = group_offset + tie_rank. The driver's
+    value-hash check proves the decomposition exact, which is the point
+    of registering it.
+
+    Plan shape (100 TB): one map-side-combined count per distinct value,
+    one bounded running-sum window, one parallel per-value window, one
+    final bucket agg. No global sort, no single-partition exchange on
+    the row relation.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    vg = o.groupBy("cents").agg(F.count("*").alias("cnt"))
+    woff = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = vg.select(
+        "cents",
+        (F.sum("cnt").over(woff) - F.col("cnt")).alias("offset"),
+    )
+    n_total = o.agg(F.count("*").alias("n"))
+    wtie = Window.partitionBy("cents").orderBy("o_orderkey")
+    ranked = (
+        o.withColumn("tie", F.row_number().over(wtie))
+        .join(F.broadcast(offsets), "cents")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "cents",
+            F.expr(f"((offset + tie - 1) * {EQD_BUCKETS}) DIV n").alias(
+                "bucket"
+            ),
+        )
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )

@@ -186,3 +186,220 @@ def test_er_linkage_matches_quadratic_model(
         for r in dd_er_linkage_score(spark, path).collect()
     ]
     assert got == _model_er(rows)
+
+
+# --- batch-4 property tests: models over random inputs ---------------------------
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero division — the cross-engine DIV/`//` pair."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _write_orders_prices(spark, path, cents_list):
+    df = spark.createDataFrame(
+        [(i + 1, float(c) / 100.0) for i, c in enumerate(cents_list)],
+        "o_orderkey long, o_totalprice double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+
+def _model_equidepth(cents_list, buckets):
+    rows = sorted((c, k + 1) for k, c in enumerate(cents_list))
+    n = len(rows)
+    out = {}
+    for rk, (c, _) in enumerate(rows, start=1):
+        b = (rk - 1) * buckets // n
+        lo, hi, cnt = out.get(b, (c, c, 0))
+        out[b] = (min(lo, c), max(hi, c), cnt + 1)
+    return [
+        (b, cnt, lo, hi) for b, (lo, hi, cnt) in sorted(out.items())
+    ]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=40),  # heavy ties on purpose
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_equidepth_histogram_matches_model(spark, tmp_path_factory, cents):
+    """The two-level rank decomposition (value-group offsets + tie ranks)
+    must equal the naive global ROW_NUMBER bucketing on tie-heavy data —
+    the structure the fixed corpus never stresses."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries.functions_surface import (
+        EQD_BUCKETS,
+        fx_equidepth_histogram,
+    )
+
+    path = str(tmp_path_factory.mktemp("eqd"))
+    _write_orders_prices(spark, path, cents)
+    got = [
+        (r["bucket"], r["n_rows"], r["lo_cents"], r["hi_cents"])
+        for r in fx_equidepth_histogram(spark, path).collect()
+    ]
+    assert got == _model_equidepth(cents, EQD_BUCKETS)
+
+
+def _write_events_values(spark, path, rows):
+    import datetime as dt
+
+    epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                epoch + dt.timedelta(hours=h, minutes=i % 13),
+                i % 3,
+                etype,
+                float(cents) / 100.0,
+                "{}",
+            )
+            for i, (etype, h, cents) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def _model_theil_sen(rows, scale):
+    hourly = {}
+    base = 473385600  # 2024-01-01 epoch hours (1704067200 s / 3600)
+    for etype, h, cents in rows:
+        key = (etype, base + h)
+        hourly[key] = hourly.get(key, 0) + cents
+    by_type = {}
+    for (etype, h), y in hourly.items():
+        by_type.setdefault(etype, []).append((h, y))
+    out = []
+    for etype, pts in sorted(by_type.items()):
+        pts.sort()
+        slopes = sorted(
+            (_tdiv((y2 - y1) * scale, h2 - h1), h1, h2)
+            for (h1, y1), (h2, y2) in itertools.combinations(pts, 2)
+        )
+        if not slopes:
+            continue
+        med = slopes[(len(slopes) + 1) // 2 - 1][0]
+        out.append((etype, len(pts), len(slopes), med))
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["click", "purchase"]),
+            st.integers(min_value=0, max_value=20),  # hour offset
+            st.integers(min_value=-500, max_value=500),  # value cents
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_theil_sen_matches_model(spark, tmp_path_factory, rows):
+    """Rank-picked median pairwise slope vs a Python model, including
+    NEGATIVE slopes (the truncating-division direction the fixed corpus
+    rarely exercises) and tie-heavy hours."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.rollup import (
+        TS_SLOPE_SCALE,
+        ht_theil_sen_slope,
+    )
+
+    path = str(tmp_path_factory.mktemp("tsen"))
+    _write_events_values(spark, path, rows)
+    got = [
+        (r["event_type"], r["n_points"], r["n_pairs"], r["ts_slope_micro"])
+        for r in ht_theil_sen_slope(spark, path).collect()
+    ]
+    assert got == _model_theil_sen(rows, TS_SLOPE_SCALE)
+
+
+def _write_coservice_graph(spark, path, edges):
+    """Synthesize orders+lineitem so the January co-service graph equals
+    ``edges`` (each undirected edge realized by one shared order)."""
+    import datetime as dt
+
+    orders, lineitems = [], []
+    for i, (u, v) in enumerate(edges):
+        ok = i + 1
+        orders.append((ok, dt.datetime(1995, 1, 2 + (i % 20))))
+        lineitems.append((ok, u))
+        lineitems.append((ok, v))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    spark.createDataFrame(
+        lineitems, "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+
+
+def _model_bfs(edges, seed_mod, max_hops):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {n: 0 for n in adj if n % seed_mod == 0}
+    frontier = set(dist)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj[n]:
+                if m not in dist:
+                    nxt.add(m)
+        for m in nxt:
+            dist[m] = h
+        frontier = nxt
+        if not frontier:
+            break
+    return sorted(dist.items())
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_bfs_distance_matches_model(spark, tmp_path_factory, edges):
+    """Frontier BFS vs a Python layer-by-layer model on random graphs —
+    chains, cycles, and disconnected pieces the near-clique co-service
+    fixture never produces."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.graph import (
+        BFS_MAX_HOPS,
+        BFS_SEED_MOD,
+        gr_bfs_distance,
+    )
+
+    path = str(tmp_path_factory.mktemp("bfs"))
+    _write_coservice_graph(spark, path, edges)
+    want = _model_bfs(
+        [tuple(sorted(e)) for e in edges], BFS_SEED_MOD, BFS_MAX_HOPS
+    )
+    if not want:  # no seed node in this random graph — operator returns empty
+        got = gr_bfs_distance(spark, path).collect()
+        assert got == []
+        return
+    got = [(r["node"], r["dist"]) for r in gr_bfs_distance(spark, path).collect()]
+    assert got == want
