@@ -187,6 +187,8 @@ HEADLINE = [
     "dd_segment_attribution",
     "ss_pq_distortion_report",
     "ss_hamming_recall_report",
+    "wf_locf_forward_fill",
+    "tw_dau_stickiness",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

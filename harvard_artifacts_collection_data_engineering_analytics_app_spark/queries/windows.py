@@ -1134,3 +1134,139 @@ def tw_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- last-observation-carried-forward (LOCF) ------------------------------------
+
+LOCF_USERS_LT = 40  # bounded output slice for the value check
+
+
+@register(
+    "wf_locf_forward_fill",
+    oracle=f"""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ROUND(value * 100) AS BIGINT) END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS carried_cents
+    FROM events
+    WHERE user_id < {LOCF_USERS_LT}
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "locf", "imputation"),
+)
+def wf_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: every event carries the user's
+    most recent PURCHASE value forward in event-time — the standard
+    imputation/state-propagation window (sensor gap fill, "price at time
+    of click", sessionless attribute carry) expressed as an ignore-nulls
+    running last_value. NULL before a user's first purchase, by
+    definition; values are integer cents; ordering ties break on
+    event_id so both engines walk identical frames.
+
+    Plan shape (100 TB): ONE user-partitioned running window (no
+    self-join, no as-of join) — the frame is running, so window state is
+    a single value per partition, and the user_id shuffle is the same
+    exchange every per-user operator already pays. ht_gap_fill fills a
+    time GRID; this fills the raw event sequence, which is why both
+    exist.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < LOCF_USERS_LT)
+    pc = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.last(pc, ignorenulls=True).over(w).alias("carried_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --- DAU/MAU stickiness ratio ----------------------------------------------------
+
+
+@register(
+    "tw_dau_stickiness",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grid AS (SELECT DISTINCT d FROM ud),
+    exploded AS (
+        SELECT user_id,
+               CAST(d + off * INTERVAL 1 DAY AS DATE) AS day,
+               off
+        FROM ud CROSS JOIN (
+            SELECT UNNEST(range(0, {AU_MAU_DAYS})) AS off
+        )
+    ),
+    per_user_day AS (
+        SELECT day, user_id, MIN(off) AS min_off
+        FROM exploded GROUP BY day, user_id
+    ),
+    tiers AS (
+        SELECT p.day,
+               CAST(SUM(CASE WHEN min_off = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dau,
+               COUNT(*) AS mau
+        FROM per_user_day p
+        JOIN grid ON grid.d = p.day
+        GROUP BY p.day
+    )
+    SELECT day, dau, mau, (dau * 1000000) // mau AS stickiness_ppm
+    FROM tiers ORDER BY day
+    """,
+    tags=("timewindow", "active-users", "stickiness"),
+)
+def tw_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement ratio product teams
+    track next to the active-user tiers ("what fraction of the monthly
+    audience shows up on a given day"), on the same trailing-28-day
+    definition as tw_rolling_active_users and the same bounded-explode
+    rewrite (each (user, day) fans out to the ≤28 days it keeps active;
+    MIN(offset) per (day, user) yields every tier in one aggregate — no
+    28× re-scan, no per-day distinct state). The ratio is integer ppm
+    via the cross-engine truncating division.
+    """
+    ensure_analytics_conf(spark)
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    grid = ud.select("d").distinct()
+    exploded = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(AU_MAU_DAYS - 1))).alias("off"),
+        "d",
+    ).select("user_id", F.expr("date_add(d, off)").alias("day"), "off")
+    per_user_day = exploded.groupBy("day", "user_id").agg(
+        F.min("off").alias("min_off")
+    )
+    tiers = (
+        per_user_day.join(grid, per_user_day["day"] == grid["d"])
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("min_off") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("dau"),
+            F.count("*").alias("mau"),
+        )
+    )
+    return tiers.select(
+        "day",
+        "dau",
+        "mau",
+        F.expr("(dau * 1000000) DIV mau").alias("stickiness_ppm"),
+    ).orderBy("day")
