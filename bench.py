@@ -189,6 +189,9 @@ HEADLINE = [
     "ss_hamming_recall_report",
     "wf_locf_forward_fill",
     "tw_dau_stickiness",
+    "gr_pagerank_convergence",
+    "tx_langid_confusion",
+    "tw_session_duration_histogram",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -2755,3 +2755,64 @@ def tx_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         | (F.col("kw_hits") >= CODE_KW_MIN),
     )
+
+
+# --- language-ID evaluation (confusion matrix) --------------------------------------
+
+
+@register(
+    "tx_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {", ".join(f"{_sql_lang_score(lang)} AS score_{lang}" for lang in T.LANG_ORDER)}
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang, {_sql_lang_case()} AS pred_lang FROM scored
+    ),
+    tot AS (SELECT lang, COUNT(*) AS n_lang FROM pred GROUP BY lang)
+    SELECT p.lang, p.pred_lang,
+           COUNT(*) AS n_docs,
+           (COUNT(*) * 1000000) // MAX(t.n_lang) AS share_of_true_ppm,
+           p.lang = p.pred_lang AS is_correct
+    FROM pred p JOIN tot t USING (lang)
+    GROUP BY p.lang, p.pred_lang
+    ORDER BY p.lang, p.pred_lang
+    """,
+    tags=("text", "langid", "evaluation"),
+)
+def tx_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the corpus's labeled ``lang``
+    column: per (true, predicted) cell, document count and share of the
+    true language in integer ppm — the classifier-evaluation report that
+    turns tx_lang_id from a prediction into a measured pipeline stage
+    (a cell off the diagonal growing round-over-round is how stopword
+    drift or a new domain shows up).
+
+    Same stopword-vote predictor and deterministic argmax tie-break as
+    tx_lang_id (shared expression generators on both engines), so the
+    matrix scores exactly what the pipeline runs.
+
+    Plan shape (100 TB): one scan computing the per-language scores, one
+    map-side-combined (lang, pred) count — confusion cells are
+    |langs|², a constant; the per-true-language totals broadcast back.
+    """
+    d = _t(spark, sf_dir, "documents")
+    pred = d.select("lang", T.lang_id("text").alias("pred_lang"))
+    tot = pred.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.expr("(n_docs * 1000000) DIV n_lang").alias(
+                "share_of_true_ppm"
+            ),
+            (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
+        )
+        .orderBy("lang", "pred_lang")
+    )

@@ -29,7 +29,9 @@ PR_ROUNDS = 3
 PR_TOP = 20
 
 
-def _pr_oracle() -> str:
+def _pr_ctes() -> list[str]:
+    """The p0..p{PR_ROUNDS} chained-CTE PageRank replay — composable so
+    gr_pagerank_convergence can difference consecutive rounds."""
     base = f"(3 * {PR_SCALE} // 20) // nn.n"  # floor(0.15 * SCALE) / n
     ctes = [
         """raw AS (
@@ -58,9 +60,13 @@ def _pr_oracle() -> str:
         GROUP BY e.dst, nn.n
     )"""
         )
+    return ctes
+
+
+def _pr_oracle() -> str:
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_pr_ctes())
         + f"""
     SELECT node, p FROM p{PR_ROUNDS}
     ORDER BY p DESC, node LIMIT {PR_TOP}
@@ -1875,4 +1881,103 @@ def gr_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = new
     return known.select("node", F.col("d").cast("long").alias("dist")).orderBy(
         "node"
+    )
+
+
+# --- PageRank convergence diagnostic ---------------------------------------------
+
+PR_CONV_EPS = PR_SCALE // 1_000_000  # "converged" = |Δp| ≤ 1e-6 of total mass
+
+
+@register(
+    "gr_pagerank_convergence",
+    oracle=f"""
+    WITH {{pr_ctes}},
+    delta AS (
+        SELECT a.node, abs(a.p - b.p) AS d
+        FROM p{PR_ROUNDS} a JOIN p{PR_ROUNDS - 1} b USING (node)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(d) AS BIGINT) AS l1_residual,
+           CAST(MAX(d) AS BIGINT) AS max_residual,
+           (COUNT(*) FILTER (WHERE d <= {PR_CONV_EPS}) * 1000000) // COUNT(*)
+               AS converged_ppm
+    FROM delta
+    """.replace("{pr_ctes}", ",\n    ".join(_pr_ctes())),
+    tags=("graph", "pagerank", "convergence", "diagnostics"),
+)
+def gr_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank convergence report: the L1/L∞ residual between the last
+    two iterations and the fraction of nodes whose rank moved ≤1e-6 of
+    total mass — the stopping-criterion diagnostic every iterative graph
+    job needs (fixed round counts are a budget, not a proof; this row
+    says whether the budget sufficed, and at 100 TB it is what decides
+    "run two more rounds" without anyone eyeballing rank dumps).
+
+    Ranks live on gr_pagerank's exact 1e12 integer grid, so residuals
+    are exact BIGINTs and both engines difference identical trajectories
+    (the oracle replays the chained-CTE rounds and joins the last two).
+
+    Plan shape (100 TB): identical to gr_pagerank through round R−1, one
+    extra |V|-row equi-join (node-partitioned, same key as the rank
+    relation already shuffles on) and a scalar aggregate. Rank state
+    never leaves the executors.
+    """
+    ensure_analytics_conf(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    rev = raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    e = raw.unionByName(rev)
+    deg = e.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
+    edges = e.join(deg, "src").localCheckpoint(eager=True)
+    n_nodes = edges.select(F.countDistinct("src")).collect()[0][0]
+    base = (3 * PR_SCALE // 20) // n_nodes
+
+    p = (
+        edges.select("src")
+        .distinct()
+        .select("src", F.lit(PR_SCALE // n_nodes).cast("long").alias("p"))
+    )
+    prev = p
+    for _ in range(PR_ROUNDS):
+        prev = p
+        ranks = p.select(F.col("src").alias("node"), "p").alias("P")
+        p = (
+            edges.alias("E")
+            .join(ranks, F.col("E.src") == F.col("P.node"))
+            .groupBy(F.col("E.dst").alias("nxt"))
+            .agg(
+                (
+                    F.lit(base)
+                    + F.expr("(85 * SUM((P.p * E.w) DIV E.outw)) DIV 100")
+                )
+                .cast("long")
+                .alias("p")
+            )
+            .select(F.col("nxt").alias("src"), "p")
+            .localCheckpoint(eager=True)
+        )
+    delta = (
+        p.select(F.col("src").alias("node"), F.col("p").alias("pa"))
+        .join(
+            prev.select(F.col("src").alias("node"), F.col("p").alias("pb")),
+            "node",
+        )
+        .select(F.abs(F.col("pa") - F.col("pb")).alias("d"))
+    )
+    return delta.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("d").cast("long").alias("l1_residual"),
+        F.max("d").cast("long").alias("max_residual"),
+        F.expr(
+            f"(count_if(d <= {PR_CONV_EPS}) * 1000000) DIV count(*)"
+        ).alias("converged_ppm"),
     )

@@ -1270,3 +1270,113 @@ def tw_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         F.expr("(dau * 1000000) DIV mau").alias("stickiness_ppm"),
     ).orderBy("day")
+
+
+# --- session-duration histogram --------------------------------------------------
+
+SESS_HIST_BIN_MIN = 10  # histogram bin width (minutes)
+SESS_HIST_MAX_BIN = 6  # 60+ minutes clamp into the last bin
+
+
+@register(
+    "tw_session_duration_histogram",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    )) > {{GAP}} * 60 * 1000000
+                    OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM g
+    ),
+    sess AS (
+        SELECT user_id, session_no,
+               COUNT(*) AS n_events,
+               (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 60000000
+                   AS duration_min
+        FROM s GROUP BY user_id, session_no
+    )
+    SELECT least(duration_min // {SESS_HIST_BIN_MIN}, {SESS_HIST_MAX_BIN})
+               AS bin,
+           CAST(least(duration_min // {SESS_HIST_BIN_MIN}, {SESS_HIST_MAX_BIN})
+                * {SESS_HIST_BIN_MIN} AS BIGINT) AS bin_lo_min,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events_total
+    FROM sess
+    GROUP BY bin ORDER BY bin
+    """.replace("{GAP}", str(SESSION_GAP_MIN)),
+    tags=("timewindow", "sessionize", "histogram"),
+)
+def tw_session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration histogram over the FULL corpus (all users, not
+    tw_session_ids' bounded slice): sessionize with the shared
+    SESSION_GAP_MIN gap rule, then bin each session's first-to-last-event
+    span into {SESS_HIST_BIN_MIN}-minute buckets (60+ clamped) — the
+    engagement-distribution report sessionization exists to feed, and
+    the sanity check on the gap parameter itself (a spike in bin 0 means
+    the gap is splitting real visits).
+
+    Durations are integer minutes via epoch-microsecond arithmetic under
+    the pinned-UTC session (the cross-engine timestamp convention), so
+    bins are exact on both engines.
+
+    Plan shape (100 TB): two user-partitioned windows (lag + running
+    sum — one shuffle), a (user, session) aggregate on the same keys,
+    and a constant-width histogram agg. Nothing leaves the user
+    partitioning until seven bins remain.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    new_session = F.when(
+        F.lag("ts").over(worder).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(worder))
+            > gap_us
+        ),
+        1,
+    ).otherwise(0)
+    wrun = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(new_session).over(wrun).alias("session_no"),
+    )
+    sess = s.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "(unix_micros(max(ts)) - unix_micros(min(ts))) DIV 60000000"
+        ).alias("duration_min"),
+    )
+    bin_ = F.least(
+        F.expr(f"duration_min DIV {SESS_HIST_BIN_MIN}"),
+        F.lit(SESS_HIST_MAX_BIN).cast("long"),
+    )
+    return (
+        sess.select(bin_.alias("bin"), "n_events")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events_total"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * SESS_HIST_BIN_MIN).cast("long").alias("bin_lo_min"),
+            "n_sessions",
+            "n_events_total",
+        )
+        .orderBy("bin")
+    )
