@@ -41,6 +41,15 @@ ZIPF_CASES = [
     "sk_hot_key_split_join",
     "gr_hits",
     "tx_bm25_search",
+    # round-8 ops whose oracles stay cheap at the 50k-doc variant: the
+    # boilerplate-heavy corpus stresses the readability/code-signal
+    # distributions, the equi-depth rank decomposition meets real value
+    # ties, and Theil-Sen runs over the skewed hourly series
+    "tx_readability",
+    "tx_code_detect",
+    "tx_langid_confusion",
+    "fx_equidepth_histogram",
+    "ht_theil_sen_slope",
 ]
 
 
