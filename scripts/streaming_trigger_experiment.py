@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Adjudicate the streaming sf1 super-linearity with data (judge r8 #3).
+
+Three rounds of SCALE.md have attributed st_topk_per_window's and
+st_quality_filter_count's super-linear sf1 ratios to MICRO-BATCH COUNT
+(maxFilesPerTrigger=1 over a multi-part-file sf1 table → one scheduled
+micro-batch per part file), not data volume. This script proves it once:
+it times both queries at a given sf_dir under
+
+  - trigger=1   (the registered default: one part file per micro-batch)
+  - trigger=all (every part file in ONE micro-batch)
+
+and prints one JSON line per (query, trigger) cell. If the adjudication
+is right, the trigger=all timing collapses toward the batch twin's and
+the ratio between the two configs ≈ the part-file count's scheduling
+overhead — recorded as a SCALE.md row, retiring the adjudication class.
+
+    python scripts/streaming_trigger_experiment.py [sf_dir]
+
+Run it UNCONTENDED (no concurrent Spark jobs) — these numbers feed
+SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/var/sf1"
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries import (  # noqa: E501
+        registry,
+    )
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.session import (  # noqa: E501
+        get_spark,
+    )
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.streaming import (  # noqa: E501
+        pipelines,
+        queries as stq,
+    )
+
+    n_files = max(
+        len(
+            [
+                f
+                for f in os.listdir(os.path.join(sf_dir, "documents.parquet"))
+                if f.endswith(".parquet")
+            ]
+        )
+        if os.path.isdir(os.path.join(sf_dir, "documents.parquet"))
+        else 1,
+        1,
+    )
+    spark = get_spark(app_name="streaming-trigger-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    orig_docs = pipelines.read_documents_stream
+    orig_events = pipelines.read_events_stream
+
+    def patch(mfpt: int) -> None:
+        # st_quality_filter_count imports read_documents_stream from
+        # .pipelines INSIDE its body (call-time lookup) — patch pipelines.
+        # st_topk_per_window binds read_events_stream at queries-module
+        # import — patch the module-level binding too.
+        pipelines.read_documents_stream = (
+            lambda sp, sd, _o=orig_docs, n=mfpt: _o(
+                sp, sd, max_files_per_trigger=n
+            )
+        )
+        patched_events = lambda sp, sd, _o=orig_events, n=mfpt: _o(  # noqa: E731
+            sp, sd, max_files_per_trigger=n
+        )
+        pipelines.read_events_stream = patched_events
+        stq.read_events_stream = patched_events
+
+    specs = registry.all_specs()
+    for qname in ("st_quality_filter_count", "st_topk_per_window"):
+        builder = specs[qname].builder
+        for label, mfpt in (("per-file", 1), ("all-files", 100_000)):
+            patch(mfpt)
+            builder(spark, sf_dir).count()  # warm-up (JIT, listing)
+            t0 = time.perf_counter()
+            builder(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            print(
+                json.dumps(
+                    {
+                        "query": qname,
+                        "trigger": label,
+                        "maxFilesPerTrigger": mfpt,
+                        "sec": round(dt, 3),
+                        "sf_dir": sf_dir,
+                        "doc_part_files": n_files,
+                    }
+                ),
+                flush=True,
+            )
+    pipelines.read_documents_stream = orig_docs
+    pipelines.read_events_stream = orig_events
+    stq.read_events_stream = orig_events
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

