@@ -74,45 +74,48 @@ _PRIORITY: tuple[str, ...] = (
     "rq20_join_agg_topk",
     "flagship_pricing_summary",
     "rq20_preagg_variant",
-    # family keepers (recorded before; aj and wf have NO never-recorded
-    # members left this round, so a previously-recorded keeper holds
-    # their slot in the every-family invariant — rj/sk rotate real
-    # never-recorded members below instead)
+    # family keepers (recorded before; aj, rj and sk have NO
+    # never-recorded members left this round, so a previously-recorded
+    # keeper holds their slot in the every-family invariant — wf's slot
+    # is covered by the never-recorded wf_locf_forward_fill in the
+    # rotation below, so its keeper was released to buy one more
+    # never-recorded slot)
     "aj_purchase_last_click_tol",
-    "wf_running_sum",
-    # --- round-8 rotation: 26 never-recorded queries (standing judge
-    # directive r4 #2 / r5 #2 / r7 #1). Selected family-diverse by
-    # scripts/rotation_suggest.py from the 82-name never-recorded pool
-    # (56 of those remain after this window; round-8 operators register
-    # past slot 50 and join the pool — exhaustion ~round 10-11). The
-    # round-7 window's 26 names are all recorded green in
-    # CORRECTNESS_r07.json. ---
-    "dd_lsh_param_sweep",
-    "fx_weighted_sample",
-    "gr_labelprop_communities",
-    "ht_acf",
-    "mm_frame_extract",
     "rj_scd2_temporal_join",
     "sk_hot_key_split_join",
-    "ss_ivf_persisted_topk",
-    "st_static_enrich",
-    "tw_cohort_retention",
-    "tx_levenshtein",
-    "dd_split_leakage",
-    "fx_snapshot_diff",
-    "gr_bipartite_projection",
-    "ht_rolling_mad_anomaly",
-    "mm_audio_chunks",
-    "ss_ivf_pq_topk",
-    "st_near_dup_ingest",
-    "tw_rolling_active_users",
-    "tx_pii_redact",
-    "dd_bloom_novelty",
-    "fx_quality_checks",
-    "gr_clustering_coeff",
-    "ht_dow_seasonal",
-    "mm_audio_energy",
-    "ss_radius_search",
+    # --- round-9 rotation: 25 never-recorded queries (standing judge
+    # directive r4 #2). The round's marquee operators lead (judge r8 #2:
+    # tx_corpus_build, ss_knn_graph_ivf, gr_modularity jump the queue);
+    # the rest selected family-diverse by scripts/rotation_suggest.py
+    # from the 78-name never-recorded pool (53 remain after this window;
+    # round-9 operators register past slot 50 and join the pool). The
+    # round-8 window's 26 names are all recorded green in
+    # CORRECTNESS_r08.json. ---
+    "tx_corpus_build",
+    "ss_knn_graph_ivf",
+    "gr_modularity",
+    "dd_er_linkage_score",
+    "fx_benford_digits",
+    "gr_assortativity",
+    "ht_theil_sen_slope",
+    "mm_keyframe_select",
+    "ss_mrl_rerank_topk",
+    "st_topk_per_window",
+    "tw_event_transitions",
+    "tx_sentences_udtf",
+    "wf_locf_forward_fill",
+    "dd_minhash_jaccard_calibration",
+    "fx_mad_outliers",
+    "gr_personalized_pagerank",
+    "mm_patch_grid_plan",
+    "ss_embedding_drift",
+    "st_quality_filter_count",
+    "tw_session_ids",
+    "tx_gopher_quality",
+    "dd_segment_attribution",
+    "fx_entropy_source_mix",
+    "mm_modality_join",
+    "tw_cumulative_uniques",
 )
 
 
