@@ -1527,8 +1527,9 @@ def build_corpus_dedup_index(
     # a managed-table LOCATION can survive a session whose catalog forgot
     # the table (fresh driver session, same cwd) — clear both, else
     # saveAsTable fails with LOCATION_ALREADY_EXISTS
-    from ..catalog import gc_stale_artifacts
+    from ..catalog import gc_stale_artifacts, log_artifact_build
 
+    log_artifact_build(band_table, sig_table)
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for tbl in (band_table, sig_table):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -532,12 +532,22 @@ def event_transitions(events: DataFrame) -> DataFrame:
     )
 
 
-def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
     """File-source stream of the documents table (schema pinned from the
-    batch read — a streaming source must never infer)."""
+    batch read — a streaming source must never infer).
+
+    ``max_files_per_trigger`` mirrors read_events_stream: the default 1
+    exercises the per-micro-batch replay path (many tiny batches — the
+    adversarial ingest shape); scripts/streaming_trigger_experiment.py
+    re-measures with all part files in ONE batch to separate micro-batch
+    scheduling overhead from data volume in the sf1 scale numbers."""
     from ..session import ensure_analytics_conf
 
     ensure_analytics_conf(spark)
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
     return _stream_table(reader, sf_dir, "documents")

@@ -284,14 +284,27 @@ def test_gc_stale_artifacts_drops_superseded_keys(spark, tmp_path):
     # thrash each other's persisted indexes).
     old, new = "gcdemo_idx_feedaaaaaaaa", "gcdemo_idx_feedbbbbbbbb"
     other_sf = "gcdemo_idx_beefcccccccc"
+    # pre-migration pure-content key: its pseudo-"tag" matches no source
+    # dir the new scheme ever minted, so it must be swept, not protected
+    # as "another sf_dir's artifact" (r8 advice — permanent leak).
+    legacy = "gcdemo_idx_0123456789ab"
     unrelated = "gcdemo_other_feeddddddddd"  # different prefix, same tag
-    for t in (old, new, other_sf, unrelated):
+    # the other scale factor's build ran gc at some point IN THE PAST,
+    # registering its tag in the warehouse sidecar — that registration is
+    # what protects its artifacts from the unknown-tag (legacy) sweep
+    spark.sql(f"DROP TABLE IF EXISTS {other_sf}")
+    spark.range(3).write.mode("overwrite").format("parquet").saveAsTable(
+        other_sf
+    )
+    gc_stale_artifacts(spark, other_sf)
+    for t in (old, new, legacy, unrelated):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.range(3).write.mode("overwrite").format("parquet").saveAsTable(t)
     dropped = gc_stale_artifacts(spark, new)
-    assert dropped == [old]
+    assert dropped == [legacy, old]
     assert not spark.catalog.tableExists(old)
     assert not os.path.exists(os.path.join(warehouse, old))
+    assert not spark.catalog.tableExists(legacy)
     # current key, other-sf_dir key, and different-prefix artifact survive
     assert spark.table(new).count() == 3
     assert spark.table(other_sf).count() == 3
