@@ -2816,3 +2816,164 @@ def tx_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pred_lang")
     )
+
+
+# --- boilerplate template detection ----------------------------------------------
+
+TEMPLATE_TOP = 20
+
+
+@register(
+    "tx_template_detect",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[0-9]+', '#', 'g'), '\\s+', ' ', 'g'))) AS template_key
+        FROM documents
+    )
+    SELECT template_key,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(doc_id) AS sample_doc_id
+    FROM t
+    GROUP BY template_key
+    HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, template_key
+    LIMIT {TEMPLATE_TOP}
+    """,
+    tags=("text", "dedup", "boilerplate", "template"),
+)
+def tx_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate TEMPLATE detection — the C4-style cleanup step between
+    exact dedup and near-dup LSH: docs that differ only in numbers or
+    whitespace (order confirmations, log lines, generated pages) collapse
+    to one canonical key (lowercase, digit runs → '#', whitespace runs →
+    one space, md5), and any key with ≥2 docs is a template cluster.
+    Exact dedup misses these (bytes differ); MinHash finds them only when
+    the variable part is a small fraction — the canonicalized hash
+    catches them at exact-dedup cost.
+
+    Plan shape (100 TB): scan-side Catalyst projection (lower /
+    regexp_replace / md5 — all codegen'd, no UDF) followed by ONE
+    hash-key aggregation; identical shuffle profile to exact dedup's
+    md5-keyed groupBy. Top-k via TakeOrderedAndProject.
+    """
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    return (
+        d.select(key.alias("template_key"), "source", "doc_id")
+        .groupBy("template_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("sample_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("template_key"))
+        .limit(TEMPLATE_TOP)
+    )
+
+
+# --- Heaps-law vocabulary growth ---------------------------------------------------
+
+HEAPS_DECILES = 10
+
+
+@register(
+    "tx_vocab_growth_heaps",
+    oracle=f"""
+    WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+    dec AS (
+        SELECT CAST(d AS BIGINT) AS decile,
+               lo + ((hi - lo + 1) * d) // {HEAPS_DECILES} AS cut
+        FROM b, range(1, {HEAPS_DECILES} + 1) t(d)
+    ),
+    dt AS (
+        SELECT doc_id, CAST(len({SQL_TOKENS}) AS BIGINT) AS tc
+        FROM documents
+    ),
+    firsts AS (
+        SELECT tok, MIN(doc_id) AS fd FROM (
+            SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents
+        ) GROUP BY tok
+    ),
+    cum AS (
+        SELECT dec.decile,
+               COUNT(*) AS docs_cum,
+               CAST(SUM(dt.tc) AS BIGINT) AS tokens_cum
+        FROM dec JOIN dt ON dt.doc_id < dec.cut
+        GROUP BY dec.decile
+    ),
+    voc AS (
+        SELECT dec.decile, COUNT(*) AS vocab_cum
+        FROM dec JOIN firsts ON firsts.fd < dec.cut
+        GROUP BY dec.decile
+    )
+    SELECT cum.decile, docs_cum, tokens_cum, vocab_cum
+    FROM cum JOIN voc USING (decile)
+    ORDER BY decile
+    """,
+    tags=("text", "vocabulary", "heaps-law", "corpus-diagnostics"),
+)
+def tx_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative document, token and
+    DISTINCT-vocabulary counts at ten id-range checkpoints of the corpus.
+    The sub-linear bend of vocab_cum vs tokens_cum (V ≈ K·nᵝ) is the
+    standard diagnostic for tokenizer sizing and for spotting synthetic /
+    templated corpora (whose vocabulary saturates abnormally fast).
+
+    Exactness: checkpoints partition the doc_id VALUE range (lo + ⌈range
+    fraction⌉ via integer DIV — the cross-engine truncating pair), so no
+    global row-number sort is needed; "cumulative distinct" is computed
+    from each token's FIRST-occurrence doc id — count(tokens with
+    first_doc < cut) — turning a prefix-distinct (quadratic or
+    sort-dependent) into one groupBy(token).min + a 10-row broadcast
+    join.
+
+    Plan shape (100 TB): one explode + map-side-combined min per token
+    (the vocab relation is the only corpus-scaled shuffle — same cost
+    class as tf-idf's document-frequency pass); both checkpoint joins
+    broadcast a 10-row constant relation and aggregate map-side. No
+    window over a single global partition anywhere.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens("text").alias("toks")
+    )
+    b = d.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    lo, hi = int(b["lo"]), int(b["hi"])
+    cuts = [
+        (dd, lo + ((hi - lo + 1) * dd) // HEAPS_DECILES)
+        for dd in range(1, HEAPS_DECILES + 1)
+    ]
+    dec = spark.createDataFrame(cuts, schema="decile long, cut long")
+    dt = d.select("doc_id", F.size("toks").cast("long").alias("tc"))
+    cum = (
+        dt.join(F.broadcast(dec), dt["doc_id"] < dec["cut"])
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("docs_cum"),
+            F.sum("tc").cast("long").alias("tokens_cum"),
+        )
+    )
+    firsts = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    voc = (
+        firsts.join(F.broadcast(dec), F.col("fd") < F.col("cut"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("vocab_cum"))
+    )
+    return cum.join(voc, "decile").orderBy("decile")

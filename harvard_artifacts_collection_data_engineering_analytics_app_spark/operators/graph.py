@@ -97,6 +97,24 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     term is needed and the integer mass argument stays simple:
     p ≤ SCALE, w ≤ W ⇒ every product stays far below 2⁶³.
     """
+    _, p = _pagerank_trajectory(spark, sf_dir)
+    return (
+        p.select(F.col("src").alias("node"), "p")
+        .orderBy(F.desc("p"), F.asc("node"))
+        .limit(PR_TOP)
+    )
+
+
+def _pagerank_trajectory(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared edge-build + damped integer power iteration behind BOTH
+    gr_pagerank and gr_pagerank_convergence (ADVICE r8: a private copy in
+    the convergence op would silently desynchronize the diagnostic from
+    the ranks it claims to diagnose — same factoring as _coservice_lpa).
+    Returns ``(p_prev, p_final)``: the rank relations (src, p) after
+    rounds PR_ROUNDS−1 and PR_ROUNDS, both on the exact PR_SCALE integer
+    grid and both eagerly checkpointed."""
     ensure_analytics_conf(spark)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -131,7 +149,9 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("src", F.lit(PR_SCALE // n_nodes).cast("long").alias("p"))
     )
+    prev = p
     for _ in range(PR_ROUNDS):
+        prev = p
         # Qualified aliases keep the self-referential join resolvable, and
         # the out-degree column is 'outw' rather than the conventional 'W'
         # because Spark SQL name resolution is case-INSENSITIVE: `E.w`
@@ -152,11 +172,7 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("nxt").alias("src"), "p")
             .localCheckpoint(eager=True)
         )
-    return (
-        p.select(F.col("src").alias("node"), "p")
-        .orderBy(F.desc("p"), F.asc("node"))
-        .limit(PR_TOP)
-    )
+    return prev, p
 
 
 TRI_TOP = 20
@@ -1923,48 +1939,7 @@ def gr_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation already shuffles on) and a scalar aggregate. Rank state
     never leaves the executors.
     """
-    ensure_analytics_conf(spark)
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    raw = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .agg(F.count("*").alias("w"))
-    )
-    rev = raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    e = raw.unionByName(rev)
-    deg = e.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
-    edges = e.join(deg, "src").localCheckpoint(eager=True)
-    n_nodes = edges.select(F.countDistinct("src")).collect()[0][0]
-    base = (3 * PR_SCALE // 20) // n_nodes
-
-    p = (
-        edges.select("src")
-        .distinct()
-        .select("src", F.lit(PR_SCALE // n_nodes).cast("long").alias("p"))
-    )
-    prev = p
-    for _ in range(PR_ROUNDS):
-        prev = p
-        ranks = p.select(F.col("src").alias("node"), "p").alias("P")
-        p = (
-            edges.alias("E")
-            .join(ranks, F.col("E.src") == F.col("P.node"))
-            .groupBy(F.col("E.dst").alias("nxt"))
-            .agg(
-                (
-                    F.lit(base)
-                    + F.expr("(85 * SUM((P.p * E.w) DIV E.outw)) DIV 100")
-                )
-                .cast("long")
-                .alias("p")
-            )
-            .select(F.col("nxt").alias("src"), "p")
-            .localCheckpoint(eager=True)
-        )
+    prev, p = _pagerank_trajectory(spark, sf_dir)
     delta = (
         p.select(F.col("src").alias("node"), F.col("p").alias("pa"))
         .join(
@@ -1980,4 +1955,66 @@ def gr_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"(count_if(d <= {PR_CONV_EPS}) * 1000000) DIV count(*)"
         ).alias("converged_ppm"),
+    )
+
+
+# --- two-hop reach (friends-of-friends) ---------------------------------------------
+
+REACH_TOP = 20
+
+
+@register(
+    "gr_two_hop_reach",
+    oracle=f"""
+    WITH {_tri_ctes()},
+    two AS (
+        SELECT p.x AS u, q.y AS w
+        FROM sym p JOIN sym q ON p.y = q.x
+        WHERE p.x != q.y
+    ),
+    reach AS (
+        SELECT u, w FROM two
+        UNION
+        SELECT x AS u, y AS w FROM sym
+    )
+    SELECT u AS node, COUNT(*) AS reach2
+    FROM reach GROUP BY u
+    ORDER BY reach2 DESC, node
+    LIMIT {REACH_TOP}
+    """,
+    tags=("graph", "two-hop", "reach"),
+)
+def gr_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach per node — |N(u) ∪ N²(u)|, the distinct suppliers
+    reachable within two co-service hops on the one-month graph; top-20.
+    The classic audience-estimation / influence-radius primitive
+    (friends-of-friends), and the direct input to "how far does a bad
+    batch propagate in two steps".
+
+    Plan shape (100 TB): one wedge equi-join on the shared middle node
+    (the same join profile as the triangle wedge but WITHOUT needing the
+    closing edge), then a distinct on (u, w) — the dedup shuffle is the
+    dominant exchange and is exactly the |2-hop pair| relation, bounded
+    by the windowed graph's density (the month filter pushes to the
+    orders scan; the graph is built from the filtered fact). Hub middle
+    nodes inflate wedges quadratically in their degree — the AQE
+    skew-join split applies to the wedge join's middle key, and the
+    zipf-variant graph exercises exactly that. Top-k via
+    TakeOrderedAndProject; no driver state.
+    """
+    e, _deg = _co_edges_deg(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    p = sym.select(F.col("x").alias("u"), F.col("y").alias("m"))
+    q = sym.select(F.col("x").alias("m"), F.col("y").alias("w"))
+    two = p.join(q, "m").filter(F.col("u") != F.col("w")).select("u", "w")
+    reach = two.unionByName(
+        sym.select(F.col("x").alias("u"), F.col("y").alias("w"))
+    ).distinct()
+    return (
+        reach.groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").alias("reach2"))
+        .orderBy(F.desc("reach2"), F.asc("node"))
+        .limit(REACH_TOP)
     )

@@ -463,3 +463,81 @@ def sk_hot_key_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name")
     )
+
+
+# --- join-key skew profile -----------------------------------------------------------
+
+
+@register(
+    "sk_join_key_skew_profile",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, k) AS rn FROM c
+    ),
+    t AS (SELECT COUNT(*) AS nk, CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+    SELECT t.nk AS n_keys,
+           t.n AS n_rows,
+           (SELECT MAX(cnt) FROM c) AS max_cnt,
+           (SELECT cnt FROM r WHERE rn = (t.nk + 1) // 2) AS p50_cnt,
+           (SELECT cnt FROM r WHERE rn = (99 * t.nk + 99) // 100) AS p99_cnt,
+           ((SELECT MAX(cnt) FROM c) * 1000000) // (t.n // t.nk)
+               AS max_over_mean_ppm,
+           ((SELECT MAX(cnt) FROM c) * 1000000) // t.n AS top1_share_ppm
+    FROM t
+    """,
+    tags=("skew", "diagnostics", "join-planning"),
+)
+def sk_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of a join key (orders.o_custkey): key count, row
+    count, the hottest key's row count, exact p50/p99 per-key counts,
+    and two planning ratios — max/mean and the top key's share. This is
+    the number the salting/AQE decisions in this family key off: a
+    max_over_mean_ppm in the tens of millions says the unsalted shuffle
+    will strand one reducer with the hub key (the zipf variant's
+    customer distribution is exactly that).
+
+    Exactness: percentiles are RANK-PICKED rows ((n+1)//2, (99n+99)//100
+    — the standing cross-engine rule, never interpolated) over the
+    per-key count relation; ratios use the truncating DIV pair.
+
+    Plan shape (100 TB): the per-key count aggregation is the only
+    corpus-scaled step (map-side combined); the rank window then runs
+    over the |keys| relation — already the reduced cardinality a skew
+    diagnostic inspects, and orders of magnitude smaller than the fact.
+    The profile itself is how a pipeline DECIDES whether the downstream
+    join needs salting before paying for it.
+    """
+    ensure_analytics_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    r = c.withColumn(
+        "rn", F.row_number().over(Window.orderBy("cnt", "k")).cast("long")
+    )
+    t = c.agg(
+        F.count("*").cast("long").alias("nk"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.max("cnt").alias("max_cnt"),
+    ).first()
+    nk, n, max_cnt = int(t["nk"]), int(t["n"]), int(t["max_cnt"])
+    p50 = r.filter(F.col("rn") == (nk + 1) // 2).select("cnt").first()[0]
+    p99 = (
+        r.filter(F.col("rn") == (99 * nk + 99) // 100).select("cnt").first()[0]
+    )
+    return spark.range(1).select(
+        F.lit(nk).cast("long").alias("n_keys"),
+        F.lit(n).cast("long").alias("n_rows"),
+        F.lit(max_cnt).cast("long").alias("max_cnt"),
+        F.lit(int(p50)).cast("long").alias("p50_cnt"),
+        F.lit(int(p99)).cast("long").alias("p99_cnt"),
+        F.lit(max_cnt * 1_000_000 // (n // nk)).cast("long").alias(
+            "max_over_mean_ppm"
+        ),
+        F.lit(max_cnt * 1_000_000 // n).cast("long").alias("top1_share_ppm"),
+    )

@@ -1505,8 +1505,9 @@ def fx_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
         from urllib.parse import urlparse
 
-        from ..catalog import gc_stale_artifacts
+        from ..catalog import gc_stale_artifacts, log_artifact_build
 
+        log_artifact_build(tbl)
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
@@ -2320,4 +2321,103 @@ def fx_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
         )
         .orderBy("bucket")
+    )
+
+
+# --- decile lift ----------------------------------------------------------------------
+
+
+@register(
+    "fx_decile_lift",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS buyer
+        FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT cents, buyer,
+               ROW_NUMBER() OVER (ORDER BY cents DESC, user_id) AS rn
+        FROM u
+    ),
+    t AS (SELECT COUNT(*) AS n, CAST(SUM(buyer) AS BIGINT) AS nb FROM u)
+    SELECT ((rn - 1) * 10) // t.n + 1 AS decile,
+           COUNT(*) AS n_users,
+           CAST(SUM(buyer) AS BIGINT) AS n_buyers,
+           CAST((SUM(buyer) * 1000000) // COUNT(*) AS BIGINT)
+               AS buy_rate_ppm,
+           CAST((SUM(buyer) * t.n * 1000000) // (COUNT(*) * t.nb) AS BIGINT)
+               AS lift_ppm
+    FROM r, t
+    GROUP BY decile, t.n, t.nb
+    ORDER BY decile
+    """,
+    tags=("relational", "lift", "scoring-eval"),
+)
+def fx_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the standard evaluation of a ranking score:
+    users are deciled by total event value (the "model score"), and each
+    decile's purchase rate is compared to the population rate. lift_ppm
+    > 1,000,000 in the top decile = the score concentrates buyers, the
+    go/no-go number for any targeting model trained on this data.
+
+    Exactness: deciles are exact row-number buckets ((rn−1)·10 DIV n +
+    1) over the unique (cents DESC, user_id) order — never ntile (whose
+    remainder distribution is engine-defined) and never interpolated;
+    money is summed on the integer cent grid; rates/lift use the
+    truncating DIV pair.
+
+    Plan shape (100 TB): one map-side-combined per-user aggregation (the
+    only corpus-scaled shuffle), then the rank window over the |users|
+    relation — already reduced by the aggregation, same class as the
+    skew profile — and a 10-group aggregate. The two population scalars
+    ride a 1-row cross join (broadcast).
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("long")
+        .alias("cents"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias(
+            "buyer"
+        ),
+    )
+    r = u.withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), F.asc("user_id")))
+        .cast("long"),
+    )
+    t = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("buyer").cast("long").alias("nb"),
+    )
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(
+            (((F.col("rn") - 1) * 10) / F.col("n"))
+            .cast("long")
+            .alias("_d"),
+            "buyer",
+            "n",
+            "nb",
+        )
+        .withColumn("decile", F.col("_d") + 1)
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("buyer").cast("long").alias("n_buyers"),
+            F.expr("(sum(buyer) * 1000000) DIV count(*)").alias(
+                "buy_rate_ppm"
+            ),
+            F.expr(
+                "(sum(buyer) * any_value(n) * 1000000)"
+                " DIV (count(*) * any_value(nb))"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("decile")
     )

@@ -1380,3 +1380,128 @@ def tw_session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bin")
     )
+
+
+# --- day-over-day churn --------------------------------------------------------------
+
+
+@register(
+    "tw_churn_rate",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    )
+    SELECT a.day,
+           COUNT(*) AS active,
+           CAST(COUNT(*) FILTER (WHERE b.user_id IS NULL) AS BIGINT)
+               AS churned,
+           (COUNT(*) FILTER (WHERE b.user_id IS NULL) * 1000000) // COUNT(*)
+               AS churn_ppm
+    FROM ud a
+    LEFT JOIN ud b
+      ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+    WHERE a.day < (SELECT MAX(day) FROM ud)
+    GROUP BY a.day
+    ORDER BY a.day
+    """,
+    tags=("timewindow", "churn", "retention"),
+)
+def tw_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day churn: of the users active on day d, how many have NO
+    activity on day d+1 — the complement of next-day retention and the
+    first derivative every growth dashboard tracks. The final (partial)
+    day is excluded: its "next day" is unobserved, not churned.
+
+    Plan shape (100 TB): events collapse to the DISTINCT (day, user)
+    relation first (map-side-combined, the same bounded user-day
+    relation tw_dau_stickiness reuses — days × users, never raw
+    events), then ONE self equi-join on (user, day+1) — both sides hash
+    on user_id, so the join co-partitions with the distinct's shuffle —
+    and a per-day count. Nothing wider than user-day rows moves.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    last_day = ud.agg(F.max("day")).first()[0]
+    nxt = ud.select(
+        (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("user_id").alias("user_id"),
+        F.lit(1).alias("seen_next"),
+    )
+    return (
+        ud.filter(F.col("day") < F.lit(last_day))
+        .join(nxt, ["day", "user_id"], "left")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("active"),
+            F.count_if(F.col("seen_next").isNull())
+            .cast("long")
+            .alias("churned"),
+            F.expr(
+                "(count_if(seen_next IS NULL) * 1000000) DIV count(*)"
+            ).alias("churn_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- centered rolling median ---------------------------------------------------------
+
+
+@register(
+    "wf_rolling_median",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, hr
+    )
+    SELECT event_type, hr, cnt,
+           l[(len(l) + 1) // 2] AS med
+    FROM (
+        SELECT event_type, hr, cnt,
+               list_sort(list(cnt) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+               )) AS l
+        FROM h
+    )
+    ORDER BY event_type, hr
+    """,
+    tags=("window", "rolling-median", "smoothing"),
+)
+def wf_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 5-point rolling MEDIAN over each event type's hourly
+    count series — the robust smoother that survives single-bucket
+    spikes an EWMA or rolling mean would smear (the standard pre-step
+    before change-point detection on noisy series).
+
+    Exactness: the median is a RANK-PICK (element (n+1)//2 of the sorted
+    frame, lower median on even frames) on exact integer counts — never
+    an interpolated percentile, which the two engines round differently
+    (the standing cross-engine percentile rule). Frames are ROWS-based
+    (2 preceding / 2 following), identical semantics in both engines,
+    and truncated symmetrically at series edges.
+
+    Plan shape (100 TB): one map-side-combined hourly aggregation, then
+    a window partitioned BY EVENT TYPE — bounded frames (≤5 rows)
+    over bounded partitions (hours/type), no global sort, state O(frame)
+    per row. collect_list is safe here because the frame is a 5-element
+    constant, then sorted per-row for the rank pick.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-2, 2)
+    )
+    arr = F.array_sort(F.collect_list("cnt").over(w))
+    med = F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
+    return h.select(
+        "event_type", "hr", "cnt", med.alias("med")
+    ).orderBy("event_type", "hr")
