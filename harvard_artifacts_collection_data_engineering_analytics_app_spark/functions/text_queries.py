@@ -2977,3 +2977,71 @@ def tx_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("vocab_cum"))
     )
     return cum.join(voc, "decile").orderBy("decile")
+
+
+# --- per-source language mix ---------------------------------------------------------
+
+
+@register(
+    "tx_lang_mix_by_source",
+    oracle="""
+    WITH sl AS (
+        SELECT source, lang, COUNT(*) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs
+            FROM sl GROUP BY source),
+    top AS (
+        SELECT source, lang AS top_lang, n AS top_n FROM (
+            SELECT source, lang, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n DESC, lang
+                   ) AS rn
+            FROM sl
+        ) WHERE rn = 1
+    )
+    SELECT tot.source, n_docs, n_langs, top_lang,
+           (top_n * 1000000) // n_docs AS top_lang_ppm
+    FROM tot JOIN top USING (source)
+    ORDER BY tot.source
+    """,
+    tags=("text", "corpus-composition", "language"),
+)
+def tx_lang_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language composition from the DECLARED lang labels:
+    document count, distinct languages, the majority language
+    (lexicographic tie-break) and its share in ppm. The companion report
+    to tx_langid_confusion (which scores the PREDICTOR against these
+    labels): feeds with sudden language drift or unexpected mixing show
+    up here before they skew the training mixture.
+
+    Plan shape (100 TB): one map-side-combined (source, lang) count —
+    the only corpus-scaled step — then windows and joins over the
+    |sources|×|langs| relation (hundreds of rows at any corpus size).
+    """
+    d = _t(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    tot = sl.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_langs"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    top = (
+        sl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source", F.col("lang").alias("top_lang"), F.col("n").alias("top_n")
+        )
+    )
+    return (
+        tot.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "top_lang",
+            F.expr("(top_n * 1000000) DIV n_docs").alias("top_lang_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -630,3 +630,70 @@ def st_quality_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, stream, "st_quality_mem", "complete").select(
         "source", "n_docs", "n_kept", "n_dropped"
     )
+
+
+def _template_detect_oracle() -> str:
+    """The batch twin's SQL verbatim (stream≡batch under AvailableNow).
+    tx_template_detect registers before this module in queries/__init__,
+    so its oracle is read from the registry rather than duplicated."""
+    from ..queries.registry import all_specs
+
+    return all_specs()["tx_template_detect"].oracle
+
+
+@register(
+    "st_template_ingest",
+    oracle=_template_detect_oracle(),
+    tags=("streaming", "template", "boilerplate"),
+)
+def st_template_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming boilerplate-template monitor: the document stream is
+    canonicalized in-flight (lowercase, digit runs → '#', whitespace
+    runs → one space, md5 — the EXACT tx_template_detect key) and the
+    per-template counts update incrementally; templates with ≥2 docs
+    surface top-20 after the drain. This is the live template-flood
+    alarm ahead of batch corpus rebuilds — a feed that starts emitting
+    one generated page shape a million times shows up here first.
+
+    Stream state is one row per DISTINCT (template key, source) pair —
+    bounded by template × source cardinality (exact-dedup-class), not
+    document volume. Distinct aggregation is illegal inside a streaming
+    plan, so the distinct-source fold happens at read time over the tiny
+    aggregated sink (the same stream/read split st_topk_per_window
+    documents for its rank). Under AvailableNow replay stream≡batch, so
+    the oracle is the batch twin's SQL verbatim.
+    """
+    from ..functions.text_queries import TEMPLATE_TOP
+    from .pipelines import read_documents_stream
+
+    ensure_analytics_conf(spark)
+    d = read_documents_stream(spark, sf_dir)
+    key = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    stream = (
+        d.select(key.alias("template_key"), "source", "doc_id")
+        .groupBy("template_key", "source")
+        .agg(
+            F.count("*").alias("n_docs_src"),
+            F.min("doc_id").alias("min_doc_src"),
+        )
+    )
+    agg = _drain(spark, stream, "st_template_mem", "complete")
+    return (
+        agg.groupBy("template_key")
+        .agg(
+            F.sum("n_docs_src").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("min_doc_src").alias("sample_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("template_key"))
+        .limit(TEMPLATE_TOP)
+    )
