@@ -202,6 +202,9 @@ HEADLINE = [
     "ss_grown_ivf_stats",
     "sk_join_key_skew_profile",
     "fx_decile_lift",
+    "st_template_ingest",
+    "tx_lang_mix_by_source",
+    "tw_activity_heatmap",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

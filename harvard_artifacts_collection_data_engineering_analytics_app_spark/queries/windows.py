@@ -1505,3 +1505,57 @@ def wf_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "event_type", "hr", "cnt", med.alias("med")
     ).orderBy("event_type", "hr")
+
+
+# --- weekly activity heatmap -----------------------------------------------------------
+
+
+@register(
+    "tw_activity_heatmap",
+    oracle="""
+    WITH h AS (
+        SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+               (epoch_us(ts) // 3600000000) % 24 AS hod,
+               COUNT(*) AS n_events
+        FROM events GROUP BY dow, hod
+    ),
+    t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM h)
+    SELECT dow, hod, CAST(n_events AS BIGINT) AS n_events,
+           (n_events * 1000000) // t.total AS share_ppm
+    FROM h, t
+    ORDER BY dow, hod
+    """,
+    tags=("timewindow", "heatmap", "seasonality"),
+)
+def tw_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly activity heatmap behind every ops dashboard: event
+    counts per (day-of-week, hour-of-day) cell with each cell's corpus
+    share in ppm — load-shape input for capacity planning and the quick
+    eyeball for bot traffic (flat hod profile) or timezone skew.
+
+    Day/hour indices are EPOCH-INTEGER arithmetic (epoch-days % 7,
+    epoch-hours % 24 — ht_dow_seasonal's idiom), never calendar
+    functions, so no engine pair can disagree on week-start or DST
+    conventions; UTC sessions make wall-time meaning explicit.
+
+    Plan shape (100 TB): one map-side-combined aggregation to the ≤168
+    cell relation; the total rides a 1-row cross join. Nothing else
+    moves.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.expr("(unix_micros(ts) DIV 86400000000) % 7").alias("dow"),
+        F.expr("(unix_micros(ts) DIV 3600000000) % 24").alias("hod"),
+    ).agg(F.count("*").alias("n_events"))
+    t = h.agg(F.sum("n_events").cast("long").alias("total"))
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "hod",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.expr("(n_events * 1000000) DIV total").alias("share_ppm"),
+        )
+        .orderBy("dow", "hod")
+    )
