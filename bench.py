@@ -205,6 +205,8 @@ HEADLINE = [
     "st_template_ingest",
     "tx_lang_mix_by_source",
     "tw_activity_heatmap",
+    "ss_pair_cosine_histogram",
+    "ht_dispersion_index",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -882,12 +882,13 @@ def dd_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emb_lsh_oracle() -> str:
-    """DuckDB SQL replaying the sign-LSH bucketing + cosine verify.
-
-    Generated from the SAME plane weights as the Spark expression (the
-    constants in operators/similarity.py), so the ANN pruning itself —
-    recall loss included — is value-checked, exactly like ss_lsh_topk."""
+def _emb_lsh_cand_ctes() -> str:
+    """CTE list (no WITH) ending in ``cand`` (a_id, b_id, cosine): the
+    sign-LSH bucketing + cosine verify, generated from the SAME plane
+    weights as the Spark expression (the constants in
+    operators/similarity.py), so the ANN pruning itself — recall loss
+    included — is value-checked, exactly like ss_lsh_topk. Shared by
+    dd_embedding_lsh_pairs and ss_pair_cosine_histogram."""
     from .similarity import (
         LSH_BITS,
         LSH_TABLES,
@@ -896,8 +897,7 @@ def _emb_lsh_oracle() -> str:
         _duck_weights_literal,
     )
 
-    return f"""
-    WITH {SQL_V},
+    return f"""{SQL_V},
     w AS (SELECT {_duck_weights_literal()} AS W),
     b AS (
         SELECT v.vec_id, v.emb, v.nrm, tb.tbl,
@@ -912,7 +912,12 @@ def _emb_lsh_oracle() -> str:
                ROUND({SQL_COS.format(a="x", b="y")}, 6) AS cosine
         FROM b x JOIN b y
           ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
-    )
+    )"""
+
+
+def _emb_lsh_oracle() -> str:
+    return f"""
+    WITH {_emb_lsh_cand_ctes()}
     SELECT a_id, b_id, cosine
     FROM cand
     ORDER BY cosine DESC, a_id, b_id
@@ -938,6 +943,15 @@ def dd_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing, so the recall loss vs the exact operator is itself
     value-checked (recall vs brute force is asserted in tests).
     """
+    cand = _emb_lsh_candidates(spark, sf_dir)
+    return cand.orderBy(F.desc("cosine"), F.asc("a_id"), F.asc("b_id")).limit(20)
+
+
+def _emb_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct sign-LSH candidate relation (a_id, b_id, cosine) —
+    dd_embedding_lsh_pairs' core, shared with ss_pair_cosine_histogram
+    (same factoring discipline as _pagerank_trajectory / _coservice_lpa:
+    one implementation, every consumer replays identical candidates)."""
     import numpy as np
     import pandas as pd
 
@@ -1003,7 +1017,7 @@ def dd_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same pair from several tables → identical deterministic triple
         .distinct()
     )
-    return cand.orderBy(F.desc("cosine"), F.asc("a_id"), F.asc("b_id")).limit(20)
+    return cand
 
 
 # --- containment dedup (doc-in-doc) ---------------------------------------------

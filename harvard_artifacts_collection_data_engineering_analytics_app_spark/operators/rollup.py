@@ -1096,3 +1096,70 @@ def ht_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- arrival-process dispersion (index of dispersion) ---------------------------------
+
+
+@register(
+    "ht_dispersion_index",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, hr
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM h GROUP BY event_type
+    )
+    SELECT event_type, n AS n_hours,
+           (1000 * sx) // n AS mean_milli,
+           (1000 * (n * sxx - sx * sx)) // (n * sx) AS dispersion_milli
+    FROM s
+    ORDER BY event_type
+    """,
+    tags=("hypertable", "dispersion", "burstiness", "diagnostics"),
+)
+def ht_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of each event type's
+    hourly arrival counts — the Poisson-ness test: ≈1000 milli means
+    memoryless arrivals (rate-based capacity planning is safe), ≫1000
+    means bursty/clustered traffic (provision for peaks; pair with
+    tw_burst_detection to find WHEN), ≪1000 means smoothed/regulated
+    flow. The one-number companion to ht_acf's full correlogram.
+
+    Exactness: dispersion = (n·Σx² − (Σx)²) / (n·Σx) carried entirely in
+    exact BIGINT sums with ONE trailing truncating DIV onto the milli
+    grid — no float mean or variance exists at any point (hourly counts
+    ≤10⁶ keep n·Σx² far below 2⁶³ at any realistic volume).
+
+    Plan shape (100 TB): one map-side-combined hourly rollup (the same
+    first exchange every ht_ op shares), then a per-type fold of three
+    integer partials — decomposable, combiner-friendly, nothing wider
+    than (type, n, Σx, Σx²) past the first shuffle.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("long").alias("x"))
+    s = h.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return (
+        s.select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.expr("(1000 * sx) DIV n").alias("mean_milli"),
+            F.expr("(1000 * (n * sxx - sx * sx)) DIV (n * sx)").alias(
+                "dispersion_milli"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -3949,3 +3949,69 @@ def ss_grown_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sz").alias("max_list"),
         F.sum("sz").cast("long").alias("n_vectors"),
     )
+
+
+# --- candidate-pair cosine histogram -------------------------------------------------
+
+
+def _pair_cos_hist_oracle() -> str:
+    from .dedup import _emb_lsh_cand_ctes
+
+    return f"""
+    WITH {_emb_lsh_cand_ctes()},
+    h AS (
+        SELECT CAST(floor(cosine * 10) AS BIGINT) AS bin,
+               COUNT(*) AS n_pairs
+        FROM cand WHERE cosine IS NOT NULL
+        GROUP BY bin
+    ),
+    t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM h)
+    SELECT bin, CAST(n_pairs AS BIGINT) AS n_pairs,
+           (n_pairs * 1000000) // t.total AS share_ppm
+    FROM h, t
+    ORDER BY bin
+    """
+
+
+@register(
+    "ss_pair_cosine_histogram",
+    oracle=_pair_cos_hist_oracle(),
+    tags=("similarity", "diagnostics", "threshold-tuning"),
+)
+def ss_pair_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine distribution of the sign-LSH candidate pairs in 0.1-wide
+    bins — the threshold-tuning chart for semantic dedup: where the
+    candidate mass sits relative to a proposed cut decides both the dedup
+    rate and the verify cost, and a drift of this histogram between
+    snapshots is the early warning that an embedding-model swap moved
+    the similarity scale. Bins are floor(cosine·10) on the shared
+    6-decimal rounded cosine, so no pair can straddle a bin boundary
+    differently across engines; zero-norm (NULL-cosine) pairs are
+    excluded.
+
+    Plan shape (100 TB): rides the SAME sub-quadratic candidate relation
+    as dd_embedding_lsh_pairs (bucket equi-join, never all-pairs —
+    shared builder `_emb_lsh_candidates`), then one map-side-combined
+    aggregation to ≤21 bins. The oracle replays bucketing + verify +
+    binning, value-checking the pruned distribution itself.
+    """
+    from .dedup import _emb_lsh_candidates
+
+    cand = _emb_lsh_candidates(spark, sf_dir)
+    h = (
+        cand.filter(F.col("cosine").isNotNull())
+        .groupBy(
+            F.floor(F.col("cosine") * 10).cast("long").alias("bin")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    t = h.agg(F.sum("n_pairs").cast("long").alias("total"))
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.expr("(n_pairs * 1000000) DIV total").alias("share_ppm"),
+        )
+        .orderBy("bin")
+    )
