@@ -984,35 +984,60 @@ def _emb_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # Per-BUCKET BLAS verify (round-9 rewrite): the first cut verified
+    # candidates with the interpreted zip_with/aggregate cosine — the
+    # exact per-pair-HOF trap the r8 ss_knn_graph_ivf rewrite documented —
+    # and measured 54 s at sf1 (20k vectors → ~25M candidate cosines,
+    # each an interpreted 64-term fold). Each (table, bucket) group is
+    # now ONE applyInPandas matmul over its members (~n/2^bits rows), so
+    # per-candidate cost is a fused vector op; the join profile is
+    # unchanged (bucket equi-grouping, never all-pairs). Values stay on
+    # the same 6-decimal grid: float64 BLAS vs the oracle's sequential
+    # fold differ by ≲1e-13 on unit-scale 64-dim vectors, nine orders of
+    # magnitude inside the 0.5e-6 rounding boundary (the established
+    # ss_brute_topk_numpy precedent).
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a_id": pd.Series(dtype="int64"),
+                "b_id": pd.Series(dtype="int64"),
+                "cosine_raw": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        order = pdf["vec_id"].to_numpy(dtype="int64").argsort()
+        ids = pdf["vec_id"].to_numpy(dtype="int64")[order]
+        mat = np.array(list(pdf["embedding"]), dtype="float64")[order]
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        denom = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom == 0.0, np.nan, (mat @ mat.T) / denom)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"a_id": ids[iu], "b_id": ids[ju], "cosine_raw": sims[iu, ju]}
+        )
+
     ensure_analytics_conf(spark)
     raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n_par = spark.sparkContext.defaultParallelism
     buckets = raw.repartition(n_par).mapInPandas(
         bucketize, "vec_id long, tbl int, bucket int"
     )
-    v = _vectors(spark, sf_dir)
-    # One materialization of the bucket relation: it feeds BOTH self-join
-    # sides; ContextCleaner reclaims the blocks once the result is GC'd.
-    ex = buckets.join(v, "vec_id").select(
-        "vec_id", "emb", "nrm", "tbl", "bucket"
-    ).localCheckpoint(eager=True)
-    x, y = ex.alias("x"), ex.alias("y")
+    scored = (
+        buckets.join(raw, "vec_id")
+        .groupBy("tbl", "bucket")
+        .applyInPandas(bucket_pairs, "a_id long, b_id long, cosine_raw double")
+    )
+    rawc = F.col("cosine_raw")
     cand = (
-        x.join(
-            y,
-            (F.col("x.tbl") == F.col("y.tbl"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("a_id"),
-            F.col("y.vec_id").alias("b_id"),
-            F.round(
-                _cosine(
-                    F.col("x.emb"), F.col("y.emb"), F.col("x.nrm"), F.col("y.nrm")
-                ),
-                6,
-            ).alias("cosine"),
+        scored.select(
+            "a_id",
+            "b_id",
+            # zero-norm ⇒ NULL (ranked last), matching the oracle's nullif
+            F.round(F.when(F.isnan(rawc), None).otherwise(rawc), 6).alias(
+                "cosine"
+            ),
         )
         # same pair from several tables → identical deterministic triple
         .distinct()
