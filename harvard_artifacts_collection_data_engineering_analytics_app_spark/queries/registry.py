@@ -74,23 +74,23 @@ _PRIORITY: tuple[str, ...] = (
     "rq20_join_agg_topk",
     "flagship_pricing_summary",
     "rq20_preagg_variant",
-    # family keepers (recorded before; aj, rj and sk have NO
-    # never-recorded members left this round, so a previously-recorded
-    # keeper holds their slot in the every-family invariant — wf's slot
-    # is covered by the never-recorded wf_locf_forward_fill in the
-    # rotation below, so its keeper was released to buy one more
-    # never-recorded slot)
+    # family keepers (recorded before; aj and rj have NO never-recorded
+    # members, so a previously-recorded keeper holds their slot in the
+    # every-family invariant — wf's slot is covered by the never-recorded
+    # wf_locf_forward_fill in the rotation below, and sk's by the
+    # never-recorded round-9 sk_join_key_skew_profile, so both of those
+    # keepers were released to buy never-recorded slots)
     "aj_purchase_last_click_tol",
     "rj_scd2_temporal_join",
-    "sk_hot_key_split_join",
-    # --- round-9 rotation: 25 never-recorded queries (standing judge
-    # directive r4 #2). The round's marquee operators lead (judge r8 #2:
-    # tx_corpus_build, ss_knn_graph_ivf, gr_modularity jump the queue);
-    # the rest selected family-diverse by scripts/rotation_suggest.py
-    # from the 78-name never-recorded pool (53 remain after this window;
-    # round-9 operators register past slot 50 and join the pool). The
-    # round-8 window's 26 names are all recorded green in
-    # CORRECTNESS_r08.json. ---
+    "sk_join_key_skew_profile",
+    # --- round-10 rotation: 26 never-recorded queries (standing judge
+    # directive r4 #2). The round-9 window was never driver-recorded (no
+    # CORRECTNESS_r09.json was produced), so its 25 names are STILL
+    # never-recorded and stay at the head — the marquee operators the
+    # judge asked for (r8 #2: tx_corpus_build, ss_knn_graph_ivf,
+    # gr_modularity) keep the lead; sk_join_key_skew_profile joins via
+    # the released sk keeper slot above. Round-9/10 operators register
+    # past slot 50 and join the pool for the round-11 window. ---
     "tx_corpus_build",
     "ss_knn_graph_ivf",
     "gr_modularity",
