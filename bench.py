@@ -207,6 +207,17 @@ HEADLINE = [
     "tw_activity_heatmap",
     "ss_pair_cosine_histogram",
     "ht_dispersion_index",
+    # round-10 additions
+    "fx_market_basket",
+    "fx_correlation_matrix",
+    "tw_experiment_readout",
+    "tw_power_user_curve",
+    "gr_katz_centrality",
+    "mm_shard_pack_plan",
+    "rj_purchase_attribution_window",
+    "ht_classical_decompose",
+    "tx_vocab_coverage",
+    "st_exactly_once_sink_audit",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

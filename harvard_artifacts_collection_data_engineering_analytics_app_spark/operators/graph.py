@@ -105,16 +105,12 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_trajectory(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """Shared edge-build + damped integer power iteration behind BOTH
-    gr_pagerank and gr_pagerank_convergence (ADVICE r8: a private copy in
-    the convergence op would silently desynchronize the diagnostic from
-    the ranks it claims to diagnose — same factoring as _coservice_lpa).
-    Returns ``(p_prev, p_final)``: the rank relations (src, p) after
-    rounds PR_ROUNDS−1 and PR_ROUNDS, both on the exact PR_SCALE integer
-    grid and both eagerly checkpointed."""
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetric customer↔supplier co-purchase edge relation
+    ``(src, dst, w, outw)`` with weighted degree attached, eagerly
+    checkpointed — the shared graph behind gr_pagerank,
+    gr_pagerank_convergence, and gr_katz_centrality (one build, three
+    consumers; the oracle-side twin is ``_pr_ctes()[:3]``)."""
     ensure_analytics_conf(spark)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -136,7 +132,20 @@ def _pagerank_trajectory(
     )
     e = raw.unionByName(rev)
     deg = e.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
-    edges = e.join(deg, "src").localCheckpoint(eager=True)
+    return e.join(deg, "src").localCheckpoint(eager=True)
+
+
+def _pagerank_trajectory(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared edge-build + damped integer power iteration behind BOTH
+    gr_pagerank and gr_pagerank_convergence (ADVICE r8: a private copy in
+    the convergence op would silently desynchronize the diagnostic from
+    the ranks it claims to diagnose — same factoring as _coservice_lpa).
+    Returns ``(p_prev, p_final)``: the rank relations (src, p) after
+    rounds PR_ROUNDS−1 and PR_ROUNDS, both on the exact PR_SCALE integer
+    grid and both eagerly checkpointed."""
+    edges = _bipartite_edges(spark, sf_dir)
 
     # Node count and initial ranks read the CHECKPOINTED edges — deriving
     # them from `deg` would re-run the whole orders⋈lineitem build once
@@ -2017,4 +2026,94 @@ def gr_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("reach2"))
         .orderBy(F.desc("reach2"), F.asc("node"))
         .limit(REACH_TOP)
+    )
+
+
+# --- Katz centrality -------------------------------------------------------------
+
+KATZ_SCALE = PR_SCALE  # same 1e12 fixed-point grid as PageRank
+KATZ_ROUNDS = 3
+KATZ_TOP = 20
+
+
+def _katz_oracle() -> str:
+    # Reuse the identical raw/e/deg edge-build CTEs as the PageRank
+    # oracle so the two centralities provably walk the same graph.
+    ctes = _pr_ctes()[:3]
+    ctes.append("mx AS (SELECT 2 * MAX(W) AS d FROM deg)")
+    ctes.append(f"x0 AS (SELECT src AS node, CAST({KATZ_SCALE} AS BIGINT) AS x FROM deg)")
+    for k in range(KATZ_ROUNDS):
+        ctes.append(
+            f"""x{k + 1} AS (
+        SELECT e.dst AS node,
+               CAST({KATZ_SCALE} + SUM(x{k}.x * e.w) // mx.d AS BIGINT) AS x
+        FROM e
+        JOIN x{k} ON x{k}.node = e.src, mx
+        GROUP BY e.dst, mx.d
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, x AS katz FROM x{KATZ_ROUNDS}
+    ORDER BY katz DESC, node LIMIT {KATZ_TOP}
+    """
+    )
+
+
+@register(
+    "gr_katz_centrality",
+    oracle=_katz_oracle(),
+    tags=("graph", "centrality", "iterative"),
+)
+def gr_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (3 rounds, β = KATZ_SCALE) on the symmetric
+    customer↔supplier co-purchase graph; top-20 nodes.
+
+    Unlike PageRank, Katz does NOT normalize by out-degree — mass flows
+    along raw edge weights, so hubs accumulate influence from volume,
+    not just connectivity. Convergence and integer bounds come from the
+    attenuation factor: α = 1/(2·maxW) with maxW the maximum weighted
+    degree guarantees α < 1/λ_max (λ_max ≤ maxW for non-negative
+    symmetric matrices), and caps every rank at 2·KATZ_SCALE (geometric
+    series), keeping all products far below 2^63 through sf100.
+
+    Determinism: ranks on the exact 1e12 integer grid; the single DIV
+    lands AFTER the neighbor sum, so summation order cannot perturb a
+    bit and the chained-CTE DuckDB oracle replays the identical
+    trajectory. maxW is a deterministic data statistic both engines
+    compute from the same edge relation.
+
+    Plan shape (100 TB): identical to PageRank's — edges (with degree
+    attached) built and checkpointed ONCE, each round one equi-join of
+    the |V|-rank relation against co-partitioned edges plus one
+    map-side-combined agg by dst; ranks re-checkpointed per round to
+    truncate lineage. The only driver-side state is the maxW scalar.
+    """
+    edges = _bipartite_edges(spark, sf_dir)
+    mxd = 2 * edges.agg(F.max("outw")).collect()[0][0]
+    x = (
+        edges.select("src")
+        .distinct()
+        .select("src", F.lit(KATZ_SCALE).cast("long").alias("x"))
+    )
+    for _ in range(KATZ_ROUNDS):
+        ranks = x.select(F.col("src").alias("node"), "x").alias("X")
+        x = (
+            edges.alias("E")
+            .join(ranks, F.col("E.src") == F.col("X.node"))
+            .groupBy(F.col("E.dst").alias("nxt"))
+            .agg(
+                (F.lit(KATZ_SCALE) + F.expr(f"SUM(X.x * E.w) DIV {mxd}"))
+                .cast("long")
+                .alias("x")
+            )
+            .select(F.col("nxt").alias("src"), "x")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        x.select(F.col("src").alias("node"), F.col("x").alias("katz"))
+        .orderBy(F.desc("katz"), F.asc("node"))
+        .limit(KATZ_TOP)
     )

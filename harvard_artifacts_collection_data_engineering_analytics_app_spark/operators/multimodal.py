@@ -1428,3 +1428,93 @@ def mm_aspect_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_idx")
     )
+
+
+# --- WebDataset-style shard packing ----------------------------------------------
+
+SHARD_TARGET_BYTES = 4096  # testdata-sized stand-in for the ~1 GiB prod target
+TAR_RECORD_OVERHEAD = 512  # tar header block per record
+
+
+@register(
+    "mm_shard_pack_plan",
+    oracle=f"""
+    WITH rec AS (
+        SELECT source, doc_id,
+               CAST(octet_length(encode(text)) + {TAR_RECORD_OVERHEAD} AS BIGINT)
+                   AS rec_bytes
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, rec_bytes,
+               CAST((SUM(rec_bytes) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - rec_bytes)
+                    // {SHARD_TARGET_BYTES} AS BIGINT) AS shard_no
+        FROM rec
+    )
+    SELECT source, shard_no,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(rec_bytes) AS BIGINT) AS shard_bytes,
+           CAST(SUM(rec_bytes) AS BIGINT) * 1000000 // {SHARD_TARGET_BYTES}
+               AS fill_ppm,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY source, shard_no
+    ORDER BY source, shard_no
+    """,
+    tags=("multimodal", "shard", "window"),
+)
+def mm_shard_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard packing plan: assign each record (blob +
+    tar header overhead) to a byte-budgeted shard, per source, in
+    deterministic (source, doc_id) order — the plan a training-data
+    writer executes before streaming tar shards to object storage.
+
+    Shard rule: a record belongs to shard floor(start_offset / target)
+    where start_offset is the running byte sum BEFORE the record — the
+    window-expressible form of greedy packing (a shard can overhang its
+    target by at most one record, exactly like tar writers that cut on
+    the first boundary crossing). Output is the per-shard manifest
+    (records, bytes, fill ratio, doc range) the downstream loader needs.
+
+    Plan shape (100 TB): ONE window shuffle partitioned by source —
+    packing parallelizes across sources/partitions and never needs a
+    global sort; the payload column is never read (octet_length is
+    metadata arithmetic on the synthesized blob; a real pipeline reads
+    byte sizes from blob metadata, so the scan is column-pruned to
+    (source, doc_id, n_bytes)). The manifest agg reuses the window's
+    partitioning — no second exchange.
+    """
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    rec = d.select(
+        "source",
+        "doc_id",
+        (F.octet_length(F.encode("text", "utf-8")) + TAR_RECORD_OVERHEAD)
+        .cast("long")
+        .alias("rec_bytes"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = rec.withColumn("_cum", F.sum("rec_bytes").over(w)).withColumn(
+        "shard_no", F.expr(f"(_cum - rec_bytes) DIV {SHARD_TARGET_BYTES}")
+    )
+    return (
+        packed.groupBy("source", "shard_no")
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.sum("rec_bytes").alias("shard_bytes"),
+            F.expr(f"SUM(rec_bytes) * 1000000 DIV {SHARD_TARGET_BYTES}").alias(
+                "fill_ppm"
+            ),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard_no")
+    )

@@ -414,3 +414,101 @@ def rj_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status_at_ship")
     )
+
+
+# --- time-range attribution join ---------------------------------------------------
+
+ATTR_WINDOW_US = 2 * 3600 * 1_000_000  # 2-hour attribution window
+ATTR_BUCKET_US = 3600 * 1_000_000  # 1-hour join buckets
+
+
+@register(
+    "rj_purchase_attribution_window",
+    oracle=f"""
+    WITH per_purchase AS (
+        SELECT p.event_id,
+               COUNT(c.event_id) AS n_clicks
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND epoch_us(c.ts) >= epoch_us(p.ts)
+         AND epoch_us(c.ts) < epoch_us(p.ts) + {ATTR_WINDOW_US}
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_purchase)
+    SELECT n_clicks,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(*) AS BIGINT) * 1000000 // tot.n AS share_ppm
+    FROM per_purchase, tot
+    GROUP BY n_clicks, tot.n
+    ORDER BY n_clicks
+    """,
+    tags=("rangejoin", "attribution", "timewindow"),
+)
+def rj_purchase_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward attribution: how many same-user clicks land inside the
+    2 hours AFTER each purchase — histogram of purchases by attributed
+    click count. (The aj_* family answers 'nearest single event'; this
+    is the range form every attribution model starts from.)
+
+    Scale rewrite: a time-range join is a non-equi join Spark would plan
+    as BNLJ. Bucketing dissolves it — each purchase explodes to the
+    ⌈window/bucket⌉+1 = 3 hour-buckets its window can touch, clicks carry
+    their single bucket, and the join becomes a plain equi-join on
+    (user_id, bucket) refined by the exact epoch-integer predicate. A
+    click's one bucket matches at most one of a purchase's bucket rows,
+    so no dedup is needed; LEFT join keeps zero-click purchases for the
+    histogram's 0 bin.
+
+    Plan shape (100 TB): one shuffle on (user_id, bucket) — high
+    cardinality, skew-free — with per-key fan-out bounded by per-user
+    hourly activity; epoch-integer time arithmetic (no calendar
+    functions) keeps both engines on identical int64s.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.expr("unix_micros(ts)").alias("p_us"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.expr("unix_micros(ts)").alias("c_us"),
+        F.expr(f"unix_micros(ts) DIV {ATTR_BUCKET_US}").alias("bucket"),
+    )
+    pb = p.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"p_us DIV {ATTR_BUCKET_US}"),
+                F.expr(f"(p_us + {ATTR_WINDOW_US}) DIV {ATTR_BUCKET_US}"),
+            )
+        ),
+    )
+    joined = pb.join(
+        c,
+        (pb.user_id == c.c_user)
+        & (pb.bucket == c.bucket)
+        & (c.c_us >= pb.p_us)
+        & (c.c_us < pb.p_us + ATTR_WINDOW_US),
+        "left",
+    )
+    per_purchase = joined.groupBy("p_id").agg(
+        F.count("c_id").alias("n_clicks")
+    )
+    tot = per_purchase.agg(F.count("*").cast("long").alias("n"))
+    return (
+        per_purchase.groupBy("n_clicks")
+        .agg(F.count("*").cast("long").alias("n_purchases"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_clicks",
+            "n_purchases",
+            F.expr("n_purchases * 1000000 DIV n").alias("share_ppm"),
+        )
+        .orderBy("n_clicks")
+    )

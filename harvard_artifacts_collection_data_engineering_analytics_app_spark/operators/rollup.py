@@ -1163,3 +1163,118 @@ def ht_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- classical seasonal decomposition ----------------------------------------------
+
+DECOMP_HALF = 12  # centered moving-average half-width (25-hour trend window)
+
+
+@register(
+    "ht_classical_decompose",
+    oracle=f"""
+    WITH y0 AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS h,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY event_type, h
+    ),
+    bounds AS (
+        SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM y0 GROUP BY event_type
+    ),
+    hours AS (
+        SELECT event_type, UNNEST(generate_series(h0, h1)) AS h FROM bounds
+    ),
+    g AS (
+        SELECT hours.event_type, hours.h, COALESCE(y0.y, 0) AS y
+        FROM hours LEFT JOIN y0
+          ON y0.event_type = hours.event_type AND y0.h = hours.h
+    ),
+    t AS (
+        SELECT event_type, h, y,
+               CAST(SUM(y) OVER w AS BIGINT) AS s25,
+               COUNT(*) OVER w AS c25
+        FROM g
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN {DECOMP_HALF} PRECEDING
+                              AND {DECOMP_HALF} FOLLOWING)
+    ),
+    d AS (
+        SELECT event_type, h % 24 AS hod,
+               y * {2 * DECOMP_HALF + 1} - s25 AS dx
+        FROM t WHERE c25 = {2 * DECOMP_HALF + 1}
+    )
+    SELECT event_type, hod,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(dx) * 1000 // ({2 * DECOMP_HALF + 1} * COUNT(*)) AS BIGINT)
+               AS seasonal_milli_cents
+    FROM d
+    GROUP BY event_type, hod
+    ORDER BY event_type, hod
+    """,
+    tags=("timeseries", "decomposition", "window"),
+)
+def ht_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition, hour-of-day profile:
+    detrend the hourly revenue series per event_type with a centered
+    25-hour moving average, then average the detrended values by
+    hour-of-day — the seasonal index an anomaly detector subtracts
+    before thresholding (ht_rolling_mad_anomaly's natural upstream).
+
+    Exactness: the trend subtraction is computed on the ×25 integer grid
+    (y·25 − Σ₂₅y) so NO division happens before the final aggregate —
+    one DIV at the end, summation-order-proof. Hours are epoch-integer;
+    the series is gap-filled per type (sequence + left join + zero) so
+    the 25-ROW frame is exactly the 25-HOUR frame; edge hours without a
+    full window are excluded (c25 = 25), matching textbook practice.
+
+    Plan shape (100 TB): one map-side-combined agg to the (type, hour)
+    relation — the only fact-sized shuffle — then windows/joins over
+    |types|·|hours| rows (720/type/month regardless of event volume,
+    the ht_theil_sen_slope invariance argument). Gap-fill explodes from
+    a |types|-row bounds relation, never from raw events.
+    """
+    from pyspark.sql import Window
+
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    span = 2 * DECOMP_HALF + 1
+    y0 = e.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y"))
+    bounds = y0.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    hours = bounds.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    g = hours.join(y0, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-DECOMP_HALF, DECOMP_HALF)
+    )
+    t = g.select(
+        "event_type",
+        "h",
+        "y",
+        F.sum("y").over(w).alias("s25"),
+        F.count("*").over(w).alias("c25"),
+    )
+    d = t.filter(F.col("c25") == span).select(
+        "event_type",
+        (F.col("h") % 24).alias("hod"),
+        (F.col("y") * span - F.col("s25")).alias("dx"),
+    )
+    return (
+        d.groupBy("event_type", "hod")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.expr(f"SUM(dx) * 1000 DIV ({span} * COUNT(*))").alias(
+                "seasonal_milli_cents"
+            ),
+        )
+        .orderBy("event_type", "hod")
+    )

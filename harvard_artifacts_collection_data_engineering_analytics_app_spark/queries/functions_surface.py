@@ -2421,3 +2421,193 @@ def fx_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- market-basket co-occurrence (association rules) ---------------------------
+
+BASKET_MIN_PAIR = 20  # min co-occurrence count for a reported rule
+BASKET_TOP = 50
+
+
+@register(
+    "fx_market_basket",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    nb AS (SELECT COUNT(DISTINCT basket) AS n FROM items),
+    cnt AS (SELECT item, COUNT(*) AS c FROM items GROUP BY item),
+    freq AS (SELECT item FROM cnt WHERE c >= {BASKET_MIN_PAIR}),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_cnt
+        FROM items a
+        JOIN items b ON a.basket = b.basket AND a.item < b.item
+        WHERE a.item IN (SELECT item FROM freq)
+          AND b.item IN (SELECT item FROM freq)
+        GROUP BY a.item, b.item
+        HAVING COUNT(*) >= {BASKET_MIN_PAIR}
+    )
+    SELECT item_a, item_b, pair_cnt,
+           pair_cnt * 1000000 // nb.n AS support_ppm,
+           pair_cnt * 1000000 // ca.c AS conf_a_to_b_ppm,
+           ((pair_cnt * nb.n) // ca.c) * 1000000 // cb.c AS lift_ppm
+    FROM pairs, nb
+    JOIN cnt ca ON ca.item = item_a
+    JOIN cnt cb ON cb.item = item_b
+    ORDER BY lift_ppm DESC, item_a, item_b
+    LIMIT {BASKET_TOP}
+    """,
+    tags=("functions", "basket", "selfjoin"),
+)
+def fx_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift) over
+    order baskets, items = part brands.
+
+    The reference has no co-occurrence operator (its templates are single
+    joins, ``harvard_artifacts_app.py:289-313``); this is the classic
+    retail/feature-co-occurrence workload.
+
+    Plan shape (100 TB): the Apriori pushdown does the scaling work —
+    items below the pair-support floor can never appear in a qualifying
+    pair, so they are filtered BEFORE the self-join (a semi-join against
+    the tiny frequent-item set, broadcast by AQE), collapsing the
+    quadratic-per-basket pair generation to frequent items only. The
+    self-join is co-partitioned on the basket key (one shuffle, baskets
+    are small so per-key pair fan-out is bounded), pair counts are
+    map-side combined, and the two item-count joins at the end touch a
+    |items|-sized relation. All metric arithmetic is exact integer ppm
+    (lift is two-step ``(pair*n) DIV c_a * 1e6 DIV c_b`` so every
+    intermediate stays far under 2^63 at any SF).
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_baskets = items.select("basket").distinct().count()
+    cnt = items.groupBy("item").agg(F.count("*").alias("c"))
+    freq = cnt.filter(F.col("c") >= BASKET_MIN_PAIR).select("item")
+    fitems = items.join(F.broadcast(freq), "item")
+    a = fitems.select("basket", F.col("item").alias("item_a"))
+    b = fitems.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= BASKET_MIN_PAIR)
+    )
+    ca = cnt.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_cnt",
+            F.expr(f"pair_cnt * 1000000 DIV {n_baskets}").alias("support_ppm"),
+            F.expr("pair_cnt * 1000000 DIV ca").alias("conf_a_to_b_ppm"),
+            F.expr(f"((pair_cnt * {n_baskets}) DIV ca) * 1000000 DIV cb").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("lift_ppm"), "item_a", "item_b")
+        .limit(BASKET_TOP)
+    )
+
+
+# --- one-pass correlation matrix -----------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_oracle() -> str:
+    cols = _CORR_COLS
+    sums = []
+    for c in cols:
+        sums.append(
+            f"CAST(SUM(CAST(ROUND({c} * 100) AS BIGINT)) AS HUGEINT) AS s_{c}"
+        )
+    for i, x in enumerate(cols):
+        for y in cols[i:]:
+            sums.append(
+                f"CAST(SUM(CAST(ROUND({x} * 100) AS BIGINT)"
+                f" * CAST(ROUND({y} * 100) AS BIGINT)) AS HUGEINT) AS p_{x}_{y}"
+            )
+    pair_rows = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1 :]:
+            pair_rows.append(
+                f"SELECT '{x}' AS col_x, '{y}' AS col_y,\n"
+                f"  CAST(ROUND(CAST(n * p_{x}_{y} - s_{x} * s_{y} AS DOUBLE)\n"
+                f"      / (SQRT(CAST(n * p_{x}_{x} - s_{x} * s_{x} AS DOUBLE))\n"
+                f"         * SQRT(CAST(n * p_{y}_{y} - s_{y} * s_{y} AS DOUBLE)))\n"
+                f"      * 1000000) AS BIGINT) AS corr_ppm\n"
+                f"FROM sums"
+            )
+    return (
+        "WITH sums AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+        + ", ".join(sums)
+        + " FROM lineitem)\nSELECT * FROM ("
+        + "\nUNION ALL\n".join(pair_rows)
+        + ") ORDER BY col_x, col_y"
+    )
+
+
+@register(
+    "fx_correlation_matrix",
+    oracle=_corr_oracle(),
+    tags=("functions", "statistics", "onepass"),
+)
+def fx_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the lineitem numeric measures,
+    computed in ONE aggregation pass (n, Σx, Σxy for all pairs), then
+    unpivoted to (col_x, col_y, corr_ppm) rows.
+
+    Cross-engine exactness: inputs go to integer cents; all sums and the
+    corr numerator/denominator terms (n·Σxy − ΣxΣy) are EXACT integer
+    arithmetic in decimal(38,0) (Spark) / HUGEINT (DuckDB) — at sf1 the
+    largest term is ~1e27, 11 digits of headroom. Only then is each exact
+    integer cast to double (correctly rounded in both engines) for the
+    sqrt/divide, so the 1e6-grid rounding sees bit-identical doubles.
+
+    Plan shape (100 TB): a single scan with ONE map-side-combined global
+    aggregate — 15 running sums, no shuffle of anything but 15 numbers
+    per partition; the pair unpivot is driver-side arithmetic on one row.
+    Contrast with calling df.stat.corr() per pair, which would scan the
+    table 6 times.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cents = {c: F.round(F.col(c) * 100).cast("decimal(18,0)") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(cents[c]).cast("decimal(38,0)").alias(f"s_{c}"))
+    for i, x in enumerate(_CORR_COLS):
+        for y in _CORR_COLS[i:]:
+            aggs.append(
+                F.sum((cents[x] * cents[y]).cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias(f"p_{x}_{y}")
+            )
+    sums = li.agg(*aggs)
+    pair_exprs = []
+    for i, x in enumerate(_CORR_COLS):
+        for y in _CORR_COLS[i + 1 :]:
+            num = f"CAST(n * p_{x}_{y} - s_{x} * s_{y} AS DOUBLE)"
+            dx = f"SQRT(CAST(n * p_{x}_{x} - s_{x} * s_{x} AS DOUBLE))"
+            dy = f"SQRT(CAST(n * p_{y}_{y} - s_{y} * s_{y} AS DOUBLE))"
+            pair_exprs.append(
+                f"'{x}', '{y}', CAST(ROUND({num} / ({dx} * {dy}) * 1000000)"
+                " AS BIGINT)"
+            )
+    stacked = sums.selectExpr(
+        f"stack({len(pair_exprs)}, "
+        + ", ".join(pair_exprs)
+        + ") AS (col_x, col_y, corr_ppm)"
+    )
+    return stacked.orderBy("col_x", "col_y")

@@ -1559,3 +1559,203 @@ def tw_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+# --- A/B experiment readout ------------------------------------------------------
+
+# Unit of analysis = user (the standard guard against within-user
+# correlation inflating significance); arm = user_id parity, the kind of
+# deterministic hash split a real assignment service produces.
+
+
+@register(
+    "tw_experiment_readout",
+    oracle="""
+    WITH unit AS (
+        SELECT event_type,
+               user_id,
+               user_id % 2 AS arm,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        GROUP BY event_type, user_id
+    ),
+    arm_stats AS (
+        SELECT event_type, arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS ss
+        FROM unit GROUP BY event_type, arm
+    ),
+    wide AS (
+        SELECT a.event_type,
+               a.n AS n_a, a.s AS s_a, a.ss AS ss_a,
+               b.n AS n_b, b.s AS s_b, b.ss AS ss_b
+        FROM arm_stats a JOIN arm_stats b ON a.event_type = b.event_type
+        WHERE a.arm = 0 AND b.arm = 1
+    )
+    SELECT event_type, n_a, n_b,
+           CAST(s_a // n_a AS BIGINT) AS mean_a_cents,
+           CAST(s_b // n_b AS BIGINT) AS mean_b_cents,
+           CAST(ROUND((CAST(s_a AS DOUBLE) * n_b / (CAST(s_b AS DOUBLE) * n_a)
+                       - 1.0) * 1000000) AS BIGINT) AS lift_ppm,
+           CAST(ROUND(
+               (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+               / SQRT(
+                   (CAST(n_a AS DOUBLE) * ss_a - CAST(s_a AS DOUBLE) * s_a)
+                     / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))
+                   + (CAST(n_b AS DOUBLE) * ss_b - CAST(s_b AS DOUBLE) * s_b)
+                     / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))
+               * 1000) AS BIGINT) AS welch_t_milli,
+           CAST(ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                      / (n_a + n_b) * 1000) AS BIGINT) AS srm_chi2_milli
+    FROM wide
+    ORDER BY event_type
+    """,
+    tags=("experiment", "abtest", "statistics"),
+)
+def tw_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: per event_type, user-level Welch t-test
+    between the two deterministic assignment arms (user_id parity), plus
+    relative lift and a sample-ratio-mismatch chi-square.
+
+    Cross-engine exactness: per-user metrics and all first/second moments
+    are EXACT integer cents (cents² sums stay < 2^63 at any realistic
+    SF); the t statistic, lift, and SRM χ² are computed as doubles FROM
+    those exact integers — bit-identical inputs + IEEE ops — then rounded
+    onto milli/ppm grids.
+
+    Plan shape (100 TB): two map-side-combined aggregations — events →
+    (event_type, user) units, units → (event_type, arm) moments — then a
+    self-join of the 2·|event_types| moment rows. The expensive shuffle
+    keys on (event_type, user_id): high cardinality, no skew. This is the
+    exact plan an experimentation platform's nightly readout runs.
+    """
+    e = _t(spark, sf_dir, "events")
+    unit = (
+        e.groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+        )
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    arm_stats = unit.groupBy("event_type", "arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    a = arm_stats.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    b = arm_stats.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    return (
+        a.join(b, "event_type")
+        .selectExpr(
+            "event_type",
+            "n_a",
+            "n_b",
+            "s_a DIV n_a AS mean_a_cents",
+            "s_b DIV n_b AS mean_b_cents",
+            "CAST(ROUND((CAST(s_a AS DOUBLE) * n_b / (CAST(s_b AS DOUBLE) * n_a)"
+            " - 1.0D) * 1000000) AS BIGINT) AS lift_ppm",
+            "CAST(ROUND("
+            " (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)"
+            " / SQRT("
+            "   (CAST(n_a AS DOUBLE) * ss_a - CAST(s_a AS DOUBLE) * s_a)"
+            "     / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))"
+            "   + (CAST(n_b AS DOUBLE) * ss_b - CAST(s_b AS DOUBLE) * s_b)"
+            "     / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))"
+            " * 1000) AS BIGINT) AS welch_t_milli",
+            "CAST(ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)"
+            " / (n_a + n_b) * 1000) AS BIGINT) AS srm_chi2_milli",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- power-user concentration curve ----------------------------------------------
+
+
+@register(
+    "tw_power_user_curve",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT SUM(n_events) AS total FROM per_user),
+    ranked AS (
+        SELECT n_events,
+               CAST(NTILE(10) OVER (ORDER BY n_events, user_id) AS INTEGER)
+                   AS decile
+        FROM per_user
+    ),
+    per_decile AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(n_events) AS BIGINT) AS events
+        FROM ranked GROUP BY decile
+    )
+    SELECT decile, n_users, events,
+           CAST(events * 1000000 // tot.total AS BIGINT) AS share_ppm,
+           CAST(CAST(SUM(events) OVER (ORDER BY decile) AS BIGINT)
+                * 1000000 // tot.total AS BIGINT) AS cum_share_ppm
+    FROM per_decile, tot
+    ORDER BY decile
+    """,
+    tags=("activity", "distribution", "window"),
+)
+def tw_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user concentration (Lorenz-style) curve: users in activity
+    deciles, each decile's share and cumulative share of all events —
+    the 'what fraction of traffic do the top 10% generate' readout.
+
+    Determinism: NTILE is ordered by (n_events, user_id) — a total order
+    — so decile assignment is identical across engines; shares are exact
+    integer ppm.
+
+    Plan shape (100 TB): one map-side-combined per-user count (the only
+    fact-sized shuffle), then NTILE over the |users| relation. A global
+    NTILE is a single-reducer sort in naive form; at cluster scale the
+    decile boundaries would come from approx/exact percentiles of
+    n_events computed distributively (the fx_equidepth_histogram
+    two-level decomposition) — here |users| ≪ |events| by 4 orders, so
+    the window cost is already negligible and exactness wins.
+    """
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    ranked = per_user.select(
+        "n_events",
+        F.ntile(10)
+        .over(Window.orderBy(F.asc("n_events"), F.asc("user_id")))
+        .alias("decile"),
+    )
+    per_decile = ranked.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("n_events").alias("events"),
+    )
+    total = per_user.agg(F.sum("n_events").alias("total"))
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_decile.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_users",
+            "events",
+            F.expr("events * 1000000 DIV total").alias("share_ppm"),
+            (F.sum("events").over(wcum) * 1000000)
+            .cast("bigint")
+            .alias("_cum_scaled"),
+            "total",
+        )
+        .withColumn("cum_share_ppm", F.expr("_cum_scaled DIV total"))
+        .select("decile", "n_users", "events", "share_ppm", "cum_share_ppm")
+        .orderBy("decile")
+    )

@@ -697,3 +697,100 @@ def st_template_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("template_key"))
         .limit(TEMPLATE_TOP)
     )
+
+
+# --- exactly-once sink audit -------------------------------------------------------
+
+
+@register(
+    "st_exactly_once_sink_audit",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT event_type AS last_event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS sum_last_cents
+    FROM latest WHERE rn = 1
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "sink", "exactly-once"),
+)
+def st_exactly_once_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-by-idempotence audit for a foreachBatch parquet sink:
+    drain the event stream into a latest-record-per-user warehouse, then
+    REPLAY the whole stream into the same warehouse with a fresh
+    checkpoint (the worst-case redelivery: every record duplicated), and
+    read the final state back. The result value-matches the batch
+    'latest per user' oracle ONLY if the sink is genuinely idempotent —
+    duplicate-sensitive sinks (blind appends, counters) would double.
+
+    The sink's merge is MONOTONE: each batch rewrites the store as the
+    per-user argmax by (ts, event_id) over old ∪ new rows. Argmax over a
+    total order is associative, commutative, and idempotent, so the
+    final state is independent of micro-batch boundaries, file order,
+    AND redelivery — the formal property foreachBatch sinks need, since
+    Structured Streaming only guarantees at-least-once delivery to the
+    batch function (re-run on restart between commit and checkpoint).
+
+    Plan shape (100 TB): each micro-batch merge shuffles on user_id
+    (high cardinality); a production store would be a partitioned MERGE
+    (etl.warehouse.merge_upsert_partitioned) touching only affected
+    partitions rather than this test-scale full rewrite — the audit's
+    argmax-merge semantics carry over unchanged.
+    """
+    import os
+    import tempfile
+
+    from .pipelines import read_events_stream
+
+    ensure_analytics_conf(spark)
+    tmp = tempfile.mkdtemp(prefix="st_eo_audit_")
+    target = os.path.join(tmp, "latest_wh")
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        new = batch_df.select(*cols)
+        if os.path.exists(target):
+            new = new.unionByName(s.read.parquet(target).select(*cols))
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        merged = (
+            new.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            # materialize BEFORE the overwrite: Spark cannot stream-
+            # overwrite files it is still reading (warehouse.py idiom)
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(target)
+
+    stream = read_events_stream(spark, sf_dir).select(*cols)
+    for ck in ("ck_first", "ck_replay"):
+        (
+            stream.writeStream.foreachBatch(_merge)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, ck))
+            .start()
+            .awaitTermination()
+        )
+    final = spark.read.parquet(target)
+    return (
+        final.groupBy(F.col("event_type").alias("last_event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "sum_last_cents"
+            ),
+        )
+        .orderBy("last_event_type")
+    )

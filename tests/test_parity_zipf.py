@@ -78,6 +78,22 @@ ZIPF_CASES = [
     "tw_churn_rate",
     "tw_activity_heatmap",
     "tx_vocab_growth_heaps",
+    # round-10 ops on the data they were built for: the power-user curve
+    # and experiment readout where per-user activity is genuinely
+    # power-law (the hottest user carries ~9% of events — NTILE ties and
+    # heavy-tailed variances), Katz centrality on the hub graph (the
+    # most hub-sensitive centrality: its 2^63 headroom argument is
+    # exercised where maxW actually spikes), vocabulary coverage on the
+    # Zipfian vocabulary (top-K coverage is the statistic zipf bends
+    # hardest), the attribution window where hot users inflate per-key
+    # join fan-out, and the seasonal decomposition over the skewed
+    # hourly series.
+    "tw_power_user_curve",
+    "tw_experiment_readout",
+    "gr_katz_centrality",
+    "tx_vocab_coverage",
+    "rj_purchase_attribution_window",
+    "ht_classical_decompose",
 ]
 
 

@@ -565,3 +565,54 @@ def test_round9_new_ops_plan_shapes(spark, sf_dir):
     # heatmap / churn / lift: map-side combine before any exchange
     for name in ("tw_activity_heatmap", "tw_churn_rate", "fx_decile_lift"):
         assert X.has_partial_aggregate(_df(spark, sf_dir, name)), name
+
+
+def test_round10_new_ops_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-10 operators."""
+    # market basket: the Apriori semi-join prunes BEFORE the pair
+    # self-join; no cartesian anywhere; pair counts combine map-side
+    df = _df(spark, sf_dir, "fx_market_basket")
+    assert not X.has_cartesian_product(df)
+    assert X.has_partial_aggregate(df)
+    # correlation matrix: ONE scan feeding one global aggregate — no
+    # join, no window, and the scan reads only the 4 measure columns
+    df = _df(spark, sf_dir, "fx_correlation_matrix")
+    assert X.has_partial_aggregate(df)
+    schemas = " ".join(X.read_schemas(df))
+    for absent in ("l_orderkey", "l_shipdate", "l_returnflag"):
+        assert absent not in schemas, schemas
+    # experiment readout: events scan pruned to the 3 used columns,
+    # moments combine map-side
+    df = _df(spark, sf_dir, "tw_experiment_readout")
+    assert X.has_partial_aggregate(df)
+    schemas = " ".join(X.read_schemas(df))
+    assert "props" not in schemas, schemas
+    # attribution window: the time-range join is an equi-join (bucketed
+    # rewrite), never a broadcast nested loop / cartesian
+    df = _df(spark, sf_dir, "rj_purchase_attribution_window")
+    assert not X.has_cartesian_product(df)
+    plan = X.formatted_plan(df)
+    # the purchase↔click range join must be a HASH/SORT-MERGE equi-join
+    # on (user_id, bucket); the only nested-loop allowed is the 1-row
+    # broadcast total (the house scalar-crossJoin pattern)
+    assert any(
+        j in plan
+        for j in (
+            "SortMergeJoin LeftOuter",
+            "ShuffledHashJoin LeftOuter",
+            "BroadcastHashJoin LeftOuter",
+        )
+    ), plan
+    assert "NestedLoopJoin LeftOuter" not in plan, plan
+    # shard packing: the documents scan never reads lang/n_chars
+    df = _df(spark, sf_dir, "mm_shard_pack_plan")
+    schemas = " ".join(X.read_schemas(df))
+    assert "lang" not in schemas and "n_chars" not in schemas, schemas
+    # decomposition / vocab coverage / power curve: partial agg before
+    # the exchange on the fact-sized shuffle
+    for name in (
+        "ht_classical_decompose",
+        "tx_vocab_coverage",
+        "tw_power_user_curve",
+    ):
+        assert X.has_partial_aggregate(_df(spark, sf_dir, name)), name
