@@ -218,6 +218,9 @@ HEADLINE = [
     "ht_classical_decompose",
     "tx_vocab_coverage",
     "st_exactly_once_sink_audit",
+    "tx_dataset_card",
+    "sk_salt_plan",
+    "aj_error_last_action",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -427,6 +427,42 @@ def tx_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rule thresholds (Rae et al., "Scaling Language Models: ... Gopher" §A1.1
 # in spirit; bounds adapted to the synthetic corpus). Shared by the Spark
 # expressions AND the generated oracle SQL so the two cannot drift.
+def _gopher_signals(text: str = "text"):
+    """The four Gopher quality signals as Catalyst Columns — the single
+    Spark-side source of the rules for tx_gopher_quality (per-doc report),
+    tx_dataset_card (keep-rate summary), and any future consumer, so the
+    rule set cannot silently fork (the _coservice_lpa factoring rule).
+    Signals are ROUNDED exactly as the oracles round them, so boundary
+    docs cannot flip between engines."""
+    toks = T.tokens(text)
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = F.round(
+        sum_len.cast("double") / F.nullif(F.size(toks), F.lit(0)), 6
+    )
+    symbol_ratio = F.round(
+        F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).cast("double")
+        / F.nullif(F.length(text), F.lit(0)),
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in T.LANG_STOPWORDS["en"]]))
+    ).cast("long")
+    return n_words, mean_len, symbol_ratio, stop_hits
+
+
+def _gopher_keep(n_words, mean_len, symbol_ratio, stop_hits):
+    """The conjunctive Gopher keep decision from the rounded signals."""
+    return (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    )
+
+
 GOPHER_MIN_WORDS = 20
 GOPHER_MAX_WORDS = 100_000
 GOPHER_MEAN_LEN_LO = 2.0
@@ -466,22 +502,7 @@ def tx_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary docs cannot flip between them.
     """
     d = _t(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    n_words = F.size(toks).cast("long")
-    sum_len = F.aggregate(
-        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
-    )
-    mean_len = F.round(
-        sum_len.cast("double") / F.nullif(F.size(toks), F.lit(0)), 6
-    )
-    symbol_ratio = F.round(
-        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
-        / F.nullif(F.length("text"), F.lit(0)),
-        6,
-    )
-    stop_hits = F.size(
-        F.array_intersect(toks, F.array(*[F.lit(w) for w in T.LANG_STOPWORDS["en"]]))
-    ).cast("long")
+    n_words, mean_len, symbol_ratio, stop_hits = _gopher_signals()
     out = d.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -491,10 +512,12 @@ def tx_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.withColumn(
         "keep",
-        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & F.col("mean_word_len").between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
-        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
-        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS),
+        _gopher_keep(
+            F.col("n_words"),
+            F.col("mean_word_len"),
+            F.col("symbol_ratio"),
+            F.col("stopword_hits"),
+        ),
     )
 
 
@@ -3042,6 +3065,228 @@ def tx_lang_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_langs",
             "top_lang",
             F.expr("(top_n * 1000000) DIV n_docs").alias("top_lang_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- fixed-vocabulary token coverage -------------------------------------------
+
+VOCAB_COVERAGE_K = 500  # vocabulary budget: global top-K words
+
+
+@register(
+    "tx_vocab_coverage",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn FROM freq
+        ) WHERE rn <= {VOCAB_COVERAGE_K}
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (WHERE w IN (SELECT w FROM vocab))
+                    AS BIGINT) AS in_vocab
+        FROM tok GROUP BY source
+    )
+    SELECT source, n_tokens, in_vocab,
+           in_vocab * 1000000 // n_tokens AS coverage_ppm
+    FROM per_source
+    ORDER BY source
+    """,
+    tags=("text", "vocabulary", "tokenizer"),
+)
+def tx_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token coverage of a fixed top-K vocabulary, per source: the
+    fraction of running tokens a K-word vocabulary explains — the
+    OOV-rate readout that drives tokenizer vocabulary sizing and flags
+    sources whose distribution a shared vocab underserves (high OOV →
+    fertility blow-up downstream, see tx_tokenizer_fertility).
+
+    Vocabulary selection is deterministic: top-K by (count DESC, word) —
+    a total order, so both engines pick the identical K words.
+
+    Plan shape (100 TB): two aggregations over the exploded token
+    relation — global word counts (map-side combined; the token relation
+    is computed once and reused by ReuseExchange since both consumers
+    group the same scan) and per-source totals — plus a semi-join of
+    tokens against the K-row vocabulary, which AQE broadcasts. The
+    top-K selection runs on |vocab| rows, not tokens. No Python.
+    """
+    ensure_analytics_conf(spark)
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+    )
+    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
+    vocab = (
+        freq.select(
+            "w",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("w")))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= VOCAB_COVERAGE_K)
+        .select("w")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "w", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("_in", F.lit(0))).cast("long").alias("in_vocab"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "in_vocab",
+            F.expr("in_vocab * 1000000 DIV n_tokens").alias("coverage_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- dataset card ---------------------------------------------------------------
+
+
+def _dataset_card_oracle() -> str:
+    return rf"""
+    WITH base AS (
+        SELECT source, lang,
+               CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+               md5(lower(trim(text))) AS h,
+               (CAST(len({SQL_TOKENS}) AS BIGINT)
+                    BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND ROUND(list_sum(list_transform({SQL_TOKENS},
+                                                  t -> length(t)))::DOUBLE
+                          / nullif(len({SQL_TOKENS}), 0), 6)
+                    BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
+                AND ROUND(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+                          / nullif(length(text), 0), 6)
+                    <= {GOPHER_MAX_SYMBOL_RATIO}
+                AND CAST(len(list_intersect({SQL_TOKENS}, [{_EN}])) AS BIGINT)
+                    >= {GOPHER_MIN_STOPWORD_HITS}) AS keep
+        FROM documents
+    ),
+    dup AS (
+        SELECT h, COUNT(*) AS c FROM base GROUP BY h
+    ),
+    flagged AS (
+        SELECT base.*, (dup.c >= 2) AS is_dup
+        FROM base JOIN dup ON base.h = dup.h
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_keep,
+               CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup
+        FROM flagged GROUP BY source
+    ),
+    lang_top AS (
+        SELECT source, lang AS top_lang, c AS top_lang_docs
+        FROM (
+            SELECT source, lang, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY COUNT(*) DESC, lang) AS rn
+            FROM base GROUP BY source, lang
+        ) WHERE rn = 1
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           p.n_tokens * 1000 // p.n_docs AS mean_tokens_milli,
+           l.top_lang,
+           l.top_lang_docs * 1000000 // p.n_docs AS top_lang_ppm,
+           p.n_keep * 1000000 // p.n_docs AS gopher_keep_ppm,
+           p.n_dup * 1000000 // p.n_docs AS dup_ppm
+    FROM per_source p JOIN lang_top l ON l.source = p.source
+    ORDER BY p.source
+    """
+
+
+@register(
+    "tx_dataset_card",
+    oracle=_dataset_card_oracle(),
+    tags=("text", "composite", "datasheet"),
+)
+def tx_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset datasheet: per-source corpus card with volume (docs,
+    tokens, mean length), dominant language and its share, Gopher-rule
+    keep rate, and corpus-level exact-duplicate rate — the one-page
+    summary a training-data release ships with (HuggingFace dataset
+    cards, Datasheets for Datasets), produced as ONE job.
+
+    Rule provenance: the keep flag comes from the SAME ``_gopher_signals``
+    / ``_gopher_keep`` helpers as tx_gopher_quality, and the dup flag from
+    the same md5(lower(trim())) key as dd_exact_* — the card is an
+    aggregation of the pipeline's own stage semantics, not a re-derivation
+    that could drift.
+
+    Plan shape (100 TB): one documents scan computes all per-doc signals
+    (token stats, gopher conjunction, content hash) in a single Catalyst
+    pass; the dup join shuffles 16-byte hashes (map-side-combined counts,
+    no broadcast hint — dup mass is unbounded, the tx_corpus_build
+    lesson); per-source and per-(source, lang) aggregations are
+    |sources|-sized. Everything downstream of the scan moves hashes and
+    counters, never text.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_words, mean_len, symbol_ratio, stop_hits = _gopher_signals()
+    base = d.select(
+        "source",
+        "lang",
+        n_words.alias("n_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+        _gopher_keep(n_words, mean_len, symbol_ratio, stop_hits).alias("keep"),
+    ).localCheckpoint(eager=True)
+    dup = base.groupBy("h").agg(F.count("*").alias("c"))
+    flagged = base.join(dup, "h").withColumn("is_dup", F.col("c") >= 2)
+    per_source = flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup"),
+    )
+    from pyspark.sql import Window
+
+    lang_top = (
+        base.groupBy("source", "lang")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("c").alias("top_lang_docs"),
+        )
+    )
+    return (
+        per_source.join(lang_top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000 DIV n_docs").alias("mean_tokens_milli"),
+            "top_lang",
+            F.expr("top_lang_docs * 1000000 DIV n_docs").alias("top_lang_ppm"),
+            F.expr("n_keep * 1000000 DIV n_docs").alias("gopher_keep_ppm"),
+            F.expr("n_dup * 1000000 DIV n_docs").alias("dup_ppm"),
         )
         .orderBy("source")
     )

@@ -357,3 +357,97 @@ def aj_purchase_last_click_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
             "micros_since_click"
         ),
     )
+
+
+# --- error-context as-of (same-relation probe/reference) --------------------------
+
+
+@register(
+    "aj_error_last_action",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(CASE WHEN event_type <> 'error' THEN event_type END
+                          IGNORE NULLS) OVER w AS prior_type,
+               last_value(CASE WHEN event_type <> 'error' THEN epoch_us(ts) END
+                          IGNORE NULLS) OVER w AS prior_us
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY ts,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END,
+                     event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT COALESCE(prior_type, 'none') AS prior_type,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           CAST(SUM(epoch_us(ts) - prior_us) // COUNT(*) AS BIGINT)
+               AS mean_lag_micros,
+           CAST(MAX(epoch_us(ts) - prior_us) AS BIGINT) AS max_lag_micros
+    FROM seq
+    WHERE event_type = 'error'
+    GROUP BY prior_type
+    ORDER BY prior_type
+    """,
+    tags=("asof", "events", "diagnostics"),
+)
+def aj_error_last_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What was the user doing right before each error? As-of join every
+    error event backward to the same user's most recent prior NON-error
+    event, then profile errors by that prior action (count, mean/max
+    lag) — the triage table an on-call reads to see which action
+    precedes failures.
+
+    Because probe and reference come from the SAME relation, the
+    union-and-carry as-of (asof_join's plan) degenerates to a single
+    window pass: one shuffle on user_id, ``last(payload, ignorenulls)``
+    carrying the latest non-error forward. Tie order inside an equal
+    timestamp: reference rows sort BEFORE the error (backward ts<=
+    semantics) and among equal-ts references the highest event_id wins —
+    the same (ts, side, id) total order asof_join pins, replayed
+    verbatim by the oracle's WINDOW clause.
+
+    Plan shape (100 TB): ONE shuffle on user_id (high cardinality), then
+    a map-side-combined aggregation to ≤|event_types| rows. Lags are
+    exact epoch-micro integers; the mean is the truncating DIV pair.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).asc(),
+            F.col("event_id").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    non_err_type = F.when(
+        F.col("event_type") != "error", F.col("event_type")
+    )
+    non_err_us = F.when(
+        F.col("event_type") != "error", F.expr("unix_micros(ts)")
+    )
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(non_err_type, ignorenulls=True).over(w).alias("prior_type"),
+        F.last(non_err_us, ignorenulls=True).over(w).alias("prior_us"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "error")
+        .groupBy(F.coalesce("prior_type", F.lit("none")).alias("prior_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_errors"),
+            F.expr(
+                "CAST(SUM(unix_micros(ts) - prior_us) DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_lag_micros"),
+            F.max(F.expr("unix_micros(ts) - prior_us"))
+            .cast("long")
+            .alias("max_lag_micros"),
+        )
+        .orderBy("prior_type")
+    )

@@ -6,10 +6,13 @@ feature-extract step runs as Arrow-batched ``mapInPandas``.
 ``decode_image`` is a real dependency-free binary-PNM (PPM/PGM) decoder
 — header parse, raster slice, nearest-neighbor thumbnail, mean sample —
 oracle-checked end-to-end by ``mm_ppm_decode`` on Catalyst-synthesized
-PPM blobs; jpeg/png need an imaging library this container lacks, so
-``fake_decode_image`` remains the deterministic stand-in for
-format-agnostic pipeline demos. Everything Spark-side — schema,
-batching, partitioning, UDF signature — is identical either way.
+PPM blobs — and baseline JPEG decodes dependency-free too, at DC (1/8)
+resolution (``_decode_image_jpeg_dc``: real Huffman entropy decode, the
+libjpeg ``scale_denom=8`` shortcut). Progressive JPEG / PNG / WebP need
+an imaging library this container lacks, so ``fake_decode_image``
+remains the deterministic stand-in for format-agnostic pipeline demos.
+Everything Spark-side — schema, batching, partitioning, UDF signature —
+is identical either way.
 
 At 100 TB: binary payloads dominate row size, so the pipeline projects
 metadata-only columns wherever possible (column pruning keeps payload IO
@@ -105,6 +108,246 @@ def _ppm_token(buf: bytes, pos: int) -> tuple[bytes, int]:
     return buf[start:pos], pos
 
 
+def _jpeg_build_huffman(counts: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table → {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    byte-unstuffing; stops cleanly at any non-RST marker."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RST handled by caller via align()
+                raise ValueError("unconsumed restart marker in scan")
+            else:
+                raise ValueError("marker inside entropy data (truncated scan)")
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Byte-align and consume one RSTn marker."""
+        self.nbits = 0
+        if not (
+            self.buf[self.pos] == 0xFF and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+    def decode_huffman(self, table: dict) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """JPEG RECEIVE/EXTEND: map t raw bits to the signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_image_jpeg_dc(payload: bytes, thumb_side: int = 8) -> dict:
+    """Dependency-free baseline-JPEG decode at DC (1/8) resolution.
+
+    Pure-Python Huffman + DC-only IDCT: the DC coefficient of an 8×8
+    block IS 8× its mean, so decoding only DC terms (while Huffman-
+    skipping the AC stream to stay bit-synchronized) yields the exact
+    block-mean luma image at 1/8 scale — the same shortcut libjpeg's
+    ``scale_denom=8`` takes. Real full-resolution decode still belongs to
+    an imaging library (``_decode_image_pil``); this closes the
+    in-container seam for the dominant training-data format with honest
+    bytes-to-pixels work: marker parse, canonical Huffman tables, entropy
+    decode with byte-unstuffing and restart markers, dequantization.
+
+    Supports baseline/extended-sequential Huffman (SOF0/SOF1), 8-bit,
+    any subsampling; progressive (SOF2) and arithmetic coding raise the
+    actionable error that names the Pillow fallback. Contract matches
+    decode_image: exact width/height/n_pixels, ``thumb_side``² gray
+    thumbnail (nearest-neighbor over the block-mean grid), mean sample.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan_comps = None
+    restart_interval = 0
+    pos = 2
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if marker == 0xD9:
+            raise ValueError("EOI before scan data")
+        seg_len = (payload[pos] << 8) | payload[pos + 1]
+        body = payload[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if prec == 0:
+                    qt[tid] = list(body[i : i + 64])
+                    i += 64
+                else:
+                    qt[tid] = [
+                        (body[i + 2 * k] << 8) | body[i + 2 * k + 1]
+                        for k in range(64)
+                    ]
+                    i += 128
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tclass, tid = body[i] >> 4, body[i] & 0x0F
+                counts = body[i + 1 : i + 17]
+                nsym = sum(counts)
+                symbols = body[i + 17 : i + 17 + nsym]
+                huff[(tclass, tid)] = _jpeg_build_huffman(counts, symbols)
+                i += 17 + nsym
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential Huffman
+            if body[0] != 8:
+                raise ValueError("non-8-bit JPEG requires pillow")
+            h = (body[1] << 8) | body[2]
+            w = (body[3] << 8) | body[4]
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "progressive/arithmetic/lossless JPEG requires pillow"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = (body[0] << 8) | body[1]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tables = body[2 + 2 * c]
+                scan_comps.append((cid, tables >> 4, tables & 0x0F))
+            pos += seg_len
+            break
+        pos += seg_len
+    if frame is None or scan_comps is None:
+        raise ValueError("truncated JPEG: missing SOF/SOS")
+    w, h, comps = frame
+    if h == 0:
+        raise ValueError("DNL-deferred height requires pillow")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # scan order follows SOS component order; per-component decode state
+    order = []
+    for cid, td, ta in scan_comps:
+        comp = next(c for c in comps if c[0] == cid)
+        order.append((cid, comp[1], comp[2], comp[3], td, ta))
+    y_cid, y_h, y_v, y_tq = comps[0][0], comps[0][1], comps[0][2], comps[0][3]
+    yw_blocks = mcus_x * y_h
+    y_grid = [[0] * yw_blocks for _ in range(mcus_y * y_v)]
+    dc_pred = {cid: 0 for cid, *_ in order}
+    reader = _JpegBitReader(payload, pos)
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.align_restart()
+            dc_pred = {cid: 0 for cid in dc_pred}
+        mx, my = mcu % mcus_x, mcu // mcus_x
+        for cid, ch, cv, _tq, td, ta in order:
+            dc_table = huff.get((0, td))
+            ac_table = huff.get((1, ta))
+            if dc_table is None or ac_table is None:
+                raise ValueError("scan references undefined Huffman table")
+            for by in range(cv):
+                for bx in range(ch):
+                    t = reader.decode_huffman(dc_table)
+                    dc_pred[cid] += _jpeg_extend(reader.receive(t), t)
+                    if cid == y_cid:
+                        y_grid[my * y_v + by][mx * y_h + bx] = dc_pred[cid]
+                    k = 1  # AC skip: decode symbols, discard values
+                    while k < 64:
+                        s = reader.decode_huffman(ac_table)
+                        if s == 0x00:  # EOB
+                            break
+                        if s == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += (s >> 4) + 1
+                        reader.receive(s & 0x0F)
+    # DC-only IDCT: block mean = DC·Q[0]/8 + 128, clamped to [0, 255].
+    q0 = qt[y_tq][0]
+    # crop the padded block grid to blocks actually covering the image
+    # (Y spatial size = ceil(dim · sampling / max_sampling))
+    yw = -(-w * y_h // hmax)
+    yh = -(-h * y_v // vmax)
+    bw, bh = -(-yw // 8), -(-yh // 8)
+    means = [
+        [min(255, max(0, (y_grid[r][c] * q0) // 8 + 128)) for c in range(bw)]
+        for r in range(bh)
+    ]
+    tw, th = min(thumb_side, w), min(thumb_side, h)
+    thumb = bytearray()
+    for ty in range(th):
+        sy = (ty * h // th) * yh // h // 8
+        for tx in range(tw):
+            sx = (tx * w // tw) * yw // w // 8
+            thumb.append(means[min(sy, bh - 1)][min(sx, bw - 1)])
+    total = sum(sum(row) for row in means)
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "thumbnail": bytes(thumb),
+        "mean_sample": total / (bw * bh),
+    }
+
+
 def _decode_image_pil(payload: bytes, thumb_side: int = 8) -> dict:
     """JPEG/PNG/WebP decode path: same contract as :func:`decode_image`,
     delegated to Pillow when it is installed (it is an OPTIONAL
@@ -168,6 +411,15 @@ def decode_image(payload: bytes, thumb_side: int = 8) -> dict:
     payload = bytes(payload)
     magic = payload[:2]
     if magic not in (b"P6", b"P5"):
+        if magic == b"\xff\xd8":  # JPEG: dependency-free DC-scale decode
+            try:
+                return _decode_image_jpeg_dc(payload, thumb_side)
+            except ValueError:
+                # progressive/arithmetic/corrupt → imaging-library path
+                # (actionable pillow error when the library is absent)
+                return _decode_image_pil(payload, thumb_side)
+            except IndexError as exc:
+                raise ValueError(f"truncated JPEG payload: {exc}") from exc
         return _decode_image_pil(payload, thumb_side)
     channels = 3 if magic == b"P6" else 1
     tok_w, pos = _ppm_token(payload, 2)

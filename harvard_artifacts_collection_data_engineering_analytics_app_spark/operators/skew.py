@@ -541,3 +541,87 @@ def sk_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(max_cnt * 1_000_000 // n).cast("long").alias("top1_share_ppm"),
     )
+
+
+# --- salt-factor planning ------------------------------------------------------------
+
+SALT_PLAN_TOP = 20
+
+
+@register(
+    "sk_salt_plan",
+    oracle="""
+    WITH c AS (
+        SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT k, cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt, k) AS BIGINT) AS rn
+        FROM c
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nk, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM c
+    ),
+    p AS (
+        SELECT r.cnt AS p95 FROM r, st WHERE r.rn = (95 * st.nk + 95) // 100
+    )
+    SELECT k, cnt,
+           CAST((cnt + p.p95 - 1) // p.p95 AS BIGINT) AS salt_factor,
+           CAST(cnt * 1000000 // st.n AS BIGINT) AS share_ppm
+    FROM c, p, st
+    WHERE (cnt + p.p95 - 1) // p.p95 >= 2
+    ORDER BY cnt DESC, k
+    LIMIT 20
+    """,
+    tags=("skew", "salting", "planning"),
+)
+def sk_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable output of skew diagnosis: per-hot-key salt factors.
+    A key's factor is ceil(count / p95-count) — enough splits that each
+    salted sub-key carries no more than a healthy (95th-percentile) key's
+    load — reported for every key needing factor ≥ 2, hottest first.
+    sk_join_key_skew_profile DETECTS the skew; this emits the plan a
+    salted repartition (sk_salted_join's mechanism) would consume.
+
+    Exactness: p95 is a RANK-PICKED per-key count ((95n+95)//100, the
+    standing rule — never interpolated); factors and shares are exact
+    integer ceil-DIV / ppm arithmetic.
+
+    Plan shape (100 TB): one map-side-combined per-key count (the only
+    fact-sized shuffle); ranking and thresholding run over the |keys|
+    relation. The p95 scalar and totals ride 1-row cross joins. On the
+    zipf variant the hub user (~9% of all events) gets the large factor
+    this op exists to emit.
+    """
+    ensure_analytics_conf(spark)
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    r = c.withColumn(
+        "rn", F.row_number().over(Window.orderBy("cnt", "k")).cast("long")
+    )
+    st = c.agg(
+        F.count("*").cast("long").alias("nk"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    p95 = r.join(
+        F.broadcast(st), F.expr("rn = (95 * nk + 95) DIV 100")
+    ).select(F.col("cnt").alias("p95"))
+    return (
+        c.crossJoin(F.broadcast(p95))
+        .crossJoin(F.broadcast(st.select("n")))
+        .filter(F.expr("(cnt + p95 - 1) DIV p95 >= 2"))
+        .select(
+            "k",
+            "cnt",
+            F.expr("(cnt + p95 - 1) DIV p95").alias("salt_factor"),
+            F.expr("cnt * 1000000 DIV n").alias("share_ppm"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("k"))
+        .limit(SALT_PLAN_TOP)
+    )

@@ -94,6 +94,13 @@ ZIPF_CASES = [
     "tx_vocab_coverage",
     "rj_purchase_attribution_window",
     "ht_classical_decompose",
+    # batch 2: the salt-factor plan (the zipf hub users are the keys it
+    # exists to split), the dataset card over the Zipfian vocabulary and
+    # its boilerplate-inflated dup mass, and the error-context as-of on
+    # hub-user event sequences.
+    "sk_salt_plan",
+    "tx_dataset_card",
+    "aj_error_last_action",
 ]
 
 

@@ -616,3 +616,24 @@ def test_round10_new_ops_plan_shapes(spark, sf_dir):
         "tw_power_user_curve",
     ):
         assert X.has_partial_aggregate(_df(spark, sf_dir, name)), name
+
+
+def test_round10_batch2_plan_shapes(spark, sf_dir):
+    # dataset card: ONE documents scan computes all per-doc signals; the
+    # dup join is an unhinted hash-key equi-join (dup mass unbounded —
+    # the tx_corpus_build rule), counts combine map-side
+    df = _df(spark, sf_dir, "tx_dataset_card")
+    assert X.has_partial_aggregate(df)
+    assert not X.has_cartesian_product(df)
+    # salt plan: per-key counts combine map-side; scalar p95/total ride
+    # broadcasts, never a shuffle of the fact
+    df = _df(spark, sf_dir, "sk_salt_plan")
+    assert X.has_partial_aggregate(df)
+    schemas = " ".join(X.read_schemas(df))
+    assert "props" not in schemas and "event_type" not in schemas, schemas
+    # error-context as-of: single window shuffle on user_id, no join at
+    # all in the plan (same-relation as-of degenerates to one window)
+    df = _df(spark, sf_dir, "aj_error_last_action")
+    plan = X.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert X.has_partial_aggregate(df)

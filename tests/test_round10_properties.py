@@ -429,3 +429,84 @@ def test_experiment_readout_duckdb_replay(spark, tmp_path_factory):
 
     errs = compare(got, want)
     assert not errs, errs
+
+
+# --- error-context as-of: tie order --------------------------------------------------
+
+
+def test_error_last_action_timestamp_ties(spark, tmp_path_factory):
+    """Equal timestamps are where as-of semantics fork: a reference at
+    EXACTLY the error's ts must match (backward ts<=), errors never chain
+    to each other, and among equal-ts references the highest event_id
+    wins. The fixed corpus has collision-free microsecond timestamps, so
+    this is the only place those rules are exercised."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.asof import (  # noqa: E501
+        aj_error_last_action,
+    )
+
+    t = 1_000_000
+    rows = [
+        # user 1: click and view at the SAME ts as the error — highest
+        # event_id (view, id=3) must win; the error (id=4) excluded
+        (2, 5 * t, 1, "click", 100),
+        (3, 5 * t, 1, "view", 100),
+        (4, 5 * t, 1, "error", 100),
+        # user 2: two errors back-to-back — both take the click, never
+        # each other; lag measured to the click for BOTH
+        (10, 1 * t, 2, "click", 100),
+        (11, 2 * t, 2, "error", 100),
+        (12, 3 * t, 2, "error", 100),
+        # user 3: error before any action → 'none'
+        (20, 1 * t, 3, "error", 100),
+        (21, 2 * t, 3, "signup", 100),
+    ]
+    path = str(tmp_path_factory.mktemp("ties"))
+    _write_events(spark, path, rows)
+    got = {
+        r["prior_type"]: (r["n_errors"], r["mean_lag_micros"], r["max_lag_micros"])
+        for r in aj_error_last_action(spark, path).collect()
+    }
+    assert got == {
+        "view": (1, 0, 0),
+        "click": (2, (1 * t + 2 * t) // 2, 2 * t),
+        "none": (1, None, None),
+    }
+
+
+# --- salt plan -----------------------------------------------------------------------
+
+
+def _model_salt_plan(user_counts, top=20):
+    counts = sorted((c, u) for u, c in user_counts.items())
+    nk, n = len(counts), sum(c for c, _ in counts)
+    p95 = counts[(95 * nk + 95) // 100 - 1][0]
+    out = [
+        (u, c, (c + p95 - 1) // p95, c * 1000000 // n)
+        for c, u in counts
+        if (c + p95 - 1) // p95 >= 2
+    ]
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:top]
+
+
+def test_salt_plan_matches_model(spark, tmp_path_factory):
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.skew import (  # noqa: E501
+        sk_salt_plan,
+    )
+
+    rng = random.Random(4242)
+    # zipf-ish: a few hubs, long tail, ties at the p95 boundary
+    user_counts = {u: rng.choice([1, 2, 3, 5, 5, 5, 8]) for u in range(80)}
+    user_counts[90] = 400
+    user_counts[91] = 77
+    user_counts[92] = 10
+    rows = []
+    eid = 0
+    for u, c in user_counts.items():
+        for _ in range(c):
+            rows.append((eid, eid * 999_983, u, "click", 100))
+            eid += 1
+    path = str(tmp_path_factory.mktemp("saltplan"))
+    _write_events(spark, path, rows)
+    got = [tuple(r) for r in sk_salt_plan(spark, path).collect()]
+    assert got == _model_salt_plan(user_counts)
