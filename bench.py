@@ -221,6 +221,7 @@ HEADLINE = [
     "tx_dataset_card",
     "sk_salt_plan",
     "aj_error_last_action",
+    "ss_filtered_ivf_topk",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -4015,3 +4015,124 @@ def ss_pair_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- metadata-filtered ANN -------------------------------------------------------------
+
+_FILTERED_IVF_ORACLE = f"""
+    WITH {{km_ctes}},
+    {SQL_V},
+    qd AS (
+        SELECT vec_id, cluster FROM (
+            SELECT v.vec_id, c.j AS cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_km_dist_sql("v.x", "c.m")}, c.j
+                   ) AS rn
+            FROM x v CROSS JOIN c{KM_ITERS} c
+            WHERE v.vec_id < {N_QUERIES}
+        ) WHERE rn <= {IVF_KM_NPROBE}
+    ),
+    scored AS (
+        SELECT DISTINCT qd.vec_id AS q_id, a.vec_id AS neighbor_id,
+               ROUND({SQL_COS.format(a="vq", b="vc")}, 6) AS cosine
+        FROM qd
+        JOIN a{KM_ITERS} a ON a.cluster = qd.cluster
+                          AND a.vec_id != qd.vec_id
+        JOIN embeddings ql ON ql.vec_id = qd.vec_id
+        JOIN embeddings al ON al.vec_id = a.vec_id AND al.label = ql.label
+        JOIN v vq ON vq.vec_id = qd.vec_id
+        JOIN v vc ON vc.vec_id = a.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """.replace("{km_ctes}", _km_ctes())
+
+
+@register(
+    "ss_filtered_ivf_topk",
+    oracle=_FILTERED_IVF_ORACLE,
+    tags=("similarity", "ann", "filtered", "ivf"),
+)
+def ss_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search: top-k same-label neighbors from
+    the persisted IVF index — 'nearest products in the same category',
+    the retrieval shape RAG and recommender filters actually run
+    (filtered ANN: Qdrant/Vespa/Milvus's core feature beyond raw top-k).
+
+    Filter placement is the whole design: the label predicate lands on
+    the inverted-list rows BEFORE any cosine is computed (pre-filtering),
+    so scoring cost is filter-selectivity × nprobe/K of the corpus —
+    post-filtering top-k instead silently returns < k rows for selective
+    filters. At 100 TB the filter attribute would be a column OF the
+    index table (inlined at build, as Vespa/Qdrant store payloads
+    alongside postings) making the predicate prunable at the scan; here
+    it arrives by a vec_id equi-join against the base table, which AQE
+    broadcasts — the same join shape, one hop earlier.
+
+    Same trained quantizer, probe arithmetic, and rounding grid as
+    ss_ivf_persisted_topk; the oracle replays quantizer + probe + filter,
+    so the approximation itself is value-checked.
+    """
+    ensure_analytics_conf(spark)
+    idx_table, cent_table = ivf_index_names(sf_dir)
+    if not (
+        spark.catalog.tableExists(idx_table)
+        and spark.catalog.tableExists(cent_table)
+    ):
+        build_ivf_index(spark, sf_dir, idx_table, cent_table)
+    centroids = sorted(
+        (int(r["j"]), [int(v) for v in r["m"]])
+        for r in spark.table(cent_table).collect()
+    )
+    q_rows = (
+        _km_fixed_vectors(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "x")
+        .collect()
+    )
+    probes = _probe_pairs(q_rows, centroids)
+    probe_df = spark.createDataFrame(probes, schema="q_id long, cluster long")
+    probed_clusters = sorted({c for _, c in probes})
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lists = (
+        spark.table(idx_table)
+        .filter(F.col("cluster").isin(probed_clusters))
+        .join(labels, "vec_id")
+    )
+    emb = _vectors(spark, sf_dir)
+    qe = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(labels, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    scored = (
+        F.broadcast(probe_df)
+        .join(lists, "cluster")
+        .join(F.broadcast(qe), "q_id")
+        .filter(
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") == F.col("q_label"))
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")),
+                6,
+            ),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .distinct()
+    )
+    return _ranked_topk(scored, TOP_K)

@@ -637,3 +637,13 @@ def test_round10_batch2_plan_shapes(spark, sf_dir):
     plan = X.formatted_plan(df)
     assert "Join" not in plan, plan
     assert X.has_partial_aggregate(df)
+
+
+def test_filtered_ivf_topk_prefilters(spark, sf_dir):
+    """Filtered ANN: the label predicate must sit under the scoring join
+    (pre-filter), the probe stays an equi-join (no cartesian), and the
+    label attach is a vec_id equi-join."""
+    df = _df(spark, sf_dir, "ss_filtered_ivf_topk")
+    assert not X.has_cartesian_product(df)
+    plan = X.formatted_plan(df)
+    assert "label" in plan and "q_label" in plan
