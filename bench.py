@@ -222,6 +222,8 @@ HEADLINE = [
     "sk_salt_plan",
     "aj_error_last_action",
     "ss_filtered_ivf_topk",
+    "dd_bbit_minhash_calibration",
+    "tw_retention_halflife",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -2771,3 +2771,167 @@ def dd_segment_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_copies"), "canon_doc_id", "canon_seg_no")
         .limit(ATTR_TOP)
     )
+
+
+# --- b-bit minhash calibration (Li & König 2010) ---------------------------------
+
+
+def _bbit_oracle() -> str:
+    """The full-width calibration oracle plus the 1-bit columns: parity
+    agreement count, raw match ppm, and the bias-corrected estimator
+    Ĵ = (E − 1/2)/(1 − 1/2) = 2E − 1 (clamped at 0)."""
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hs, h -> "
+        f"((h % {MINHASH_MOD}) * {a} + {c}) % {MINHASH_MOD})) AS s{i}"
+        for i, (a, c) in enumerate(_AFFINE[:NUM_HASHES])
+    )
+    bit_sum = " + ".join(
+        f"CASE WHEN sa.s{i} % 2 = sb.s{i} % 2 THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    full_sum = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+    WITH {DUCK_LSH_PAIR_CTES},
+    sigs AS (SELECT doc_id, {sig_cols} FROM shn)
+    SELECT v.a_id, v.b_id,
+           CAST({bit_sum} AS BIGINT) AS n_bit_match,
+           CAST((({bit_sum}) * {CAL_PPM}) // {NUM_HASHES} AS BIGINT)
+               AS raw_bit_ppm,
+           GREATEST(CAST(0 AS BIGINT),
+                    2 * CAST((({bit_sum}) * {CAL_PPM}) // {NUM_HASHES}
+                             AS BIGINT) - {CAL_PPM}) AS bbit_est_ppm,
+           CAST((({full_sum}) * {CAL_PPM}) // {NUM_HASHES} AS BIGINT)
+               AS full_est_ppm,
+           ROUND(v.jac, 6) AS jaccard
+    FROM verified v
+    JOIN sigs sa ON sa.doc_id = v.a_id
+    JOIN sigs sb ON sb.doc_id = v.b_id
+    ORDER BY v.a_id, v.b_id
+    """
+
+
+@register(
+    "dd_bbit_minhash_calibration",
+    oracle=_bbit_oracle(),
+    tags=("dedup", "minhash", "bbit", "calibration"),
+)
+def dd_bbit_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash (b = 1, Li & König 2010) calibration: store only the
+    LOWEST BIT of each signature position — 64× less sketch memory than
+    64-bit minhashes, the trick that makes web-scale dedup sketches fit
+    in RAM — and report, per LSH candidate pair, the raw 1-bit agreement
+    rate, the bias-corrected estimator Ĵ = 2E − 1 (random 1-bit
+    collisions contribute E ≈ 1/2 at J = 0, hence the correction), the
+    full-width estimate, and the exact Jaccard — the side-by-side that
+    prices the memory/variance trade before a pipeline commits to b = 1
+    (Var grows ~4× at low J; worth it iff sketches were the RAM bound).
+
+    Exactness: parities of the SAME affine signature family the bands
+    use (one signature relation feeds bands, both estimators, and the
+    exact verify); all estimates are integer ppm via truncating DIV; the
+    clamp is integer GREATEST. Bit-replayed by the oracle.
+
+    Plan shape (100 TB): identical to dd_minhash_jaccard_calibration —
+    banded candidates only, signatures are map-side min-aggregates, and
+    the b-bit columns are free (parity of columns already in flight).
+    """
+    d = (
+        _shingle_relation(_docs(spark, sf_dir))
+        .withColumn("hs", shingle_base_hashes(F.col("sh")))
+        .repartition("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    minh = (
+        d.select("doc_id", F.explode("hs").alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    ((F.col("h") % MINHASH_MOD) * a + c) % MINHASH_MOD
+                ).alias(f"m{i}")
+                for i, (a, c) in enumerate(_AFFINE[:NUM_HASHES])
+            ]
+        )
+        .localCheckpoint(eager=True)
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        )
+        for b in range(NUM_BANDS)
+    ]
+    bands = minh.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("a_id"), F.col("bb.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sig_a = minh.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sig_b = minh.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    n_bit = sum(
+        F.when(F.col(f"a{i}") % 2 == F.col(f"b{i}") % 2, 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    ).cast("long")
+    n_full = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    ).cast("long")
+    sh_a = d.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sh_b = d.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.nullif(
+        F.size(F.array_union("sh_a", "sh_b")).cast("double"), F.lit(0.0)
+    )
+    return (
+        candidates.join(sig_a, "a_id")
+        .join(sig_b, "b_id")
+        .withColumn("n_bit_match", n_bit)
+        .withColumn(
+            "raw_bit_ppm", F.expr(f"(n_bit_match * {CAL_PPM}) DIV {NUM_HASHES}")
+        )
+        .withColumn(
+            "bbit_est_ppm",
+            F.expr(f"GREATEST(CAST(0 AS BIGINT), 2 * raw_bit_ppm - {CAL_PPM})"),
+        )
+        .withColumn("_n_full", n_full)
+        .withColumn(
+            "full_est_ppm", F.expr(f"(_n_full * {CAL_PPM}) DIV {NUM_HASHES}")
+        )
+        .join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_bit_match",
+            "raw_bit_ppm",
+            "bbit_est_ppm",
+            "full_est_ppm",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("a_id", "b_id")
+    )

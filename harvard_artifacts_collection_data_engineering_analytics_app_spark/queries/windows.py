@@ -1759,3 +1759,122 @@ def tw_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("decile", "n_users", "events", "share_ppm", "cum_share_ppm")
         .orderBy("decile")
     )
+
+
+# --- retention half-life fit -------------------------------------------------------
+
+RET_LN_SCALE = 1_000  # ln() quantization grid (the tx_zipf_fit idiom)
+RET_MAX_AGE = 28  # fit ages 1..28 days
+
+
+@register(
+    "tw_retention_halflife",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(MIN(epoch_us(ts)) // 86400000000 AS BIGINT) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM firsts),
+    ages AS (
+        SELECT DISTINCT e.user_id,
+               CAST(epoch_us(e.ts) // 86400000000 AS BIGINT) - f.cohort_day
+                   AS age
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+    ),
+    curve AS (
+        SELECT age,
+               CAST(COUNT(*) AS BIGINT) * 1000000 // tot.n_users AS r_ppm
+        FROM ages, tot
+        WHERE age BETWEEN 1 AND {RET_MAX_AGE}
+        GROUP BY age, tot.n_users
+    ),
+    pts AS (
+        SELECT CAST(age AS BIGINT) AS x,
+               CAST(floor(ln(r_ppm::DOUBLE / 1000000) * {RET_LN_SCALE} + 0.5)
+                    AS BIGINT) AS y
+        FROM curve WHERE r_ppm > 0
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_ages,
+           CAST((n * sxy - sx * sy) * 1000000
+                // ((n * sxx - sx * sx) * {RET_LN_SCALE}) AS BIGINT)
+               AS slope_micro_per_day,
+           CAST(ROUND(-693147000.0
+                      / ((n * sxy - sx * sy) * 1000000.0
+                         / ((n * sxx - sx * sx) * {RET_LN_SCALE})))
+                AS BIGINT) AS halflife_milli_days
+    FROM s
+    """,
+    tags=("events", "retention", "regression"),
+)
+def tw_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-decay fit: the pooled daily retention curve r(age) =
+    share of all users active `age` days after their first event, fit as
+    ln r = a + b·age by exact least squares — slope and half-life
+    (ln 2 / −b) are the two numbers a growth team quotes from every
+    retention curve, and the exponential fit is the standard first model
+    (constant per-day churn hazard).
+
+    Cross-engine exactness is the tx_zipf_fit recipe: each ln value is
+    quantized onto the 1e3 grid IMMEDIATELY (floor(ln·1000 + 0.5)), so
+    the least-squares moments are exact BIGINT sums of identical
+    integers; the slope is the truncating-DIV pair and the half-life is
+    one IEEE division/round from those exact integers.
+
+    Plan shape (100 TB): a per-user MIN (map-side combined), one
+    distinct (user, age) projection, then the RET_MAX_AGE(=28)-row curve
+    — all fact-sized shuffles key on user_id. The regression runs over
+    at most 28 points in a single 1-row aggregate.
+    """
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.expr("CAST(MIN(unix_micros(ts)) DIV 86400000000 AS BIGINT)").alias(
+            "cohort_day"
+        )
+    )
+    n_users = firsts.count()
+    ages = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            (
+                F.expr("unix_micros(ts) DIV 86400000000") - F.col("cohort_day")
+            ).alias("age"),
+        )
+        .distinct()
+    )
+    curve = (
+        ages.filter(F.col("age").between(1, RET_MAX_AGE))
+        .groupBy("age")
+        .agg(
+            F.expr(f"COUNT(*) * 1000000 DIV {n_users}").alias("r_ppm")
+        )
+    )
+    pts = curve.filter(F.col("r_ppm") > 0).select(
+        F.col("age").cast("long").alias("x"),
+        F.expr(
+            f"CAST(FLOOR(LN(CAST(r_ppm AS DOUBLE) / 1000000) * {RET_LN_SCALE}"
+            " + 0.5) AS BIGINT)"
+        ).alias("y"),
+    )
+    return pts.agg(
+        F.count("*").cast("long").alias("n_ages"),
+        F.expr(
+            "CAST((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1000000"
+            f" DIV ((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * {RET_LN_SCALE})"
+            " AS BIGINT)"
+        ).alias("slope_micro_per_day"),
+        F.expr(
+            "CAST(ROUND(-693147000.0D"
+            " / ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1000000.0D"
+            f" / ((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * {RET_LN_SCALE})))"
+            " AS BIGINT)"
+        ).alias("halflife_milli_days"),
+    )

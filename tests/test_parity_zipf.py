@@ -101,6 +101,11 @@ ZIPF_CASES = [
     "sk_salt_plan",
     "tx_dataset_card",
     "aj_error_last_action",
+    # batch 3: the b-bit estimator where boilerplate skew piles pairs
+    # into the low-J region its bias correction exists for, and the
+    # retention fit over the power-law activity curve.
+    "dd_bbit_minhash_calibration",
+    "tw_retention_halflife",
 ]
 
 

@@ -510,3 +510,60 @@ def test_salt_plan_matches_model(spark, tmp_path_factory):
     _write_events(spark, path, rows)
     got = [tuple(r) for r in sk_salt_plan(spark, path).collect()]
     assert got == _model_salt_plan(user_counts)
+
+
+# --- retention half-life (DuckDB replay on synthetic decay) ---------------------------
+
+
+def test_retention_halflife_duckdb_replay(spark, tmp_path_factory):
+    """A synthetic corpus with KNOWN exponential decay: users activate on
+    day 0 and return on day d with probability ~2^(-d/7) (deterministic
+    thinning), so the fitted half-life must land near 7 days AND match
+    DuckDB bit-for-bit (the ln-grid least squares)."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries import (
+        registry,
+    )
+
+    day = 86400 * 1_000_000
+    rows = []
+    eid = 0
+    n_users = 512
+    for uid in range(n_users):
+        rows.append((eid, uid * 311, uid, "signup", 100))
+        eid += 1
+        for d in range(1, 29):
+            # deterministic thinning: keep user on day d iff uid mod 2^(d/7)
+            keep_mod = 2 ** (d // 7 + 1)
+            if uid % keep_mod == 0:
+                rows.append((eid, d * day + uid * 977, uid, "click", 100))
+                eid += 1
+    path = str(tmp_path_factory.mktemp("halflife"))
+    _write_events(spark, path, rows)
+    spec = registry.all_specs()["tw_retention_halflife"]
+    got = spec.builder(spark, path).toPandas()
+    con = _events_duck(path)
+    try:
+        want = con.execute(spec.oracle).fetch_df()
+    finally:
+        con.close()
+    from .oracle_harness import compare
+
+    errs = compare(got, want)
+    assert not errs, errs
+    # step decay: p halves every 7 days ⇒ half-life ≈ 7 days on the fit
+    hl = got["halflife_milli_days"][0]
+    assert 5000 < hl < 11000, hl
+
+
+# --- b-bit minhash estimator --------------------------------------------------------
+
+
+def test_bbit_estimator_clamp_and_identity():
+    """Pure-math pins for the b=1 correction: Ĵ = 2E − 1 clamped at 0 —
+    raw E = 1/2 (random parities) maps to 0, E = 1 maps to 1, and the
+    clamp catches the sub-half noise region."""
+    ppm = 1_000_000
+    for raw, expect in ((500_000, 0), (1_000_000, ppm), (750_000, 500_000),
+                        (400_000, 0), (0, 0)):
+        est = max(0, 2 * raw - ppm)
+        assert est == expect, (raw, est, expect)
