@@ -26,7 +26,7 @@ from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries i
     registry,
 )
 
-HEAD_STATIC = 24  # rq01-20 + flagship + rq20_preagg + rj/sk keepers
+HEAD_STATIC = 22  # rq01-20 + flagship + rq20_preagg (keepers released r11)
 
 
 def main() -> None:
