@@ -88,6 +88,7 @@ def merge_upsert_partitioned(
     updates: DataFrame,
     key_cols: tuple[str, ...],
     partition_col: str,
+    order_cols: tuple[str, ...] | None = None,
 ) -> None:
     """MERGE (upsert) into a partitioned parquet warehouse directory.
 
@@ -103,14 +104,26 @@ def merge_upsert_partitioned(
 
     At 100 TB the IO is proportional to the partitions touched by the
     batch (typically a few days of a date-partitioned fact), not to the
-    table. ``updates`` wins on key collision (MERGE ... WHEN MATCHED THEN
-    UPDATE semantics). The merged rows are materialized via
-    localCheckpoint before the overwrite commits — Spark cannot
-    stream-overwrite files it is still reading.
+    table. Collision semantics:
+
+    - ``order_cols is None`` (default): ``updates`` wins on key collision
+      (MERGE ... WHEN MATCHED THEN UPDATE);
+    - ``order_cols`` given: the ARGMAX row over ``order_cols`` (descending,
+      a total order so ties are impossible) across old ∪ new wins —
+      MERGE ... WHEN MATCHED AND new.ord > old.ord THEN UPDATE, the
+      latest-record-per-key upsert. Argmax over a total order is
+      associative, commutative, and idempotent, so this form is safe
+      under at-least-once redelivery (a foreachBatch sink replaying a
+      micro-batch — or the whole stream — cannot regress the store).
+
+    The merged rows are materialized via localCheckpoint before the
+    overwrite commits — Spark cannot stream-overwrite files it is still
+    reading.
     """
     import os
 
     import pyspark.sql.functions as F
+    from pyspark.sql import Window
 
     updates = updates.localCheckpoint(eager=True)
     if os.path.isdir(target_dir) and any(
@@ -121,12 +134,28 @@ def merge_upsert_partitioned(
             r[0] for r in updates.select(partition_col).distinct().collect()
         ]
         existing = tgt.filter(F.col(partition_col).isin(parts))
-        survivors = existing.join(
-            updates.select(*key_cols).distinct(), on=list(key_cols), how="left_anti"
-        )
-        merged = survivors.select(*updates.columns).unionByName(updates)
+        if order_cols is None:
+            survivors = existing.join(
+                updates.select(*key_cols).distinct(),
+                on=list(key_cols),
+                how="left_anti",
+            )
+            merged = survivors.select(*updates.columns).unionByName(updates)
+        else:
+            merged = existing.select(*updates.columns).unionByName(updates)
     else:
         merged = updates
+    if order_cols is not None:
+        # argmax applies to intra-batch duplicates too (a micro-batch can
+        # carry several records for one key), including the first write
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
+        merged = (
+            merged.withColumn("_mu_rn", F.row_number().over(w))
+            .filter(F.col("_mu_rn") == 1)
+            .drop("_mu_rn")
+        )
     merged = merged.localCheckpoint(eager=True)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
