@@ -224,10 +224,14 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # UNION (not UNION ALL) dedups rows so the recursion terminates; min over
 # all reachable labels = the component id. Fine at oracle scale; the
 # Spark side is the one that has to scale.
-_DUCK_COMPONENTS_CTES = f"""{DUCK_LSH_PAIR_CTES},
-    pairs AS (
-        SELECT a_id, b_id FROM verified WHERE jac >= {JACCARD_THRESHOLD}
-    ),
+#
+# The components-from-pairs block is factored out so tests can replay the
+# identical recursion over PRE-MATERIALIZED pairs (judge VERDICT r10 #7:
+# the zipf variant's boilerplate inflates the band-candidate verify in
+# DUCK_LSH_PAIR_CTES past any sane test budget, but the downstream
+# histogram logic is cheap over a parquet of the already-verified pairs —
+# the dd_incremental_minhash_indexed trick).
+_COMPONENTS_FROM_PAIRS_CTES = """
     edges AS (
         SELECT a_id AS a, b_id AS b FROM pairs
         UNION
@@ -242,6 +246,46 @@ _DUCK_COMPONENTS_CTES = f"""{DUCK_LSH_PAIR_CTES},
         SELECT node AS doc_id, MIN(lbl) AS component_id
         FROM reach GROUP BY node
     )"""
+
+_DUCK_COMPONENTS_CTES = f"""{DUCK_LSH_PAIR_CTES},
+    pairs AS (
+        SELECT a_id, b_id FROM verified WHERE jac >= {JACCARD_THRESHOLD}
+    ),{_COMPONENTS_FROM_PAIRS_CTES}"""
+
+
+def cluster_size_histogram_sql(pairs_source: str, prelude: str = "") -> str:
+    """The dd_cluster_size_histogram oracle over an arbitrary pairs
+    relation: ``pairs_source`` is a SELECT yielding (a_id, b_id);
+    ``prelude`` optionally injects CTEs the source depends on. The
+    registered oracle passes the full LSH derivation; the zipf parity
+    test passes a read_parquet of the Spark-verified pairs."""
+    pre = prelude + ",\n    " if prelude else ""
+    return f"""
+    WITH RECURSIVE {pre}pairs AS ({pairs_source}),{_COMPONENTS_FROM_PAIRS_CTES},
+    sizes AS (
+        SELECT component_id, COUNT(*) AS sz FROM comp GROUP BY component_id
+    ),
+    hist AS (
+        SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY sz
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    mem AS (SELECT COUNT(*) AS m FROM comp),
+    full_hist AS (
+        SELECT cluster_size, n_clusters FROM hist
+        UNION ALL
+        SELECT CAST(1 AS BIGINT),
+               (SELECT n FROM tot) - (SELECT m FROM mem)
+    )
+    SELECT cluster_size,
+           n_clusters,
+           cluster_size * n_clusters AS n_docs,
+           (cluster_size * n_clusters * 1000000) // (SELECT n FROM tot)
+               AS mass_ppm
+    FROM full_hist
+    WHERE n_clusters > 0
+    ORDER BY cluster_size
+    """
 
 
 @register(
@@ -425,32 +469,10 @@ def dd_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd_cluster_size_histogram",
-    oracle=f"""
-    WITH RECURSIVE {_DUCK_COMPONENTS_CTES},
-    sizes AS (
-        SELECT component_id, COUNT(*) AS sz FROM comp GROUP BY component_id
+    oracle=cluster_size_histogram_sql(
+        f"SELECT a_id, b_id FROM verified WHERE jac >= {JACCARD_THRESHOLD}",
+        prelude=DUCK_LSH_PAIR_CTES,
     ),
-    hist AS (
-        SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
-        FROM sizes GROUP BY sz
-    ),
-    tot AS (SELECT COUNT(*) AS n FROM documents),
-    mem AS (SELECT COUNT(*) AS m FROM comp),
-    full_hist AS (
-        SELECT cluster_size, n_clusters FROM hist
-        UNION ALL
-        SELECT CAST(1 AS BIGINT),
-               (SELECT n FROM tot) - (SELECT m FROM mem)
-    )
-    SELECT cluster_size,
-           n_clusters,
-           cluster_size * n_clusters AS n_docs,
-           (cluster_size * n_clusters * 1000000) // (SELECT n FROM tot)
-               AS mass_ppm
-    FROM full_hist
-    WHERE n_clusters > 0
-    ORDER BY cluster_size
-    """,
     tags=("dedup", "graph", "diagnostics", "dup-mass"),
 )
 def dd_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

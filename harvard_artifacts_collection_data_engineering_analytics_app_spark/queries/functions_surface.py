@@ -2576,6 +2576,16 @@ def fx_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cast to double (correctly rounded in both engines) for the
     sqrt/divide, so the 1e6-grid rounding sees bit-identical doubles.
 
+    Scale ceiling (ADVICE r10): the moment product n·Σxy grows linearly
+    in n² per fixed row magnitude — the cents grid holds exact through
+    roughly sf1000 for these columns (~1e31 at sf100, seven digits under
+    the precision-38 cap), but a corpus where it approaches 1e38 must
+    coarsen the input grid (cents → dollars drops 4 digits from the
+    product) or switch the moments to per-partition Welford co-moments in
+    double; past the cap, non-ANSI Spark silently NULLs the decimal while
+    DuckDB HUGEINT (max ~1.7e38) stays exact — a cross-engine split this
+    note exists to prevent.
+
     Plan shape (100 TB): a single scan with ONE map-side-combined global
     aggregate — 15 running sums, no shuffle of anything but 15 numbers
     per partition; the pair unpivot is driver-side arithmetic on one row.

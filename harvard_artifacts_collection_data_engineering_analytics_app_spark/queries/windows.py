@@ -1803,13 +1803,17 @@ RET_MAX_AGE = 28  # fit ages 1..28 days
         FROM pts
     )
     SELECT n AS n_ages,
-           CAST((n * sxy - sx * sy) * 1000000
-                // ((n * sxx - sx * sx) * {RET_LN_SCALE}) AS BIGINT)
-               AS slope_micro_per_day,
-           CAST(ROUND(-693147000.0
-                      / ((n * sxy - sx * sy) * 1000000.0
-                         / ((n * sxx - sx * sx) * {RET_LN_SCALE})))
-                AS BIGINT) AS halflife_milli_days
+           CASE WHEN (n * sxx - sx * sx) <> 0 THEN
+               CAST((n * sxy - sx * sy) * 1000000
+                    // ((n * sxx - sx * sx) * {RET_LN_SCALE}) AS BIGINT)
+           END AS slope_micro_per_day,
+           CASE WHEN (n * sxy - sx * sy) <> 0
+                 AND (n * sxx - sx * sx) <> 0 THEN
+               CAST(ROUND(-693147000.0
+                          / ((n * sxy - sx * sy) * 1000000.0
+                             / ((n * sxx - sx * sx) * {RET_LN_SCALE})))
+                    AS BIGINT)
+           END AS halflife_milli_days
     FROM s
     """,
     tags=("events", "retention", "regression"),
@@ -1864,17 +1868,24 @@ def tw_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 0.5) AS BIGINT)"
         ).alias("y"),
     )
+    # Degenerate-curve guards (ADVICE r10): a flat/rising curve (zero
+    # slope numerator) or a single fitted point (zero denominator) must
+    # be NULL on BOTH engines — unguarded, non-ANSI Spark nulls/inf-casts
+    # while DuckDB errors on integer-// by zero, a cross-engine split.
     return pts.agg(
         F.count("*").cast("long").alias("n_ages"),
         F.expr(
+            "CASE WHEN (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) <> 0 THEN "
             "CAST((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1000000"
             f" DIV ((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * {RET_LN_SCALE})"
-            " AS BIGINT)"
+            " AS BIGINT) END"
         ).alias("slope_micro_per_day"),
         F.expr(
+            "CASE WHEN (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) <> 0"
+            " AND (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) <> 0 THEN "
             "CAST(ROUND(-693147000.0D"
             " / ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1000000.0D"
             f" / ((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * {RET_LN_SCALE})))"
-            " AS BIGINT)"
+            " AS BIGINT) END"
         ).alias("halflife_milli_days"),
     )
