@@ -1034,31 +1034,27 @@ def _emb_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    # Per-BUCKET BLAS verify (round-9 rewrite): the first cut verified
-    # candidates with the interpreted zip_with/aggregate cosine — the
-    # exact per-pair-HOF trap the r8 ss_knn_graph_ivf rewrite documented —
-    # and measured 54 s at sf1 (20k vectors → ~25M candidate cosines,
-    # each an interpreted 64-term fold). Each (table, bucket) group is
-    # now ONE applyInPandas matmul over its members (~n/2^bits rows), so
-    # per-candidate cost is a fused vector op; the join profile is
-    # unchanged (bucket equi-grouping, never all-pairs). Values stay on
-    # the same 6-decimal grid: float64 BLAS vs the oracle's sequential
+    # Per-BUCKET BLAS verify, PARTITION-STREAMED (round-11 rewrite of the
+    # round-9 rewrite): the r9 cut scored each (table, bucket) group with
+    # its own applyInPandas call, which was right when the fixed 6-bit
+    # width kept groups large — but the grown-bits recipe (r10 VERDICT
+    # #4) makes groups SMALL ON PURPOSE (occupancy ≈32), so at sf1 the
+    # plan became ~8k tiny Arrow invocations and per-group overhead
+    # dominated (dd_lsh_bits_plan isolates the bucket relation at 0.9 s
+    # vs 3.2 s with per-group scoring). Scoring is now ONE mapInPandas
+    # pass over bucket-sorted partitions: groups are contiguous slices
+    # found with numpy, each scored by the same triu matmul, with the
+    # trailing (possibly batch-straddling) group carried into the next
+    # Arrow batch. Per-candidate cost stays a fused vector op; per-GROUP
+    # cost drops from an Arrow round-trip to an array slice. Values stay
+    # on the same 6-decimal grid: float64 BLAS vs the oracle's sequential
     # fold differ by ≲1e-13 on unit-scale 64-dim vectors, nine orders of
     # magnitude inside the 0.5e-6 rounding boundary (the established
     # ss_brute_topk_numpy precedent).
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "a_id": pd.Series(dtype="int64"),
-                "b_id": pd.Series(dtype="int64"),
-                "cosine_raw": pd.Series(dtype="float64"),
-            }
-        )
-        if len(pdf) < 2:
-            return empty
-        order = pdf["vec_id"].to_numpy(dtype="int64").argsort()
-        ids = pdf["vec_id"].to_numpy(dtype="int64")[order]
-        mat = np.array(list(pdf["embedding"]), dtype="float64")[order]
+    def _score_group(ids: "np.ndarray", mat: "np.ndarray") -> pd.DataFrame:
+        order = ids.argsort()
+        ids = ids[order]
+        mat = mat[order]
         nrm = np.sqrt((mat * mat).sum(axis=1))
         denom = np.outer(nrm, nrm)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -1068,11 +1064,48 @@ def _emb_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"a_id": ids[iu], "b_id": ids[ju], "cosine_raw": sims[iu, ju]}
         )
 
+    def bucket_pairs_stream(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            key = (
+                pdf["tbl"].to_numpy(dtype="int64") << 32
+            ) | pdf["bucket"].to_numpy(dtype="int64")
+            change = np.nonzero(key[1:] != key[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            # hold back the last group: it may continue in the next batch
+            carry = pdf.iloc[starts[-1] :]
+            ids_all = pdf["vec_id"].to_numpy(dtype="int64")
+            out = [
+                _score_group(
+                    ids_all[s:e],
+                    np.array(list(pdf["embedding"].iloc[s:e]), dtype="float64"),
+                )
+                for s, e in zip(starts[:-1], ends[:-1])
+                if e - s >= 2
+            ]
+            if out:
+                yield pd.concat(out, ignore_index=True)
+        if carry is not None and len(carry) >= 2:
+            yield _score_group(
+                carry["vec_id"].to_numpy(dtype="int64"),
+                np.array(list(carry["embedding"]), dtype="float64"),
+            )
+
     buckets, raw, _n_vec, _n_bits = _emb_lsh_buckets(spark, sf_dir)
+    n_par = spark.sparkContext.defaultParallelism
     scored = (
         buckets.join(raw, "vec_id")
-        .groupBy("tbl", "bucket")
-        .applyInPandas(bucket_pairs, "a_id long, b_id long, cosine_raw double")
+        .repartition(n_par, "tbl", "bucket")
+        .sortWithinPartitions("tbl", "bucket")
+        .mapInPandas(
+            bucket_pairs_stream, "a_id long, b_id long, cosine_raw double"
+        )
     )
     rawc = F.col("cosine_raw")
     cand = (
