@@ -106,6 +106,12 @@ ZIPF_CASES = [
     # retention fit over the power-law activity curve.
     "dd_bbit_minhash_calibration",
     "tw_retention_halflife",
+    # round-11: the grown-bits LSH trio on the zipf variant — the bucket
+    # width derives from the SAME count on both engines there too, and
+    # the riders' candidate verify meets skewed embedding mass.
+    "dd_lsh_bits_plan",
+    "dd_embedding_lsh_pairs",
+    "ss_pair_cosine_histogram",
 ]
 
 
