@@ -605,24 +605,30 @@ KC_PEELS = 8  # oracle replays this many peels; peeling a stable core is a no-op
 
 
 def _kcore_oracle() -> str:
+    # Every peel CTE references its predecessor TWICE (once per join side),
+    # so without MATERIALIZED DuckDB's CTE inlining re-evaluates the chain
+    # 2^KC_PEELS times — measured 462 s vs 0.06 s at sf0.01, identical
+    # results (var/kcore_oracle_probe.log). MATERIALIZED pins each peel to
+    # one evaluation, the same shape the Spark side's per-round
+    # localCheckpoint gives.
     ctes = [
-        f"""os AS (
+        f"""os AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
         FROM lineitem
         JOIN orders ON o_orderkey = l_orderkey
         WHERE o_orderdate >= TIMESTAMP '{TRI_MONTH_LO}'
           AND o_orderdate <  TIMESTAMP '{TRI_MONTH_HI}'
     )""",
-        """e AS (
+        """e AS MATERIALIZED (
         SELECT DISTINCT a.s AS x, b.s AS y
         FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
     )""",
-        "sym AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e)",
-        "n0 AS (SELECT DISTINCT x AS node FROM sym)",
+        "sym AS MATERIALIZED (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e)",
+        "n0 AS MATERIALIZED (SELECT DISTINCT x AS node FROM sym)",
     ]
     for i in range(KC_PEELS):
         ctes.append(
-            f"""n{i + 1} AS (
+            f"""n{i + 1} AS MATERIALIZED (
         SELECT s.x AS node FROM sym s
         JOIN n{i} a ON a.node = s.x
         JOIN n{i} b ON b.node = s.y
