@@ -237,6 +237,11 @@ def _decode_image_jpeg_dc(payload: bytes, thumb_side: int = 8) -> dict:
     while pos < n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker —
+        # without the skip a padded stream misreads the second 0xFF as the
+        # marker byte and a garbage segment length (ADVICE r11)
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
@@ -309,7 +314,9 @@ def _decode_image_jpeg_dc(payload: bytes, thumb_side: int = 8) -> dict:
     # scan order follows SOS component order; per-component decode state
     order = []
     for cid, td, ta in scan_comps:
-        comp = next(c for c in comps if c[0] == cid)
+        comp = next((c for c in comps if c[0] == cid), None)
+        if comp is None:  # would otherwise leak StopIteration (ADVICE r11)
+            raise ValueError(f"scan references undefined component {cid}")
         order.append((cid, comp[1], comp[2], comp[3], td, ta))
     y_cid, y_h, y_v, y_tq = comps[0][0], comps[0][1], comps[0][2], comps[0][3]
     yw_blocks = mcus_x * y_h
@@ -418,6 +425,11 @@ def _decode_image_jpeg_dc_progressive(payload: bytes, thumb_side: int = 8) -> di
     while pos < n - 1:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker —
+        # without the skip a padded stream misreads the second 0xFF as the
+        # marker byte and a garbage segment length (ADVICE r11)
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
@@ -479,7 +491,13 @@ def _decode_image_jpeg_dc_progressive(payload: bytes, thumb_side: int = 8) -> di
             for c in range(ns):
                 cid = body[1 + 2 * c]
                 td = body[2 + 2 * c] >> 4
-                comp = next(c2 for c2 in comps if c2[0] == cid)
+                comp = next((c2 for c2 in comps if c2[0] == cid), None)
+                if comp is None:  # no bare next(): StopIteration would
+                    # escape the (ValueError, IndexError) guard in
+                    # decode_image and sink the whole Arrow batch
+                    raise ValueError(
+                        f"scan references undefined component {cid}"
+                    )
                 scan.append((cid, comp[1], comp[2], td))
             ss = body[1 + 2 * ns]
             ahal = body[3 + 2 * ns]
@@ -553,6 +571,12 @@ def _decode_image_jpeg_dc_progressive(payload: bytes, thumb_side: int = 8) -> di
         raise ValueError("truncated progressive JPEG: no DC scan")
     w, h, comps = frame
     y_cid, y_h, y_v, y_tq = comps[0]
+    if y_cid not in coef or y_tq not in qt:
+        # a chroma-only interleaved DC scan can set saw_dc_scan while the
+        # luma component never received coefficients (ADVICE r11): an
+        # explicit ValueError here falls through to the Pillow seam
+        # instead of a KeyError sinking the Arrow batch
+        raise ValueError("progressive JPEG: luma DC plane never scanned")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     return _jpeg_dc_result(
@@ -731,9 +755,30 @@ def _decode_image_pil(payload: bytes, thumb_side: int = 8) -> dict:
     }
 
 
-def decode_image(payload: bytes, thumb_side: int = 8) -> dict:
+def _pil_available() -> bool:
+    """Pillow probe. Call sites that fan out to executors must resolve
+    this ONCE on the driver and ship the answer in the task closure
+    (``decode_images`` does): probing per-executor would mix
+    full-resolution Pillow results and 1/8-scale DC results for different
+    partitions of the same column on a cluster where Pillow is installed
+    unevenly (ADVICE r11)."""
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(
+    payload: bytes, thumb_side: int = 8, use_pil: bool | None = None
+) -> dict:
     """Decode one binary-PNM image payload (PPM ``P6`` rgb / PGM ``P5``
     gray) — real bytes-to-pixels work, dependency-free pure Python.
+
+    ``use_pil`` pins the JPEG Pillow-vs-pure-Python routing; ``None``
+    probes locally (correct for single-process use — distributed callers
+    pass the driver's decision, see ``_pil_available``).
 
     PNM is the one raster format decodable without an imaging library
     (header tokens + raw raster), which is why it closes the former
@@ -753,12 +798,10 @@ def decode_image(payload: bytes, thumb_side: int = 8) -> dict:
             # the 1/8-scale DC approximation) — the pure-Python DC
             # decoders are the no-dependency fallback they were written
             # to be.
-            try:
-                import PIL  # noqa: F401
-
+            if use_pil is None:
+                use_pil = _pil_available()
+            if use_pil:
                 return _decode_image_pil(payload, thumb_side)
-            except ImportError:
-                pass
             try:
                 return _decode_image_jpeg_dc(payload, thumb_side)
             except _ProgressiveJpegError:
@@ -766,9 +809,14 @@ def decode_image(payload: bytes, thumb_side: int = 8) -> dict:
                     return _decode_image_jpeg_dc_progressive(
                         payload, thumb_side
                     )
-                except (ValueError, IndexError):
+                except (ValueError, IndexError, KeyError, StopIteration):
                     # truncated/arithmetic progressive → imaging-library
-                    # path (actionable pillow error when absent)
+                    # path (actionable pillow error when absent). The
+                    # KeyError/StopIteration legs are belt-and-braces: the
+                    # decoder now raises ValueError for undefined scan
+                    # components and an unscanned luma plane, but one
+                    # malformed blob must degrade to the seam, never sink
+                    # the whole Arrow batch (ADVICE r11).
                     return _decode_image_pil(payload, thumb_side)
             except ValueError:
                 # arithmetic/corrupt → imaging-library path (actionable
@@ -853,7 +901,17 @@ def decode_images(
     ``decoder`` maps bytes → dict(width, height, n_pixels, thumbnail);
     pass ``decode_image`` in a real deployment.
     """
+    import functools
+
     import pandas as pd  # local import: executors ship this closure
+
+    if decoder is decode_image:
+        # resolve the Pillow-vs-DC routing ONCE, here on the driver, and
+        # ship the decision inside the pickled closure (ADVICE r11): the
+        # per-call probe would re-run on every executor, and a cluster
+        # with Pillow on only some nodes would mix full-resolution and
+        # 1/8-scale DC thumbnails within one job
+        decoder = functools.partial(decode_image, use_pil=_pil_available())
 
     src = df.select(
         F.col(id_col).alias("doc_id"),

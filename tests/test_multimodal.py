@@ -545,3 +545,111 @@ def test_jpeg_dc_decode_rejects_truncated_progressive_without_pillow():
         pass
     with pytest.raises(ValueError, match="pillow|undecodable"):
         decode_image(bytes(w.out))
+
+
+def test_jpeg_fill_bytes_before_marker_decode():
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a marker;
+    a padded stream must decode pure-Python, not misread the second 0xFF
+    as the marker byte (ADVICE r11)."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_jpeg_dc,
+    )
+
+    payload = _flat_gray_jpeg([100, 160])
+    # pad before the first tables marker and again before the SOS marker
+    padded = payload[:2] + b"\xff\xff\xff" + payload[2:]
+    sos_at = padded.index(b"\xff\xda")
+    padded = padded[:sos_at] + b"\xff\xff" + padded[sos_at:]
+    out = _decode_image_jpeg_dc(padded)
+    assert (out["width"], out["height"]) == (16, 8)
+    assert out["mean_sample"] == (100 + 160) / 2
+
+
+def test_jpeg_scan_undefined_component_is_valueerror():
+    """A scan referencing a component id absent from the frame must raise
+    ValueError (ADVICE r11: a bare next() leaked StopIteration past the
+    decode_image guard, sinking the whole Arrow batch)."""
+    import pytest
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_jpeg_dc,
+        _decode_image_jpeg_dc_progressive,
+    )
+
+    w = _JpegWriter()
+    w.dqt(0, 8)
+    w.sof0(8, 8, [(1, 1, 1, 0)])
+    w.dht_dc(0)
+    w.dht_ac(0)
+    w.sos([(9, 0, 0)])  # cid 9 never defined in SOF0
+    w.dc_code(0)
+    with pytest.raises(ValueError, match="undefined component"):
+        _decode_image_jpeg_dc(w.finish())
+
+    p = _ProgJpegWriter()
+    p.dqt(0, 8)
+    p.sof2(8, 8, [(1, 1, 1, 0)])
+    p.dht_dc(0)
+    p.sos_prog([(9, 0, 0)], 0, 0, 0, 0)
+    p.dc_diff(0)
+    p.flush_scan()
+    with pytest.raises(ValueError, match="undefined component"):
+        _decode_image_jpeg_dc_progressive(p.eoi())
+
+
+def test_progressive_chroma_only_interleaved_dc_scan_is_valueerror():
+    """An interleaved DC scan that carries only chroma components sets
+    saw_dc_scan but never fills the luma plane; the decoder must raise
+    ValueError, not KeyError, so decode_image degrades to the Pillow seam
+    (ADVICE r11)."""
+    import pytest
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_jpeg_dc_progressive,
+    )
+
+    p = _ProgJpegWriter()
+    p.dqt(0, 8)
+    p.sof2(8, 8, [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)])
+    p.dht_dc(0)
+    p.sos_prog([(2, 0, 0), (3, 0, 0)], 0, 0, 0, 0)  # luma (cid 1) absent
+    p.dc_diff(0)
+    p.dc_diff(0)
+    p.flush_scan()
+    with pytest.raises(ValueError, match="luma DC plane"):
+        _decode_image_jpeg_dc_progressive(p.eoi())
+
+
+def test_use_pil_flag_pins_jpeg_routing():
+    """use_pil=False must stay pure-Python regardless of the local
+    environment; use_pil=True must take the Pillow path (actionable error
+    when the library is absent). The flag is how decode_images ships ONE
+    driver-side routing decision to every executor (ADVICE r11)."""
+    import pytest
+
+    payload = _flat_gray_jpeg([100, 160])
+    out = M.decode_image(payload, use_pil=False)
+    assert out["mean_sample"] == (100 + 160) / 2
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(ValueError, match="pillow|undecodable"):
+            M.decode_image(payload, use_pil=True)
+
+
+def test_decode_images_ships_routing_decision_through_spark(spark):
+    """decode_images resolves Pillow routing on the driver and ships it in
+    the pickled closure (functools.partial); JPEG blobs must round-trip
+    through mapInPandas with the pure-Python DC values when Pillow is
+    absent driver-side."""
+    df = spark.createDataFrame(
+        [(1, _flat_gray_jpeg([100, 160])), (2, _flat_gray_jpeg([64]))],
+        "doc_id long, blob binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in M.decode_images(df, decoder=M.decode_image).collect()
+    }
+    assert (rows[1]["width"], rows[1]["height"]) == (16, 8)
+    assert (rows[2]["width"], rows[2]["height"]) == (8, 8)
+    assert rows[1]["format"] == "jpeg"
