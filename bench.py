@@ -6,9 +6,13 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is executed once to warm the JVM/code cache and once timed;
-results are consumed with a count() of the full result (no driver collect
-of wide rows — mirrors how a real pipeline would sink to parquet).
+Each query is executed once to warm the JVM/code cache and then timed
+over TWO passes, per-query MIN committed with the per-pass totals and
+their spread recorded alongside (judge VERDICT r11 #4: two same-code
+shared runs differed by ~7% — the spread is the noise floor any claimed
+mover must clear); results are consumed with a count() of the full result
+(no driver collect of wide rows — mirrors how a real pipeline would sink
+to parquet).
 
 Shared-session numbers are noisy: with 60+ queries in one JVM, sub-second
 queries inflate 2-4x from the GC/scheduler pressure of their neighbors
@@ -294,9 +298,21 @@ def _latest_round_file(pattern: str, regex: str) -> tuple[str | None, int]:
     return files[0], int(re.search(regex, files[0]).group(1))
 
 
+def _current_round() -> int:
+    """This run's round number: 1 + the newest round that produced ANY
+    driver artifact (BENCH or CORRECTNESS — keying off BENCH alone wrote
+    bench_r9_final.json during round 10 because round 9's BENCH record
+    never existed)."""
+    _, prev_bench = _latest_round_file("BENCH_r*.json", r"BENCH_r(\d+)\.json$")
+    _, prev_corr = _latest_round_file(
+        "CORRECTNESS_r*.json", r"CORRECTNESS_r(\d+)\.json$"
+    )
+    return max(prev_bench, prev_corr, 0) + 1
+
+
 def _previous_round_timings() -> dict[str, float]:
-    """Per-query timings from the most recent prior run AT THIS SF, for
-    mover detection.
+    """Per-query timings from the most recent PRIOR-round run AT THIS SF,
+    for mover detection.
 
     Preferred source: ``var/bench_r*_final.json`` (this script writes the
     full per-query map there every run — the driver's stdout capture only
@@ -305,18 +321,36 @@ def _previous_round_timings() -> dict[str, float]:
     was still per-query (rounds ≤5, before the line outgrew the capture).
     A record at a DIFFERENT sf is skipped, not used: comparing a default
     sf0.1 run against a smoke run's sf0.01 numbers would flag half the
-    suite as regressed and burn ISOLATE_MAX fresh JVMs.
+    suite as regressed and burn ISOLATE_MAX fresh JVMs. Records from the
+    CURRENT round are skipped too (ADVICE r11): bench_history/r{N}.json is
+    committed, so a re-run within round N would otherwise self-compare
+    against its own earlier numbers instead of round N-1's.
     """
+    import re
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    round_n = _current_round()
+
+    def _prior_rounds_only(paths: list[str], regex: str) -> list[str]:
+        return [
+            p for p in paths if int(re.search(regex, p).group(1)) < round_n
+        ]
+
     candidates = (
-        _round_files_newest_first(
-            os.path.join("var", "bench_r*_final.json"),
+        _prior_rounds_only(
+            _round_files_newest_first(
+                os.path.join("var", "bench_r*_final.json"),
+                r"bench_r(\d+)_final\.json$",
+            ),
             r"bench_r(\d+)_final\.json$",
         )
         # committed history (judge VERDICT r10 #5): var/ is wiped between
         # rounds, so the per-query trail lives in bench_history/ too
-        + _round_files_newest_first(
-            os.path.join("bench_history", "r*.json"), r"r(\d+)\.json$"
+        + _prior_rounds_only(
+            _round_files_newest_first(
+                os.path.join("bench_history", "r*.json"), r"r(\d+)\.json$"
+            ),
+            r"r(\d+)\.json$",
         )
         + _round_files_newest_first("BENCH_r*.json", r"BENCH_r(\d+)\.json$")
     )
@@ -393,25 +427,35 @@ def main() -> None:
     specs = registry.all_specs()
     names = [n for n in HEADLINE if n in specs]
 
-    timings: dict[str, float] = {}
+    # Two timed passes through the whole shared session, per-query MIN
+    # committed (judge VERDICT r11 #4): two same-code shared runs differed
+    # by 10.5 s over 168 queries (~7%) — enough to mask a real 5% mover.
+    # The min-of-2 damps one-sided noise (GC pauses, scheduler stalls,
+    # neighbor pressure — all inflate, never deflate), and the recorded
+    # per-pass totals + spread let the judge see the noise floor next to
+    # any claimed round-over-round delta.
+    N_PASSES = 2
+    passes: list[dict[str, float]] = [{} for _ in range(N_PASSES)]
     failed: list[str] = []
     for name in names:
         builder = specs[name].builder
         try:
             builder(spark, SF_DIR).count()  # warm-up (JIT, listing, AQE stats)
-            # drain garbage left by the previous query before timing: a
-            # heavy Arrow/numpy query otherwise taxes its successors'
-            # numbers (measured: a 24 s quadratic pair query inflated the
-            # next window-agg 8x at sf1; isolated it was flat)
-            spark._jvm.System.gc()
-            t0 = time.perf_counter()
-            builder(spark, SF_DIR).count()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            for p in range(N_PASSES):
+                # drain garbage left by the previous query before timing: a
+                # heavy Arrow/numpy query otherwise taxes its successors'
+                # numbers (measured: a 24 s quadratic pair query inflated
+                # the next window-agg 8x at sf1; isolated it was flat)
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                builder(spark, SF_DIR).count()
+                passes[p][name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # a broken query must not sink the bench,
             # but it must be loud and must NOT shrink the headline total
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             failed.append(name)
-            timings[name] = -1.0
+            for p in range(N_PASSES):
+                passes[p][name] = -1.0
             try:  # distinguish one bad query from a dead JVM: without
                 # this probe every later query "fails" with a misleading
                 # connection error and the cascade hides the real culprit
@@ -423,6 +467,18 @@ def main() -> None:
                 )
                 break
 
+    timings: dict[str, float] = {
+        name: (min(ts) if all(t >= 0 for t in ts) else -1.0)
+        for name, ts in (
+            (n, [passes[p][n] for p in range(N_PASSES)])
+            for n in passes[0]
+        )
+    }
+    pass_totals = [
+        round(sum(t for t in passes[p].values() if t >= 0), 4)
+        for p in range(N_PASSES)
+    ]
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
@@ -431,6 +487,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "pass_totals": pass_totals,
+        "spread": round(max(pass_totals) - min(pass_totals), 4),
     }
     if failed:
         full["failed"] = failed
@@ -450,11 +508,7 @@ def main() -> None:
     # line the driver records carries the headline total plus per-FAMILY
     # subtotals (~15 keys, well under ~1.8 KB) and the per-query trail
     # lands in var/ + bench_history/.
-    _, prev_bench = _latest_round_file("BENCH_r*.json", r"BENCH_r(\d+)\.json$")
-    _, prev_corr = _latest_round_file(
-        "CORRECTNESS_r*.json", r"CORRECTNESS_r(\d+)\.json$"
-    )
-    round_n = max(prev_bench, prev_corr, 0) + 1
+    round_n = _current_round()
     here = os.path.dirname(os.path.abspath(__file__))
     os.makedirs(os.path.join(here, "var"), exist_ok=True)
     os.makedirs(os.path.join(here, "bench_history"), exist_ok=True)
@@ -478,6 +532,8 @@ def main() -> None:
         "queries": fams,  # per-family subtotals; per-query map in var/
         "sf": sf_val,
         "n_queries": len([t for t in timings.values() if t >= 0]),
+        "pass_totals": pass_totals,
+        "spread": full["spread"],
         "per_query_file": os.path.relpath(full_path, here),
     }
     if failed:
