@@ -653,3 +653,155 @@ def test_decode_images_ships_routing_decision_through_spark(spark):
     assert (rows[1]["width"], rows[1]["height"]) == (16, 8)
     assert (rows[2]["width"], rows[2]["height"]) == (8, 8)
     assert rows[1]["format"] == "jpeg"
+
+
+def _make_png16(width, height, samples, color_type):
+    """16-bit non-interlaced PNG: ``samples`` is the flat list of 16-bit
+    sample values (per channel, row-major), all rows filter 0."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3}[color_type]
+    raster = bytearray()
+    i = 0
+    for _ in range(height):
+        raster.append(0)
+        for _ in range(width * channels):
+            raster += samples[i].to_bytes(2, "big")
+            i += 1
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raster)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _make_png_adam7(width, height, pixels, color_type=0, depth=8):
+    """Adam7-interlaced PNG: ``pixels`` is the FULL-resolution flat list
+    (per pixel: one value for gray, (r,g,b) tuple for rgb); the encoder
+    serializes the seven passes, each row filter 0."""
+    import struct
+    import zlib
+
+    raster = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for yy in range(ph):
+            raster.append(0)
+            for xx in range(pw):
+                px = pixels[(y0 + yy * dy) * width + (x0 + xx * dx)]
+                vals = px if isinstance(px, tuple) else (px,)
+                for v in vals:
+                    raster += v.to_bytes(depth // 8, "big")
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raster)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_png_16bit_gray_and_rgb():
+    """16-bit samples reduce to their high byte (spec sample>>8); the
+    filters still operate on the full 2-byte stride."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_png,
+    )
+
+    vals = [0x1234, 0xFF00, 0x00FF, 0x8081]
+    out = _decode_image_png(_make_png16(2, 2, vals, 0))
+    assert (out["width"], out["height"]) == (2, 2)
+    assert list(out["thumbnail"]) == [0x12, 0xFF, 0x00, 0x80]
+    rgb = [0xFF00, 0x0000, 0x0000,  # pure red (high bytes 255,0,0)
+           0x0000, 0xFF00, 0x0000,  # pure green
+           0x0000, 0x0000, 0xFF00,  # pure blue
+           0xFF00, 0xFF00, 0xFF00]  # white
+    out = _decode_image_png(_make_png16(2, 2, rgb, 2))
+    luma = lambda r, g, b: (r * 19595 + g * 38470 + b * 7471) >> 16  # noqa: E731
+    assert list(out["thumbnail"]) == [
+        luma(255, 0, 0), luma(0, 255, 0), luma(0, 0, 255), 255,
+    ]
+
+
+def test_decode_image_png_adam7_gray_roundtrip():
+    """A 10x9 interlaced gray PNG exercises all seven passes including
+    partial ones; every pixel must land back at its full-grid position."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_png,
+    )
+
+    w, h = 10, 9
+    pixels = [(13 * i + 7) % 256 for i in range(w * h)]
+    out = _decode_image_png(_make_png_adam7(w, h, pixels), thumb_side=16)
+    assert (out["width"], out["height"], out["n_pixels"]) == (w, h, 90)
+    assert out["mean_sample"] == sum(pixels) / len(pixels)
+    # thumb_side=16 > image: nearest-neighbor degenerates to identity rows
+    tw, th = min(16, w), min(16, h)
+    expect = [
+        pixels[(ty * h // th) * w + (tx * w // tw)]
+        for ty in range(th)
+        for tx in range(tw)
+    ]
+    assert list(out["thumbnail"]) == expect
+
+
+def test_decode_image_png_adam7_small_and_16bit_rgb():
+    """Images narrower than the Adam7 grid skip empty passes; 16-bit +
+    interlace compose."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_png,
+    )
+
+    # 3x2: passes 2 (x0=4) and several others are empty
+    pixels = [10, 20, 30, 40, 50, 60]
+    out = _decode_image_png(_make_png_adam7(3, 2, pixels))
+    assert out["mean_sample"] == sum(pixels) / 6
+    rgb = [(0xAB00 | i, i << 8, 0x1200) for i in range(4)]
+    out = _decode_image_png(_make_png_adam7(2, 2, rgb, color_type=2, depth=16))
+    luma = lambda r, g, b: (r * 19595 + g * 38470 + b * 7471) >> 16  # noqa: E731
+    assert list(out["thumbnail"]) == [luma(0xAB, i, 0x12) for i in range(4)]
+
+
+def test_decode_image_png_truncated_interlaced_is_valueerror():
+    import pytest
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_png,
+    )
+
+    import struct
+    import zlib
+
+    w, h = 10, 9
+    pixels = [(13 * i + 7) % 256 for i in range(w * h)]
+    good = _make_png_adam7(w, h, pixels)
+    # rebuild with the last 40 raster bytes chopped before compression
+    raster_full = zlib.decompress(
+        good[good.index(b"IDAT") + 4 : good.index(b"IEND") - 8]
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raster_full[:-40]))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated|length mismatch"):
+        _decode_image_png(bad)
