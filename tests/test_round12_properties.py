@@ -109,3 +109,70 @@ def test_sink_audit_result_is_bucket_count_invariant(spark):
         (3, 16, "cart", 7.0),
         (4, 18, "view", 9.0),
     ]
+
+
+def test_sweep_band_fold_cross_engine_parity():
+    """The numpy dual affine fold and _duck_band_fold_exprs' SQL must
+    produce identical band hashes for identical signatures — the
+    cross-engine contract the r12 sweep rewrite rests on (same integer
+    grid both sides, no string formatting in between)."""
+    import duckdb
+    import numpy as np
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.dedup import (
+        MINHASH_MOD,
+        SWEEP_CONFIGS,
+        SWEEP_FOLD_P1,
+        SWEEP_FOLD_P2,
+        _affine_coeffs,
+    )
+
+    rng = np.random.default_rng(12345)
+    n_docs, n_hashes = 7, max(b * r for b, r in SWEEP_CONFIGS)
+    S = rng.integers(0, MINHASH_MOD, size=(n_docs, n_hashes), dtype=np.int64)
+    con = duckdb.connect()
+    for b_cfg, r_cfg in SWEEP_CONFIGS:
+        V = S[:, : b_cfg * r_cfg].reshape(n_docs, b_cfg, r_cfg)
+        h1, h2 = V[:, :, 0], V[:, :, 0]
+        for j in range(1, r_cfg):
+            h1 = (h1 * SWEEP_FOLD_P1 + V[:, :, j]) % MINHASH_MOD
+            h2 = (h2 * SWEEP_FOLD_P2 + V[:, :, j]) % MINHASH_MOD
+        H = h1 * MINHASH_MOD + h2
+        for band in range(b_cfg):
+            # replay the oracle's nested-expression arithmetic per band
+            vals = [f"v{j}" for j in range(r_cfg)]
+            f1, f2 = vals[0], vals[0]
+            for v in vals[1:]:
+                f1 = f"(({f1} * {SWEEP_FOLD_P1} + {v}) % {MINHASH_MOD})"
+                f2 = f"(({f2} * {SWEEP_FOLD_P2} + {v}) % {MINHASH_MOD})"
+            sql = f"SELECT ({f1} * {MINHASH_MOD} + {f2}) FROM t"
+            cols = ", ".join(
+                f"CAST(? AS BIGINT) AS v{j}" for j in range(r_cfg)
+            )
+            for d in range(n_docs):
+                row = [int(x) for x in V[d, band]]
+                got = con.execute(
+                    f"WITH t AS (SELECT {cols}) {sql}", row
+                ).fetchone()[0]
+                assert got == int(H[d, band]), (b_cfg, r_cfg, band, d)
+
+
+def test_sweep_band_fold_matches_affine_minhash_slices():
+    """_duck_band_fold_exprs must consume minhash values in the same
+    index order (band*rows_per_band + j) the numpy reshape slices — a
+    transposed regroup would still pass self-parity but measure a
+    different banding family."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.dedup import (
+        SWEEP_CONFIGS,
+        _affine_coeffs,
+        _duck_band_fold_exprs,
+    )
+
+    for b_cfg, r_cfg in SWEEP_CONFIGS:
+        sql = _duck_band_fold_exprs(b_cfg, r_cfg)
+        selects = sql.split(" UNION ALL ")
+        assert len(selects) == b_cfg
+        for band, sel in enumerate(selects):
+            for j in range(r_cfg):
+                a, c = _affine_coeffs(band * r_cfg + j)
+                assert f"* {a} + {c})" in sel, (b_cfg, band, j)
