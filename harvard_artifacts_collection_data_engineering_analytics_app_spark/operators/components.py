@@ -231,8 +231,13 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DUCK_LSH_PAIR_CTES past any sane test budget, but the downstream
 # histogram logic is cheap over a parquet of the already-verified pairs —
 # the dd_incremental_minhash_indexed trick).
+# `edges` is MATERIALIZED: the recursive `reach` references it in both the
+# base and the step, and DuckDB re-inlines a plain CTE per reference —
+# re-deriving edges (and everything under `pairs`) every iteration.
+# Measured with the shared LSH prelude at sf0.01: 28-43 s -> ~1.2 s per
+# composed oracle, identical sorted results (r12, the gr_kcore lesson).
 _COMPONENTS_FROM_PAIRS_CTES = """
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT a_id AS a, b_id AS b FROM pairs
         UNION
         SELECT b_id, a_id FROM pairs
@@ -242,13 +247,13 @@ _COMPONENTS_FROM_PAIRS_CTES = """
         UNION
         SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
     ),
-    comp AS (
+    comp AS MATERIALIZED (
         SELECT node AS doc_id, MIN(lbl) AS component_id
         FROM reach GROUP BY node
     )"""
 
 _DUCK_COMPONENTS_CTES = f"""{DUCK_LSH_PAIR_CTES},
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT a_id, b_id FROM verified WHERE jac >= {JACCARD_THRESHOLD}
     ),{_COMPONENTS_FROM_PAIRS_CTES}"""
 
