@@ -805,3 +805,526 @@ def test_decode_image_png_truncated_interlaced_is_valueerror():
     )
     with pytest.raises(ValueError, match="truncated|length mismatch"):
         _decode_image_png(bad)
+
+
+# --- WebP lossless (VP8L) — round-12 dependency-free decode -------------------
+#
+# Fixtures are built with a minimal bit-level VP8L WRITER (below) that
+# mirrors RFC 9649 §4 byte-for-byte: LSB-first value packing, MSB-first
+# prefix-code words, simple (≤2-symbol) and normal (code-length-coded)
+# prefix codes with the token-count cap. Each test hand-computes the
+# expected pixels, so writer and reader cannot share a bug without the
+# luma assertions catching it.
+
+
+class _Vp8lBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.nbits = 0
+
+    def bits(self, n, v):
+        for i in range(n):
+            if self.nbits % 8 == 0:
+                self.out.append(0)
+            if (v >> i) & 1:
+                self.out[-1] |= 1 << (self.nbits % 8)
+            self.nbits += 1
+
+    def code(self, length, codeword):
+        # prefix-code words are traversed first-bit = MSB (DEFLATE style)
+        for j in range(length - 1, -1, -1):
+            self.bits(1, (codeword >> j) & 1)
+
+    def dump(self):
+        return bytes(self.out)
+
+
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+
+def _canon(length_by_sym):
+    """Canonical (len, code) per symbol — same construction the decoder
+    uses, duplicated here so the writer emits what the reader resolves."""
+    used = sorted((ln, s) for s, ln in length_by_sym.items() if ln > 0)
+    codes, code, prev_len = {}, 0, 0
+    for ln, s in used:
+        code <<= ln - prev_len
+        codes[s] = (ln, code)
+        code += 1
+        prev_len = ln
+    return codes
+
+
+def _write_simple(bw, symbols):
+    bw.bits(1, 1)  # simple
+    bw.bits(1, len(symbols) - 1)
+    if symbols[0] <= 1:
+        bw.bits(1, 0)
+        bw.bits(1, symbols[0])
+    else:
+        bw.bits(1, 1)
+        bw.bits(8, symbols[0])
+    if len(symbols) == 2:
+        bw.bits(8, symbols[1])
+
+
+def _write_normal(bw, length_by_sym, alphabet):
+    """Normal prefix code: zero-runs via repeat tokens 17/18, explicit
+    token-count cap so trailing zeros need no bits."""
+    lengths = [0] * alphabet
+    for s, ln in length_by_sym.items():
+        lengths[s] = ln
+    last_nz = max(s for s, ln in enumerate(lengths) if ln)
+    tokens = []  # (clc_sym, extra_nbits, extra_val)
+    i = 0
+    while i <= last_nz:
+        if lengths[i]:
+            tokens.append((lengths[i], 0, 0))
+            i += 1
+            continue
+        run = 0
+        while i + run <= last_nz and lengths[i + run] == 0:
+            run += 1
+        while run:
+            if run >= 11:
+                take = min(run, 138)
+                tokens.append((18, 7, take - 11))
+            elif run >= 3:
+                take = run
+                tokens.append((17, 3, take - 3))
+            else:
+                take = 1
+                tokens.append((0, 0, 0))
+            run -= take
+            i += take
+    while len(tokens) < 2:  # cap field encodes counts ≥ 2
+        tokens.append((0, 0, 0))
+    used_clc = sorted({t[0] for t in tokens})
+    k = len(used_clc)
+    clc_bits = 1 if k == 1 else max(1, (k - 1).bit_length())
+    clc_len = {s: clc_bits for s in used_clc}
+    bw.bits(1, 0)  # not simple
+    pos = {s: i for i, s in enumerate(_CLC_ORDER)}
+    num_clc = max(4, max(pos[s] for s in used_clc) + 1)
+    bw.bits(4, num_clc - 4)
+    for j in range(num_clc):
+        bw.bits(3, clc_len.get(_CLC_ORDER[j], 0))
+    val = len(tokens) - 2
+    sel = 0
+    while val >= (1 << (2 + 2 * sel)):
+        sel += 1
+    bw.bits(1, 1)  # use token cap
+    bw.bits(3, sel)
+    bw.bits(2 + 2 * sel, val)
+    codes = _canon(clc_len)
+    for sym, nb, ev in tokens:
+        if k > 1:
+            bw.code(*codes[sym])
+        if nb:
+            bw.bits(nb, ev)
+
+
+def _write_code(bw, spec, alphabet):
+    if spec[0] == "simple":
+        _write_simple(bw, spec[1])
+    else:
+        _write_normal(bw, spec[1], alphabet)
+
+
+def _write_group(bw, green, red, blue, alpha, dist, cache_size=0):
+    _write_code(bw, green, 256 + 24 + cache_size)
+    _write_code(bw, red, 256)
+    _write_code(bw, blue, 256)
+    _write_code(bw, alpha, 256)
+    _write_code(bw, dist, 40)
+
+
+def _wrap_webp(vp8l):
+    chunk = b"VP8L" + len(vp8l).to_bytes(4, "little") + vp8l
+    if len(vp8l) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def _vp8l_bytes(w, h, body):
+    bw = _Vp8lBitWriter()
+    bw.bits(14, w - 1)
+    bw.bits(14, h - 1)
+    bw.bits(1, 0)  # alpha hint
+    bw.bits(3, 0)  # version
+    body(bw)
+    return bytes([0x2F]) + bw.dump()
+
+
+def _luma(r, g, b):
+    return (r * 19595 + g * 38470 + b * 7471) >> 16
+
+
+def test_webp_lossless_solid_color():
+    """Single-symbol codes decode with zero data bits: a 7×5 solid image
+    needs no entropy bytes at all beyond the code definitions."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    def body(bw):
+        bw.bits(1, 0)  # no transforms
+        bw.bits(1, 0)  # no meta prefix
+        bw.bits(1, 0)  # no color cache
+        _write_group(
+            bw,
+            ("simple", [10]),
+            ("simple", [200]),
+            ("simple", [30]),
+            ("simple", [255]),
+            ("simple", [0]),
+        )
+
+    out = decode_image(_wrap_webp(_vp8l_bytes(7, 5, body)))
+    assert (out["width"], out["height"], out["n_pixels"]) == (7, 5, 35)
+    assert out["mean_sample"] == float(_luma(200, 10, 30))
+    assert set(out["thumbnail"]) == {_luma(200, 10, 30)}
+
+
+def test_webp_lossless_two_symbol_literals():
+    """Two-symbol simple green code: one bit per pixel, read order (not
+    canonical-by-symbol) selects the codeword."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    greens = [(x + y) % 2 for y in range(4) for x in range(4)]
+
+    def body(bw):
+        bw.bits(1, 0)
+        bw.bits(1, 0)
+        bw.bits(1, 0)
+        _write_group(
+            bw,
+            ("simple", [200, 40]),  # bit 0 → 200, bit 1 → 40 (read order)
+            ("simple", [0]),
+            ("simple", [0]),
+            ("simple", [255]),
+            ("simple", [0]),
+        )
+        for g in greens:
+            bw.bits(1, g)
+
+    out = decode_image(_wrap_webp(_vp8l_bytes(4, 4, body)))
+    want = [_luma(0, 40 if g else 200, 0) for g in greens]
+    assert list(out["thumbnail"]) == want
+
+
+def test_webp_lossless_lz77_normal_code():
+    """Normal (code-length-coded) green code with a length symbol: one
+    literal then an 11-pixel LZ77 run at distance code 2 (left pixel)."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    glen = {10: 1, 262: 1}  # literal g=10; 262 = 256+6 → lengths 9..12
+
+    def body(bw):
+        bw.bits(1, 0)
+        bw.bits(1, 0)
+        bw.bits(1, 0)
+        _write_group(
+            bw,
+            ("normal", glen),
+            ("simple", [77]),
+            ("simple", [33]),
+            ("simple", [255]),
+            ("simple", [1]),  # dist sym 1 → dist_code 2 → (1,0) → left pixel
+        )
+        codes = _canon(glen)
+        bw.code(*codes[10])  # literal pixel (r/b/a come from 1-sym codes)
+        bw.code(*codes[262])  # length sym 6: offset 8, 2 extra bits
+        bw.bits(2, 2)  # 8 + 2 + 1 = 11 pixels copied
+        # distance code is single-symbol → zero bits
+
+    out = decode_image(_wrap_webp(_vp8l_bytes(4, 3, body)))
+    assert (out["width"], out["height"]) == (4, 3)
+    assert set(out["thumbnail"]) == {_luma(77, 10, 33)}
+
+
+def test_webp_lossless_color_cache():
+    """Color cache: a literal is inserted at its 0x1E35A7BD-hash slot and
+    re-emitted via cache symbols (280 + index) with zero literal codes."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    cache_bits = 4
+    px = (255 << 24) | (200 << 16) | (10 << 8) | 30
+    idx = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+    glen = {10: 1, 280 + idx: 1}
+
+    def body(bw):
+        bw.bits(1, 0)  # no transforms
+        bw.bits(1, 0)  # no meta prefix
+        bw.bits(1, 1)  # color cache present
+        bw.bits(4, cache_bits)
+        _write_group(
+            bw,
+            ("normal", glen),
+            ("simple", [200]),
+            ("simple", [30]),
+            ("simple", [255]),
+            ("simple", [0]),
+            cache_size=1 << cache_bits,
+        )
+        codes = _canon(glen)
+        bw.code(*codes[10])  # literal → inserted into the cache
+        for _ in range(3):
+            bw.code(*codes[280 + idx])  # three cache hits
+
+    out = decode_image(_wrap_webp(_vp8l_bytes(2, 2, body)))
+    assert set(out["thumbnail"]) == {_luma(200, 10, 30)}
+    assert out["n_pixels"] == 4
+
+
+def test_webp_lossless_subtract_green():
+    """Subtract-green inverse adds G back into R and B mod 256."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    r, g, b = 100, 30, 20  # stored as (r-g, g, b-g) mod 256
+
+    def body(bw):
+        bw.bits(1, 1)  # one transform
+        bw.bits(2, 2)  # SUBTRACT_GREEN
+        bw.bits(1, 0)  # no more transforms
+        bw.bits(1, 0)
+        bw.bits(1, 0)
+        _write_group(
+            bw,
+            ("simple", [g]),
+            ("simple", [(r - g) % 256]),
+            ("simple", [(b - g) % 256]),
+            ("simple", [255]),
+            ("simple", [0]),
+        )
+
+    out = decode_image(_wrap_webp(_vp8l_bytes(3, 3, body)))
+    assert set(out["thumbnail"]) == {_luma(r, g, b)}
+
+
+def test_webp_lossless_palette_bundled():
+    """Color-indexing with a 2-entry palette bundles 8 one-bit indices
+    per green byte; the palette sub-image itself is delta-coded."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    # palette entries (a,r,g,b): deltas are entry0, entry1-entry0
+    e0 = (255, 5, 10, 20)
+    e1 = (255, 5, 200, 20)
+    d1 = tuple((x - y) % 256 for x, y in zip(e1, e0))
+    row0 = [x % 2 for x in range(8)]  # alternate e0/e1
+    row1 = [1] * 8
+
+    def body(bw):
+        bw.bits(1, 1)  # one transform
+        bw.bits(2, 3)  # COLOR_INDEXING
+        bw.bits(8, 2 - 1)  # palette size 2
+        # palette sub-image (2×1, no meta bit for sub-images)
+        bw.bits(1, 0)  # no color cache
+        _write_group(
+            bw,
+            ("simple", [e0[2], d1[2]]),
+            ("simple", [e0[1], d1[1]]),
+            ("simple", [e0[3], d1[3]]),
+            ("simple", [e0[0], d1[0]]),
+            ("simple", [0]),
+        )
+        bw.bits(1, 0)  # delta pixel 0 → first codeword everywhere
+        bw.bits(1, 0)
+        bw.bits(1, 0)
+        bw.bits(1, 0)
+        bw.bits(1, 1)  # delta pixel 1 → second codeword everywhere
+        bw.bits(1, 1)
+        bw.bits(1, 1)
+        bw.bits(1, 1)
+        bw.bits(1, 0)  # no more transforms
+        # main image: packed 1×2 (8 px/byte), green holds the bundle
+        b0 = sum(bit << i for i, bit in enumerate(row0))
+        b1 = sum(bit << i for i, bit in enumerate(row1))
+        bw.bits(1, 0)  # no meta prefix
+        bw.bits(1, 0)  # no color cache
+        _write_group(
+            bw,
+            ("simple", [b0, b1]),
+            ("simple", [0]),
+            ("simple", [0]),
+            ("simple", [0]),
+            ("simple", [0]),
+        )
+        bw.bits(1, 0)  # packed pixel row0
+        bw.bits(1, 1)  # packed pixel row1
+
+    out = decode_image(_wrap_webp(_vp8l_bytes(8, 2, body)))
+    assert (out["width"], out["height"]) == (8, 2)
+    l0, l1 = _luma(e0[1], e0[2], e0[3]), _luma(e1[1], e1[2], e1[3])
+    want = [l1 if i else l0 for i in row0] + [l1] * 8
+    assert list(out["thumbnail"]) == want
+
+
+def test_webp_lossless_predictor_transform():
+    """Predictor transform: mode 12 (ClampAddSubtractFull) for the one
+    interior pixel of a 2×2; edges use the fixed black/L/T rules. The
+    residual image needs a 4-symbol normal code — multi-length canonical
+    decode is exercised too."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    p00 = (255, 100, 100, 100)
+    p01 = (255, 10, 20, 30)
+    p10 = (255, 50, 60, 70)
+    p11 = (255, 0, 0, 0)  # == clamp(L + T - TL) per channel → residual 0
+    # residuals: p00 vs opaque black, p01 vs L, p10 vs T, p11 vs pred12
+    res = [
+        (0, p00[1], p00[2], p00[3]),
+        (0, (p01[1] - p00[1]) % 256, (p01[2] - p00[2]) % 256, (p01[3] - p00[3]) % 256),
+        (0, (p10[1] - p00[1]) % 256, (p10[2] - p00[2]) % 256, (p10[3] - p00[3]) % 256),
+        (0, 0, 0, 0),
+    ]
+    gsyms = sorted({r[2] for r in res})
+    glen = {s: 2 for s in gsyms}
+    rlen = {s: 2 for s in sorted({r[1] for r in res})}
+    blen = {s: 2 for s in sorted({r[3] for r in res})}
+
+    def body(bw):
+        bw.bits(1, 1)  # one transform
+        bw.bits(2, 0)  # PREDICTOR
+        bw.bits(3, 2 - 2)  # size_bits 2 → one 4×4 block covers the 2×2
+        # mode sub-image 1×1: green byte = predictor mode 12
+        bw.bits(1, 0)  # no color cache
+        _write_group(
+            bw,
+            ("simple", [12]),
+            ("simple", [0]),
+            ("simple", [0]),
+            ("simple", [0]),
+            ("simple", [0]),
+        )
+        bw.bits(1, 0)  # no more transforms
+        bw.bits(1, 0)  # no meta prefix
+        bw.bits(1, 0)  # no color cache
+        _write_group(
+            bw,
+            ("normal", glen),
+            ("normal", rlen),
+            ("normal", blen),
+            ("simple", [0]),
+            ("simple", [0]),
+        )
+        gc, rc, bc = _canon(glen), _canon(rlen), _canon(blen)
+        for _, rr, gg, bb in res:
+            bw.code(*gc[gg])
+            bw.code(*rc[rr])
+            bw.code(*bc[bb])
+
+    out = decode_image(_wrap_webp(_vp8l_bytes(2, 2, body)))
+    want = [_luma(p[1], p[2], p[3]) for p in (p00, p01, p10, p11)]
+    assert list(out["thumbnail"]) == want
+
+
+def test_webp_lossless_cross_color():
+    """Cross-color inverse: deltas are int8(multiplier)·int8(channel)>>5,
+    blue corrected twice (green then the NEW red). Stored channel values
+    are derived from the decoder's own delta function so the assertion
+    pins end-to-end pixels, not the intermediate arithmetic."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _vp8l_ct_delta,
+        decode_image,
+    )
+
+    g2r, g2b, r2b = 32, 224, 64  # int8: +32, −32, +64
+    a, r, g, b = 255, 50, 10, 20  # target pixel
+    r_stored = (r - _vp8l_ct_delta(g2r, g)) % 256
+    b_stored = (b - _vp8l_ct_delta(g2b, g) - _vp8l_ct_delta(r2b, r)) % 256
+
+    def body(bw):
+        bw.bits(1, 1)  # one transform
+        bw.bits(2, 1)  # CROSS-COLOR
+        bw.bits(3, 2 - 2)  # size_bits 2 → single block
+        # cte sub-image pixel: red=r2b, green=g2b, blue=g2r
+        bw.bits(1, 0)
+        _write_group(
+            bw,
+            ("simple", [g2b]),
+            ("simple", [r2b]),
+            ("simple", [g2r]),
+            ("simple", [0]),
+            ("simple", [0]),
+        )
+        bw.bits(1, 0)  # no more transforms
+        bw.bits(1, 0)
+        bw.bits(1, 0)
+        _write_group(
+            bw,
+            ("simple", [g]),
+            ("simple", [r_stored]),
+            ("simple", [b_stored]),
+            ("simple", [a]),
+            ("simple", [0]),
+        )
+
+    out = decode_image(_wrap_webp(_vp8l_bytes(2, 1, body)))
+    assert list(out["thumbnail"]) == [_luma(r, g, b)] * 2
+
+
+def test_webp_lossy_and_corrupt_route_to_seam():
+    """Lossy VP8 and truncated VP8L land in the Pillow seam: actionable
+    pillow error in this Pillow-less container, full decode with it."""
+    import pytest
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    lossy = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8 " + (
+        8
+    ).to_bytes(4, "little") + b"\x00" * 8
+    good = _wrap_webp(
+        _vp8l_bytes(7, 5, lambda bw: (bw.bits(1, 0), bw.bits(1, 0), bw.bits(1, 0), _write_group(bw, ("simple", [10]), ("simple", [200]), ("simple", [30]), ("simple", [255]), ("simple", [0]))))
+    )
+    truncated = good[:20]
+    try:
+        from PIL import Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(ValueError, match="pillow"):
+            decode_image(lossy)
+        with pytest.raises(ValueError, match="pillow"):
+            decode_image(truncated)
+
+
+def test_webp_lossless_through_spark_decode_images(spark):
+    """The VP8L path works through the distributed mapInPandas plumbing
+    alongside PNM blobs — one Arrow batch, mixed formats."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+        decode_images,
+    )
+
+    webp = _wrap_webp(
+        _vp8l_bytes(6, 4, lambda bw: (bw.bits(1, 0), bw.bits(1, 0), bw.bits(1, 0), _write_group(bw, ("simple", [10]), ("simple", [200]), ("simple", [30]), ("simple", [255]), ("simple", [0]))))
+    )
+    ppm = b"P6 2 2 255\n" + bytes(range(12))
+    df = spark.createDataFrame(
+        [(1, webp), (2, ppm)], "doc_id long, blob binary"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decode_images(df, decoder=decode_image).collect()
+    }
+    assert (rows[1]["width"], rows[1]["height"]) == (6, 4)
+    assert rows[1]["n_pixels"] == 24
+    assert (rows[2]["width"], rows[2]["height"]) == (2, 2)
