@@ -44,7 +44,8 @@ from harvard_artifacts_collection_data_engineering_analytics_app_spark.session i
     get_spark,
 )
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 # Headline set: scan-agg, join-agg-topk, 3-way join, sort, dedup/similarity
 # extensions when present in the registry.
@@ -230,6 +231,9 @@ HEADLINE = [
     "tw_retention_halflife",
     # round-11 additions
     "dd_lsh_bits_plan",
+    # round-12 additions
+    "dd_cdc_chunks",
+    "ss_matryoshka_recall",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness
@@ -515,8 +519,14 @@ def main() -> None:
     full_path = os.path.join(here, "var", f"bench_r{round_n}_final.json")
     with open(full_path, "w") as f:
         json.dump(full, f)
-    with open(os.path.join(here, "bench_history", f"r{round_n}.json"), "w") as f:
-        json.dump(full, f)
+    # The committed history is the canonical default-SF record the
+    # round-over-round comparison reads. An ad-hoc run at another scale
+    # factor (verify drives sf0.01) must not overwrite it — it lands in
+    # var/ only.
+    if SF_DIR == DEFAULT_SF_DIR:
+        hist = os.path.join(here, "bench_history", f"r{round_n}.json")
+        with open(hist, "w") as f:
+            json.dump(full, f)
 
     import re
 

@@ -3138,3 +3138,143 @@ def dd_bbit_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# --- content-defined chunking (CDC) dedup histogram ----------------------------------
+
+# Boundary divisor: a token ends its chunk when portable_hash60(token) % CDC_D
+# == 0, so expected chunk length is CDC_D tokens. Content-defined boundaries
+# (not fixed offsets) are what make the chunk store edit-stable: inserting a
+# token resynchronizes at the next boundary token, so only the chunks touching
+# the edit change identity — the property rsync/LBFS-style dedup relies on.
+CDC_D = 8
+
+
+def cdc_chunk_array(text) -> F.Column:
+    """array<string>: the document's content-defined chunks, in order.
+
+    One higher-order ``aggregate`` folds the token array into chunk
+    strings entirely in-row (JVM-side, no explode / window shuffle): a
+    token whose portable hash ≡ 0 mod CDC_D closes the current chunk.
+    The ``k`` counter (tokens in the open chunk) — not ``cur == ''`` —
+    decides whether the tail is flushed, so a degenerate empty-string
+    token still yields the chunk the SQL running-sum formulation
+    produces."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("done"),
+        F.lit("").alias("cur"),
+        F.lit(0).alias("k"),
+    )
+
+    def step(acc, t):
+        joined = F.when(acc.k == 0, t).otherwise(
+            F.concat(acc.cur, F.lit(" "), t)
+        )
+        b = T.portable_hash60(t) % CDC_D == 0
+        return F.struct(
+            F.when(b, F.array_append(acc.done, joined))
+            .otherwise(acc.done)
+            .alias("done"),
+            F.when(b, F.lit("")).otherwise(joined).alias("cur"),
+            F.when(b, F.lit(0)).otherwise(acc.k + 1).alias("k"),
+        )
+
+    def finish(acc):
+        return F.when(acc.k > 0, F.array_append(acc.done, acc.cur)).otherwise(
+            acc.done
+        )
+
+    return F.aggregate(T.tokens(text), init, step, finish)
+
+
+@register(
+    "dd_cdc_chunks",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+    ),
+    tok AS MATERIALIZED (
+        SELECT doc_id, t.i AS pos, toks[t.i + 1] AS token,
+               CASE WHEN CAST(('0x' || substr(md5(toks[t.i + 1]), 1, 15)) AS BIGINT)
+                         % {CDC_D} = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM tk, unnest(range(len(toks))) AS t(i)
+    ),
+    cid AS (
+        SELECT doc_id, pos, token,
+               COALESCE(SUM(boundary) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS chunk_id
+        FROM tok
+    ),
+    chunks AS MATERIALIZED (
+        SELECT doc_id, chunk_id,
+               md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash,
+               COUNT(*) AS n_tokens
+        FROM cid
+        GROUP BY doc_id, chunk_id
+    ),
+    classes AS (
+        SELECT chunk_hash, COUNT(*) AS occ, MIN(n_tokens) AS tok
+        FROM chunks
+        GROUP BY chunk_hash
+    )
+    SELECT occ,
+           COUNT(*) AS n_classes,
+           CAST(SUM(occ) AS BIGINT) AS n_chunks,
+           CAST(SUM((occ - 1) * tok) AS BIGINT) AS tokens_saved
+    FROM classes
+    GROUP BY occ
+    ORDER BY occ
+    """,
+    tags=("dedup", "cdc", "chunking"),
+)
+def dd_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup histogram: chunk every document at
+    content-derived boundaries (token whose portable hash ≡ 0 mod
+    {CDC_D} ends a chunk), fingerprint each chunk, and report the chunk
+    multiplicity distribution — per multiplicity class: how many
+    distinct chunks, how many stored occurrences, and how many tokens a
+    content-addressed chunk store saves. This is the storage/refresh
+    unit LBFS/rsync-style pipelines dedup on: unlike document-level
+    minhash it credits PARTIAL overlap (shared boilerplate paragraphs
+    between otherwise-distinct documents), and unlike fixed-width
+    segments (dd_segment_dup) the boundaries resynchronize after edits.
+
+    The chunker is ONE projection: a higher-order aggregate folds the
+    token array into its chunk strings per document (no explode, no
+    per-token window shuffle — the fold is linear, in-row, JVM-side).
+    The only shuffles are the two dedup exchanges: chunk-hash classes,
+    then the occ histogram. The oracle replays identical arithmetic via
+    the unnest + running-sum formulation, which is semantically the
+    same boundary rule.
+
+    Plan shape (100 TB): per-document work is O(tokens); chunk classes
+    shuffle ~n_docs·len/CDC_D short hash rows (map-side combined), the
+    histogram is a second tiny exchange. No pairwise anything — the
+    chunk store IS the dedup index, and an incremental refresh would
+    anti-join new chunk hashes against it (the dd_bloom_novelty /
+    dd_incremental_minhash pattern).
+    """
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(cdc_chunk_array("text")).alias("chunk_id", "content"),
+    )
+    classes = chunks.groupBy(F.md5("content").alias("chunk_hash")).agg(
+        F.count("*").alias("occ"),
+        F.min(F.size(F.split("content", " "))).cast("long").alias("tok"),
+    )
+    return (
+        classes.groupBy("occ")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("occ").cast("long").alias("n_chunks"),
+            F.sum((F.col("occ") - 1) * F.col("tok")).cast("long").alias(
+                "tokens_saved"
+            ),
+        )
+        .orderBy("occ")
+    )

@@ -4199,3 +4199,163 @@ def ss_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _ranked_topk(scored, TOP_K)
+
+
+# --- Matryoshka (prefix-dimension) recall report -------------------------------------
+
+# Prefix lengths evaluated; the last entry is the full stored dimension and
+# therefore the exact baseline (its recall row is the 1.0 sanity anchor).
+MRL_DIMS = (8, 16, 32, 64)
+
+
+def _sql_prefix_cos(d: int) -> str:
+    return (
+        f"ROUND(list_dot_product(q.emb[1:{d}], c.emb[1:{d}])"
+        f" / nullif(q.n{d} * c.n{d}, 0), 6)"
+    )
+
+
+@register(
+    "ss_matryoshka_recall",
+    oracle=f"""
+    WITH {SQL_V},
+    pn AS MATERIALIZED (
+        SELECT vec_id, emb,
+               {", ".join(
+                   f"sqrt(list_sum(list_transform(emb[1:{d}], x -> x * x))) AS n{d}"
+                   for d in MRL_DIMS
+               )}
+        FROM v
+    ),
+    q AS (SELECT * FROM pn WHERE vec_id < {N_QUERIES}),
+    pairs AS MATERIALIZED (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               {", ".join(f"{_sql_prefix_cos(d)} AS cos{d}" for d in MRL_DIMS)}
+        FROM q JOIN pn c ON c.vec_id != q.vec_id
+    ),
+    scored AS (
+        {" UNION ALL ".join(
+            f"SELECT q_id, neighbor_id, CAST({d} AS BIGINT) AS prefix_dim,"
+            f" cos{d} AS cosine FROM pairs"
+            for d in MRL_DIMS
+        )}
+    ),
+    topk AS MATERIALIZED (
+        SELECT prefix_dim, q_id, neighbor_id FROM (
+            SELECT prefix_dim, q_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY prefix_dim, q_id
+                       ORDER BY cosine DESC, neighbor_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    ),
+    exact AS (
+        SELECT q_id, neighbor_id FROM topk WHERE prefix_dim = {MRL_DIMS[-1]}
+    )
+    SELECT t.prefix_dim,
+           COUNT(*) AS n_topk,
+           CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hits,
+           (COUNT(e.neighbor_id) * 1000000) // COUNT(*) AS recall_ppm
+    FROM topk t
+    LEFT JOIN exact e
+      ON e.q_id = t.q_id AND e.neighbor_id = t.neighbor_id
+    GROUP BY t.prefix_dim
+    ORDER BY t.prefix_dim
+    """,
+    tags=("similarity", "ann", "matryoshka", "recall"),
+)
+def ss_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of PREFIX-dimension cosine top-k against the
+    full-dimension exact top-k, per prefix length — the Matryoshka
+    (MRL) operating-curve question: "how far can stored vectors be
+    truncated before retrieval quality collapses". Truncating to d dims
+    cuts index bytes and scan cost by dim/d linearly, so this report is
+    the measured basis for choosing a serving dimension.
+
+    One candidate scan: per pair the element-wise product array is
+    computed once and each prefix dot is a slice-aggregate over it
+    (prefix sums nest), so adding a prefix length adds O(d) arithmetic,
+    not another scan or join. The stack() unpivot then ranks each
+    (prefix_dim, q_id) group independently.
+
+    Plan shape (100 TB): queries are broadcast (bounded N_QUERIES, the
+    ss_ivf_nprobe_sweep adjudication — the exact side is the priced
+    ground truth); candidates stream through one projection; the only
+    shuffle is the top-k window over len(MRL_DIMS)·N_QUERIES·N scored
+    rows, and the final recall join touches N_QUERIES·TOP_K rows per
+    prefix. The full-dim row doubles as a recall=1.0 self-check.
+    """
+    v = _vectors(spark, sf_dir)
+    pn = v.select(
+        "vec_id",
+        "emb",
+        *[
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.slice("emb", 1, d), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias(f"n{d}")
+            for d in MRL_DIMS
+        ],
+    )
+    q = pn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        *[F.col(f"n{d}").alias(f"qn{d}") for d in MRL_DIMS],
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(pn, pn["vec_id"] != q["q_id"])
+        .withColumn("prod", F.zip_with("q_emb", "emb", lambda x, y: x * y))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            *[
+                F.round(
+                    F.aggregate(
+                        F.slice("prod", 1, d), F.lit(0.0), lambda a, x: a + x
+                    )
+                    / F.nullif(F.col(f"qn{d}") * F.col(f"n{d}"), F.lit(0.0)),
+                    6,
+                ).alias(f"cos{d}")
+                for d in MRL_DIMS
+            ],
+        )
+    )
+    stack_args = ", ".join(f"CAST({d} AS BIGINT), cos{d}" for d in MRL_DIMS)
+    scored = pairs.selectExpr(
+        "q_id",
+        "neighbor_id",
+        f"stack({len(MRL_DIMS)}, {stack_args}) AS (prefix_dim, cosine)",
+    )
+    w = Window.partitionBy("prefix_dim", "q_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("prefix_dim", "q_id", "neighbor_id")
+    )
+    exact = (
+        topk.filter(F.col("prefix_dim") == MRL_DIMS[-1])
+        .select("q_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        topk.join(F.broadcast(exact), ["q_id", "neighbor_id"], "left")
+        .groupBy("prefix_dim")
+        .agg(
+            F.count("*").alias("n_topk"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "prefix_dim",
+            "n_topk",
+            "n_hits",
+            F.expr("(n_hits * 1000000) DIV n_topk").alias("recall_ppm"),
+        )
+        .orderBy("prefix_dim")
+    )

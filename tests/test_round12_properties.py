@@ -176,3 +176,78 @@ def test_sweep_band_fold_matches_affine_minhash_slices():
             for j in range(r_cfg):
                 a, c = _affine_coeffs(band * r_cfg + j)
                 assert f"* {a} + {c})" in sel, (b_cfg, band, j)
+
+
+# --- round-12 additions: CDC chunking + Matryoshka recall ---------------------------
+
+
+def _cdc_chunks_of(spark, text: str) -> list[str]:
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.dedup import (
+        cdc_chunk_array,
+    )
+
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(cdc_chunk_array("text").alias("c"))
+        .collect()[0]
+    )
+    return list(row["c"])
+
+
+def test_cdc_chunks_cover_document(spark):
+    """Chunk strings concatenate back to the token stream (lossless
+    partition), and every chunk ends with a boundary token except
+    possibly the last."""
+    import hashlib
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.dedup import (
+        CDC_D,
+    )
+
+    text = " ".join(f"w{(i * 7) % 23}" for i in range(200))
+    chunks = _cdc_chunks_of(spark, text)
+    assert " ".join(chunks) == text
+    for c in chunks[:-1]:
+        last = c.split(" ")[-1]
+        h = int(hashlib.md5(last.encode()).hexdigest()[:15], 16)
+        assert h % CDC_D == 0, "non-final chunk must end at a boundary token"
+
+
+def test_cdc_edit_resynchronizes(spark):
+    """The CDC property: inserting one token changes only the chunk it
+    lands in (at most splitting it in two) — all other chunk identities
+    survive, which is what makes the chunk store refresh-stable."""
+    toks = [f"w{(i * 7) % 23}" for i in range(200)]
+    a = " ".join(toks)
+    b = " ".join(toks[:100] + ["xinserted"] + toks[100:])
+    ca, cb = _cdc_chunks_of(spark, a), _cdc_chunks_of(spark, b)
+    from collections import Counter
+
+    sym = Counter(ca) - Counter(cb) | Counter(cb) - Counter(ca)
+    assert sum(sym.values()) <= 3, (
+        "one insertion may replace one chunk with at most two; "
+        f"got symmetric difference {dict(sym)}"
+    )
+    assert sum((Counter(ca) & Counter(cb)).values()) >= len(ca) - 1
+
+
+def test_matryoshka_full_dim_is_exact(spark):
+    """The full-dimension row of ss_matryoshka_recall is its own ground
+    truth: recall must be exactly 1.0 and every prefix row well-formed."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.similarity import (
+        MRL_DIMS,
+        N_QUERIES,
+        TOP_K,
+        ss_matryoshka_recall,
+    )
+
+    rows = {
+        r["prefix_dim"]: r
+        for r in ss_matryoshka_recall(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert sorted(rows) == sorted(MRL_DIMS)
+    assert rows[MRL_DIMS[-1]]["recall_ppm"] == 1_000_000
+    for d, r in rows.items():
+        assert r["n_topk"] == N_QUERIES * TOP_K
+        assert 0 <= r["n_hits"] <= r["n_topk"]
+        assert r["recall_ppm"] == (r["n_hits"] * 1_000_000) // r["n_topk"]
