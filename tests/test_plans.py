@@ -680,3 +680,31 @@ def test_filtered_ivf_topk_prefilters(spark, sf_dir):
     assert not X.has_cartesian_product(df)
     plan = X.formatted_plan(df)
     assert "label" in plan and "q_label" in plan
+
+
+def test_cdc_chunks_fold_is_shuffle_minimal(spark, sf_dir):
+    """dd_cdc_chunks' chunker is an in-row higher-order fold: the plan
+    must carry NO Window (no per-token running-sum shuffle) and combine
+    both aggregations map-side; the only exchanges are the chunk-hash
+    classes and the occ histogram (plus the final sort)."""
+    import re
+
+    df = _df(spark, sf_dir, "dd_cdc_chunks")
+    plan = X.formatted_plan(df)
+    assert "Window" not in plan, "chunk ids must come from the fold, not a window"
+    assert X.has_partial_aggregate(df)
+    # the formatted plan names each node twice (tree + detail section):
+    # count detail headers, one per physical Exchange node
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+
+
+def test_matryoshka_recall_prunes_topk_map_side(spark, sf_dir):
+    """ss_matryoshka_recall must broadcast the bounded query side and
+    prune the per-(prefix_dim, q_id) top-k BEFORE the rank exchange
+    (WindowGroupLimit), so the shuffle carries ~k rows per group, not
+    the full scored relation."""
+    df = _df(spark, sf_dir, "ss_matryoshka_recall")
+    plan = X.formatted_plan(df)
+    assert "WindowGroupLimit" in plan, "map-side top-k pruning missing"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert not X.has_cartesian_product(df)
