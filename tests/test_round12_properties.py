@@ -251,3 +251,10 @@ def test_matryoshka_full_dim_is_exact(spark):
         assert r["n_topk"] == N_QUERIES * TOP_K
         assert 0 <= r["n_hits"] <= r["n_topk"]
         assert r["recall_ppm"] == (r["n_hits"] * 1_000_000) // r["n_topk"]
+
+
+def test_cdc_degenerate_whitespace_doc(spark):
+    """A whitespace-only document tokenizes to one empty token on both
+    engines; the fold's token COUNTER (not cur == '') must flush it as
+    one chunk, matching the SQL running-sum formulation."""
+    assert _cdc_chunks_of(spark, "   ") == [""]
