@@ -220,8 +220,9 @@ def _decode_image_jpeg_dc(payload: bytes, thumb_side: int = 8) -> dict:
     decode with byte-unstuffing and restart markers, dequantization.
 
     Supports baseline/extended-sequential Huffman (SOF0/SOF1), 8-bit,
-    any subsampling; progressive (SOF2) and arithmetic coding raise the
-    actionable error that names the Pillow fallback. Contract matches
+    any subsampling; progressive (SOF2) and sequential-arithmetic (SOF9)
+    raise internal routing signals so ``decode_image`` retries with the
+    matching pure-Python decoder before any seam. Contract matches
     decode_image: exact width/height/n_pixels, ``thumb_side``² gray
     thumbnail (nearest-neighbor over the block-mean grid), mean sample.
     """
@@ -286,9 +287,12 @@ def _decode_image_jpeg_dc(payload: bytes, thumb_side: int = 8) -> dict:
             frame = (w, h, comps)
         elif marker == 0xC2:  # progressive: the DC-scan decoder handles it
             raise _ProgressiveJpegError("SOF2")
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC9:  # sequential arithmetic: the QM decoder handles it
+            raise _ArithmeticJpegError("SOF9")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "arithmetic/lossless/hierarchical JPEG requires pillow"
+                "progressive-arithmetic/lossless/hierarchical JPEG"
+                " requires pillow"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = (body[0] << 8) | body[1]
@@ -581,6 +585,401 @@ def _decode_image_jpeg_dc_progressive(payload: bytes, thumb_side: int = 8) -> di
     vmax = max(c[2] for c in comps)
     return _jpeg_dc_result(
         w, h, y_h, y_v, hmax, vmax, coef[y_cid], qt[y_tq][0], thumb_side
+    )
+
+
+# --- arithmetic-coded JPEG (SOF9) ----------------------------------------------------
+
+# QM-coder probability state machine, ITU-T T.81 Table D.3 (the 113
+# adaptive states) plus the fixed non-adapting 0.5-probability state
+# appended at index 113 for AC sign decisions (libjpeg's convention).
+# Each row is (Qe, Next_Index_LPS, Next_Index_MPS, Switch_MPS). Values
+# verified against the system libjpeg62-turbo's exported ``jpeg_aritab``
+# via ctypes at fixture-build time; the tests decode libjpeg-ENCODED
+# streams, so a wrong row fails loudly against real ground truth.
+_QM_TAB = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0), (0x080B, 18, 4, 0),
+    (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0), (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0),
+    (0x0036, 30, 9, 0), (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1), (0x3F25, 36, 16, 0),
+    (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0), (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0),
+    (0x0CEF, 43, 21, 0), (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0), (0x01B1, 54, 28, 0),
+    (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0), (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0),
+    (0x0068, 62, 33, 0), (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0), (0x2EF1, 67, 40, 0),
+    (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0), (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0),
+    (0x1177, 73, 45, 0), (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0), (0x04DE, 50, 52, 0),
+    (0x040F, 50, 53, 0), (0x0363, 51, 54, 0), (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0),
+    (0x01F8, 54, 57, 0), (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0), (0x008F, 61, 32, 0),
+    (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0), (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0),
+    (0x2FE8, 83, 69, 0), (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0), (0x119C, 74, 76, 0),
+    (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0), (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0),
+    (0x5832, 80, 81, 1), (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0), (0x2516, 86, 71, 0),
+    (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0), (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0),
+    (0x3824, 99, 93, 0), (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0), (0x3C3D, 104, 100, 0),
+    (0x375E, 99, 93, 0), (0x5231, 105, 102, 0), (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0),
+    (0x415E, 103, 99, 0), (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1), (0x5522, 112, 109, 0),
+    (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _ArithmeticJpegError(ValueError):
+    """Internal routing signal: SOF9 seen - retry with the arithmetic
+    decoder before falling to the Pillow seam (which cannot help here:
+    Pillow's JPEG plugin does not decode arithmetic entropy coding; the
+    pure-Python path below needs no library at all)."""
+
+
+class _QmDecoder:
+    """T.81 QM arithmetic DECODER over an in-memory JPEG buffer.
+
+    Register scheme per section F.2 software conventions as realized in
+    libjpeg's decoder (semantics verified instruction-by-instruction
+    against the system libjpeg62-turbo's compiled ``arith_decode``): C
+    accumulates data bytes un-shifted and every comparison scales the
+    interval by CT instead (``(A - Qe) << CT``), renormalization is
+    DEFERRED to the next decision's entry, and the start state
+    ``c=0, a=0, ct=-16`` primes the first byte load. Entropy-coded data
+    uses 0xFF00 BYTE stuffing exactly like the Huffman mode (T.81
+    B.1.1.5); a 0xFF followed by anything non-zero is a marker, after
+    which the decoder feeds zero bytes forever. The MPS sub-interval is
+    the BOTTOM [0, A-Qe) of the interval (NOT the JPEG-2000 MQ-coder's
+    placement), with conditional exchange when adaptation pushes Qe
+    above the MPS share. Statistics bins are one byte: state index in
+    the low 7 bits, current MPS in bit 7."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos  # next raw byte to consume
+        self.marker_seen = False
+        # initial load: two data bytes prime C at a full 16 bits against
+        # the fresh 0x10000 interval with zero pending shift (verified
+        # against the reference decoder's register trace)
+        c = self._next_byte() << 8
+        self.c = c | self._next_byte()
+        self.a = 0x10000
+        self.ct = 0
+
+    def _next_byte(self) -> int:
+        """One entropy-coded data byte: unstuff 0xFF00, swallow 0xFF
+        fill bytes, deliver zeros forever once a marker is reached."""
+        if self.marker_seen:
+            return 0
+        buf, n = self.buf, len(self.buf)
+        if self.pos >= n:
+            self.marker_seen = True
+            return 0
+        b = buf[self.pos]
+        self.pos += 1
+        if b != 0xFF:
+            return b
+        while self.pos < n and buf[self.pos] == 0xFF:
+            self.pos += 1  # T.81 B.1.1.2 fill bytes
+        if self.pos >= n:
+            self.marker_seen = True
+            return 0
+        nxt = buf[self.pos]
+        self.pos += 1
+        if nxt == 0:  # stuffed zero byte: the data byte is 0xFF
+            return 0xFF
+        self.marker_seen = True  # marker: stall (pos is just past it)
+        self.pos -= 2
+        return 0
+
+    def decode(self, st: bytearray, i: int) -> int:
+        """Decode one binary decision with adaptive context st[i]."""
+        a, c, ct = self.a, self.c, self.ct
+        # deferred renormalization + byte feeding (F.2.2.1): A doubles
+        # until it re-enters [0x8000, 0x10000]; C stays unshifted and CT
+        # tracks how far the interval is scaled past it, reloading one
+        # data byte whenever the pending shift would go negative
+        while a <= 0x7FFF:
+            ct -= 1
+            if ct < 0:
+                c = (c << 8) | self._next_byte()
+                ct += 8
+            a <<= 1
+        sv = st[i]
+        qe, nlps, nmps, sw = _QM_TAB[sv & 0x7F]
+        a -= qe
+        temp = a << ct
+        if c < temp:
+            # C in the MPS (bottom) sub-interval
+            if a > 0x7FFF:  # no renorm pending: fast path, no adaptation
+                self.a, self.c, self.ct = a, c, ct
+                return sv >> 7
+            # renorm pending: adapt, with conditional MPS exchange
+            if qe <= a:
+                st[i] = (sv & 0x80) | nmps
+                d = sv >> 7
+            else:
+                st[i] = ((sv ^ (0x80 if sw else 0)) & 0x80) | nlps
+                d = (sv >> 7) ^ 1
+        else:
+            # C in the LPS (top) sub-interval: remove the MPS share
+            c -= temp
+            if qe > a:  # conditional exchange: the larger half is MPS
+                st[i] = (sv & 0x80) | nmps
+                d = sv >> 7
+            else:
+                st[i] = ((sv ^ (0x80 if sw else 0)) & 0x80) | nlps
+                d = (sv >> 7) ^ 1
+            a = qe
+        self.a, self.c, self.ct = a, c, ct
+        return d
+
+
+def _arith_decode_dc_diff(dec, st, dc_context, ci, L, U):
+    """One DC difference, T.81 F.2.4.1: zero/sign decisions conditioned
+    on the PREVIOUS diff's class, then magnitude category (contexts
+    20..33) and magnitude bit pattern (category context + 14)."""
+    base = dc_context[ci]
+    if dec.decode(st, base) == 0:
+        dc_context[ci] = 0
+        return 0
+    sign = dec.decode(st, base + 1)
+    m = 0
+    s2 = base + 2 + sign
+    if dec.decode(st, s2):
+        m = 1
+        s2 = 20
+        while dec.decode(st, s2):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic JPEG: DC magnitude overflow")
+            s2 += 1
+    # conditioning class for the NEXT block of this component (F.1.4.4.1.2)
+    if m < (1 << L) >> 1:
+        dc_context[ci] = 0
+    elif m > (1 << U) >> 1:
+        dc_context[ci] = 12 + 4 * sign
+    else:
+        dc_context[ci] = 4 + 4 * sign
+    v = m
+    s2 += 14
+    m >>= 1
+    while m:
+        if dec.decode(st, s2):
+            v |= m
+        m >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def _arith_skip_ac(dec, st, fixed, kx) -> None:
+    """Decode (and discard) one block's AC coefficients, T.81 F.2.4.2 -
+    required to keep the single arithmetic bitstream in sync, the exact
+    analogue of the Huffman path's AC skip. EOB decision per coefficient
+    index; the sign uses the fixed non-adapting 0.5 state."""
+    k = 1
+    while k <= 63:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):
+            return  # EOB
+        while dec.decode(st, base + 1) == 0:
+            k += 1
+            if k > 63:
+                raise ValueError("arithmetic JPEG: AC index overflow")
+            base += 3
+        dec.decode(fixed, 0)  # sign, fixed 0.5 probability
+        m = 0
+        s2 = base + 2
+        if dec.decode(st, s2):
+            m = 1
+            if dec.decode(st, s2):
+                m = 2
+                s2 = 189 if k <= kx else 217
+                while dec.decode(st, s2):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "arithmetic JPEG: AC magnitude overflow"
+                        )
+                    s2 += 1
+        s2 += 14
+        m >>= 1
+        while m:
+            dec.decode(st, s2)  # magnitude bits: decoded, discarded
+            m >>= 1
+        k += 1
+
+
+def _decode_image_jpeg_dc_arith(payload: bytes, thumb_side: int = 8) -> dict:
+    """Arithmetic-coded sequential JPEG (SOF9) decode at DC (1/8)
+    resolution - pure Python. No imaging library can stand in here
+    (Pillow does not decode arithmetic JPEG), so this leg of the seam is
+    closed outright rather than routed.
+
+    Same structure as ``_decode_image_jpeg_dc``: marker parse, MCU walk,
+    DC kept / AC decoded-and-discarded to stay synchronized - but the
+    entropy layer is the T.81 Annex D QM-coder with the Annex F
+    statistical models: per-table adaptive context bins (DC 64, AC 256),
+    DC conditioning classes driven by the DAC segment's (L, U) bounds
+    (defaults 0, 1), AC magnitude-category area split at Kx (default 5),
+    and full statistics + predictor reset at restart markers. Validated
+    in tests against streams ENCODED by the system libjpeg, and against
+    the Huffman twin of the same image, which must produce a bit-equal
+    DC thumbnail (both carry identical quantized DC coefficients).
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, list[int]] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}  # table id -> (L, U)
+    ac_cond: dict[int, int] = {}  # table id -> Kx
+    frame = None
+    scan_comps = None
+    restart_interval = 0
+    pos = 2
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2 fill bytes
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            raise ValueError("EOI before scan data")
+        seg_len = (payload[pos] << 8) | payload[pos + 1]
+        body = payload[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if prec == 0:
+                    qt[tid] = list(body[i : i + 64])
+                    i += 64
+                else:
+                    qt[tid] = [
+                        (body[i + 2 * k] << 8) | body[i + 2 * k + 1]
+                        for k in range(64)
+                    ]
+                    i += 128
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0x0F
+                cs = body[i + 1]
+                if tc == 0:
+                    lo, hi = cs & 0x0F, cs >> 4
+                    if hi < lo:
+                        raise ValueError("arithmetic JPEG: DAC U < L")
+                    dc_cond[tb] = (lo, hi)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(
+                            "arithmetic JPEG: DAC Kx out of range"
+                        )
+                    ac_cond[tb] = cs
+                i += 2
+        elif marker == 0xC9:  # SOF9: extended sequential, arithmetic
+            if body[0] != 8:
+                raise ValueError("non-8-bit JPEG requires pillow")
+            h = (body[1] << 8) | body[2]
+            w = (body[3] << 8) | body[4]
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC0, 0xC1, 0xC2):
+            raise ValueError("not an arithmetic JPEG (Huffman SOF)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "progressive-arithmetic/lossless/hierarchical JPEG"
+                " requires pillow"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = (body[0] << 8) | body[1]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tables = body[2 + 2 * c]
+                scan_comps.append((cid, tables >> 4, tables & 0x0F))
+            pos += seg_len
+            break
+        pos += seg_len
+    if frame is None or scan_comps is None:
+        raise ValueError("truncated JPEG: missing SOF/SOS")
+    w, h, comps = frame
+    if h == 0:
+        raise ValueError("DNL-deferred height requires pillow")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    order = []
+    for cid, td, ta in scan_comps:
+        comp = next((c for c in comps if c[0] == cid), None)
+        if comp is None:
+            raise ValueError(f"scan references undefined component {cid}")
+        order.append((cid, comp[1], comp[2], comp[3], td, ta))
+    y_cid, y_h, y_v, y_tq = comps[0][0], comps[0][1], comps[0][2], comps[0][3]
+    if len(order) == 1:
+        # single-component scans are never MCU-interleaved (T.81 A.2):
+        # the component walks its own full-resolution block grid
+        cid, ch, cv, tq, td, ta = order[0]
+        mcus_x = -(-(-(-w * ch // hmax)) // 8)
+        mcus_y = -(-(-(-h * cv // vmax)) // 8)
+        order = [(cid, 1, 1, tq, td, ta)]
+        if cid == y_cid:
+            y_h = y_v = 1  # result grid matches the walk above
+
+    def fresh_stats():
+        dc_st = {td: bytearray(64) for _, _, _, _, td, _ in order}
+        ac_st = {ta: bytearray(256) for _, _, _, _, _, ta in order}
+        return dc_st, ac_st
+
+    dc_stats, ac_stats = fresh_stats()
+    fixed = bytearray((113,))  # non-adapting 0.5 state
+    dc_context = {cid: 0 for cid, *_ in order}
+    dc_pred = {cid: 0 for cid, *_ in order}
+    yw_blocks = mcus_x * y_h
+    y_grid = [[0] * yw_blocks for _ in range(mcus_y * y_v)]
+    dec = _QmDecoder(payload, pos)
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            # byte-align at the RSTn marker; reset coder, stats, predictors
+            p = dec.pos
+            while p + 1 < n and not (
+                payload[p] == 0xFF and 0xD0 <= payload[p + 1] <= 0xD7
+            ):
+                p += 1
+            if p + 1 >= n:
+                raise ValueError("expected restart marker")
+            dec = _QmDecoder(payload, p + 2)
+            dc_stats, ac_stats = fresh_stats()
+            fixed = bytearray((113,))
+            dc_context = {cid: 0 for cid in dc_context}
+            dc_pred = {cid: 0 for cid in dc_pred}
+        mx, my = mcu % mcus_x, mcu // mcus_x
+        for cid, ch, cv, _tq, td, ta in order:
+            L, U = dc_cond.get(td, (0, 1))
+            kx = ac_cond.get(ta, 5)
+            for by in range(cv):
+                for bx in range(ch):
+                    diff = _arith_decode_dc_diff(
+                        dec, dc_stats[td], dc_context, cid, L, U
+                    )
+                    dc_pred[cid] += diff
+                    if cid == y_cid:
+                        y_grid[my * y_v + by][mx * y_h + bx] = dc_pred[cid]
+                    _arith_skip_ac(dec, ac_stats[ta], fixed, kx)
+    return _jpeg_dc_result(
+        w, h, y_h, y_v, hmax, vmax, y_grid, qt[y_tq][0], thumb_side
     )
 
 
@@ -1436,9 +1835,17 @@ def decode_image(
                     # malformed blob must degrade to the seam, never sink
                     # the whole Arrow batch (ADVICE r11).
                     return _decode_image_pil(payload, thumb_side)
+            except _ArithmeticJpegError:
+                try:
+                    return _decode_image_jpeg_dc_arith(payload, thumb_side)
+                except (ValueError, IndexError, KeyError, StopIteration):
+                    # truncated/corrupt SOF9 → seam for the honest error;
+                    # note Pillow itself cannot decode arithmetic JPEG, so
+                    # the pure path above is the ONLY decode route
+                    return _decode_image_pil(payload, thumb_side)
             except ValueError:
-                # arithmetic/corrupt → imaging-library path (actionable
-                # pillow error when the library is absent)
+                # lossless/hierarchical/corrupt → imaging-library path
+                # (actionable pillow error when the library is absent)
                 return _decode_image_pil(payload, thumb_side)
             except IndexError as exc:
                 raise ValueError(f"truncated JPEG payload: {exc}") from exc
