@@ -289,10 +289,11 @@ def _decode_image_jpeg_dc(payload: bytes, thumb_side: int = 8) -> dict:
             raise _ProgressiveJpegError("SOF2")
         elif marker == 0xC9:  # sequential arithmetic: the QM decoder handles it
             raise _ArithmeticJpegError("SOF9")
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xCA:  # progressive arithmetic: QM decoder, DC scans
+            raise _ArithmeticJpegError("SOF10")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "progressive-arithmetic/lossless/hierarchical JPEG"
-                " requires pillow"
+                "lossless/hierarchical JPEG requires pillow"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = (body[0] << 8) | body[1]
@@ -631,10 +632,11 @@ _QM_TAB = (
 
 
 class _ArithmeticJpegError(ValueError):
-    """Internal routing signal: SOF9 seen - retry with the arithmetic
-    decoder before falling to the Pillow seam (which cannot help here:
-    Pillow's JPEG plugin does not decode arithmetic entropy coding; the
-    pure-Python path below needs no library at all)."""
+    """Internal routing signal: SOF9/SOF10 seen (args[0] says which) -
+    retry with the matching arithmetic decoder before falling to the
+    Pillow seam (which cannot help here: Pillow's JPEG plugin does not
+    decode arithmetic entropy coding; the pure-Python paths below need
+    no library at all)."""
 
 
 class _QmDecoder:
@@ -980,6 +982,199 @@ def _decode_image_jpeg_dc_arith(payload: bytes, thumb_side: int = 8) -> dict:
                     _arith_skip_ac(dec, ac_stats[ta], fixed, kx)
     return _jpeg_dc_result(
         w, h, y_h, y_v, hmax, vmax, y_grid, qt[y_tq][0], thumb_side
+    )
+
+
+def _decode_image_jpeg_dc_progressive_arith(
+    payload: bytes, thumb_side: int = 8
+) -> dict:
+    """Progressive arithmetic-coded JPEG (SOF10) decode at DC (1/8)
+    resolution - pure Python, same grounding as the SOF9 decoder
+    (libjpeg-encoded fixture twins, QM-coder verified against the
+    reference binary's register traces).
+
+    Progressive scans are INDEPENDENT entropy segments - each scan
+    re-initializes the arithmetic decoder and its statistics - so only
+    the DC scans are bit-decoded: the first (Ah=0) scan carries DC
+    diffs through the same Annex F DC model in the >>Al domain, and
+    each successive-approximation refinement scan contributes one
+    fixed-probability decision per block ORed in at bit Al. AC scans
+    and chroma-only DC scans are skipped at the marker level, exactly
+    like the progressive-Huffman decoder (their bits are never needed
+    for DC output and no cross-scan bitstream sync exists to maintain).
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, list[int]] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
+    frame = None
+    restart_interval = 0
+    coef: dict[int, list[list[int]]] = {}
+    saw_dc_scan = False
+    pos = 2
+    n = len(payload)
+    while pos < n - 1:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2 fill bytes
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = (payload[pos] << 8) | payload[pos + 1]
+        body = payload[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if prec == 0:
+                    qt[tid] = list(body[i : i + 64])
+                    i += 64
+                else:
+                    qt[tid] = [
+                        (body[i + 2 * k] << 8) | body[i + 2 * k + 1]
+                        for k in range(64)
+                    ]
+                    i += 128
+        elif marker == 0xCC:  # DAC (may be redefined between scans)
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0x0F
+                cs = body[i + 1]
+                if tc == 0:
+                    lo, hi = cs & 0x0F, cs >> 4
+                    if hi < lo:
+                        raise ValueError("arithmetic JPEG: DAC U < L")
+                    dc_cond[tb] = (lo, hi)
+                # AC conditioning is irrelevant here: AC scans are skipped
+                i += 2
+        elif marker == 0xCA:  # SOF10: progressive, arithmetic
+            if body[0] != 8:
+                raise ValueError("non-8-bit JPEG requires pillow")
+            h = (body[1] << 8) | body[2]
+            w = (body[3] << 8) | body[4]
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("not a progressive-arithmetic JPEG stream")
+        elif marker == 0xDD:  # DRI
+            restart_interval = (body[0] << 8) | body[1]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("truncated JPEG: SOS before SOF")
+            w, h, comps = frame
+            if h == 0:
+                raise ValueError("DNL-deferred height requires pillow")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                td = body[2 + 2 * c] >> 4
+                comp = next((c2 for c2 in comps if c2[0] == cid), None)
+                if comp is None:
+                    raise ValueError(
+                        f"scan references undefined component {cid}"
+                    )
+                scan.append((cid, comp[1], comp[2], td))
+            ss = body[1 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            data_start = pos + seg_len
+            y_cid = comps[0][0]
+            if ss != 0 or (ns == 1 and scan[0][0] != y_cid):
+                # AC scan / chroma-only DC scan: independent entropy
+                # segment whose bits DC output never needs
+                pos = _jpeg_skip_entropy(payload, data_start)
+                continue
+            saw_dc_scan = saw_dc_scan or ah == 0
+            for cid, ch, cv, _td in scan:
+                coef.setdefault(
+                    cid,
+                    [[0] * (mcus_x * ch) for _ in range(mcus_y * cv)],
+                )
+
+            def fresh_state():
+                dc_st = {td: bytearray(64) for _, _, _, td in scan}
+                fx = bytearray((113,))
+                ctx = {cid: 0 for cid, *_ in scan}
+                pred = {cid: 0 for cid, *_ in scan}
+                return dc_st, fx, ctx, pred
+
+            dc_stats, fixed, dc_context, dc_pred = fresh_state()
+            dec = _QmDecoder(payload, data_start)
+            if ns > 1:  # interleaved: MCU order, all scan components
+                units = mcus_x * mcus_y
+            else:  # non-interleaved luma: component raster, 1 block/unit
+                cid0, ch0, cv0, _ = scan[0]
+                cw = -(-w * ch0 // hmax)
+                chh = -(-h * cv0 // vmax)
+                cw_blocks = -(-cw // 8)
+                ch_blocks = -(-chh // 8)
+                units = cw_blocks * ch_blocks
+            for unit in range(units):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    p = dec.pos
+                    while p + 1 < n and not (
+                        payload[p] == 0xFF
+                        and 0xD0 <= payload[p + 1] <= 0xD7
+                    ):
+                        p += 1
+                    if p + 1 >= n:
+                        raise ValueError("expected restart marker")
+                    dec = _QmDecoder(payload, p + 2)
+                    dc_stats, fixed, dc_context, dc_pred = fresh_state()
+                if ns > 1:
+                    mx, my = unit % mcus_x, unit // mcus_x
+                    for cid, ch, cv, td in scan:
+                        L, U = dc_cond.get(td, (0, 1))
+                        for by in range(cv):
+                            for bx in range(ch):
+                                r, c = my * cv + by, mx * ch + bx
+                                if ah == 0:
+                                    dc_pred[cid] += _arith_decode_dc_diff(
+                                        dec, dc_stats[td], dc_context,
+                                        cid, L, U,
+                                    )
+                                    coef[cid][r][c] = dc_pred[cid] << al
+                                elif dec.decode(fixed, 0):
+                                    coef[cid][r][c] |= 1 << al
+                else:
+                    cid, _ch, _cv, td = scan[0]
+                    L, U = dc_cond.get(td, (0, 1))
+                    r, c = unit // cw_blocks, unit % cw_blocks
+                    if ah == 0:
+                        dc_pred[cid] += _arith_decode_dc_diff(
+                            dec, dc_stats[td], dc_context, cid, L, U
+                        )
+                        coef[cid][r][c] = dc_pred[cid] << al
+                    elif dec.decode(fixed, 0):
+                        coef[cid][r][c] |= 1 << al
+            pos = _jpeg_skip_entropy(payload, dec.pos)
+            continue
+        pos += seg_len
+    if frame is None or not saw_dc_scan:
+        raise ValueError("truncated progressive JPEG: no DC scan")
+    w, h, comps = frame
+    y_cid, y_h, y_v, y_tq = comps[0]
+    if y_cid not in coef or y_tq not in qt:
+        raise ValueError("progressive JPEG: luma DC plane never scanned")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    return _jpeg_dc_result(
+        w, h, y_h, y_v, hmax, vmax, coef[y_cid], qt[y_tq][0], thumb_side
     )
 
 
@@ -1835,13 +2030,18 @@ def decode_image(
                     # malformed blob must degrade to the seam, never sink
                     # the whole Arrow batch (ADVICE r11).
                     return _decode_image_pil(payload, thumb_side)
-            except _ArithmeticJpegError:
+            except _ArithmeticJpegError as sig:
+                arith = (
+                    _decode_image_jpeg_dc_progressive_arith
+                    if sig.args and sig.args[0] == "SOF10"
+                    else _decode_image_jpeg_dc_arith
+                )
                 try:
-                    return _decode_image_jpeg_dc_arith(payload, thumb_side)
+                    return arith(payload, thumb_side)
                 except (ValueError, IndexError, KeyError, StopIteration):
-                    # truncated/corrupt SOF9 → seam for the honest error;
-                    # note Pillow itself cannot decode arithmetic JPEG, so
-                    # the pure path above is the ONLY decode route
+                    # truncated/corrupt SOF9/SOF10 → seam for the honest
+                    # error; note Pillow itself cannot decode arithmetic
+                    # JPEG, so the pure path above is the ONLY decode route
                     return _decode_image_pil(payload, thumb_side)
             except ValueError:
                 # lossless/hierarchical/corrupt → imaging-library path

@@ -306,3 +306,167 @@ def test_arith_through_arrow_decode_images(spark):
     assert len(out) == 2 * len(names)
     for i, name in enumerate(names):
         assert out[2 * i] == out[2 * i + 1], name
+
+
+
+# --- progressive arithmetic (SOF10) --------------------------------------------------
+# Twins here are PROGRESSIVE HUFFMAN (SOF2) encodings of the same image at
+# the same quality: identical quantized DC planes, decoded by the
+# independently-validated progressive-Huffman DC decoder.
+
+# 16x16 gray, q90, progressive (SOF10 vs SOF2 twin)
+_A_G16P = _b64(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAMCAgMCAgMDAwMEAwMEBQgFBQQEBQoH"
+    "BwYIDAoMDAsKCwsNDhIQDQ4RDgsLEBYQERMUFRUVDA8XGBYUGBIUFRT/ygALCAAQ"
+    "ABABAREA/8wABAAQ/9oACAEBAAAAAf8AqP8AqgN0gP/MAAQQBf/aAAgBAQABBQIW"
+    "JCvxdFBVZhzOCvv3fGfJl9pRn//MAAQQBf/aAAgBAQAGPwIONzAn2c9rCwALlJYy"
+    "tJ5fx6Dwa4Z5XCnnarFkHfeQy3GzVELtEod2VNzcRkD/zAAEEAX/2gAIAQEAAT8h"
+    "vo9i3R/upCJSazJZgZhMW7BtAHhsMgImNEKjpuwqH1KA/9oACAEBAAAAEKD/zAAE"
+    "EAX/2gAIAQEAAT8QXi9WNPwoyLSQSUJRoyI3JC1//MoTDdEWvPHqAArMexg6LBDD"
+    "H+W0/9k="
+)
+_H_G16P = _b64(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAMCAgMCAgMDAwMEAwMEBQgFBQQEBQoH"
+    "BwYIDAoMDAsKCwsNDhIQDQ4RDgsLEBYQERMUFRUVDA8XGBYUGBIUFRT/wgALCAAQ"
+    "ABABAREA/8QAFQABAQAAAAAAAAAAAAAAAAAABgf/2gAIAQEAAAABn1RajP/EABoQ"
+    "AAIDAQEAAAAAAAAAAAAAAAQFAQIGAwD/2gAIAQEAAQUCV52Jquz9fDrOIIrfeh8A"
+    "f//EACIQAAECBQQDAAAAAAAAAAAAAAECAwAEESEjBRIiMTJhkv/aAAgBAQAGPwIE"
+    "pgYxAfmVty7KRd1xW1Ir7hxvSuU2UY3CKhNT383v0SkEeQT/AP/EAB0QAAICAQUA"
+    "AAAAAAAAAAAAAAERACExQWFxgbH/2gAIAQEAAT8hqjcZjXdGV5B8TKmSsihotzKH"
+    "ctzQAwaEmBIGT//aAAgBAQAAABA//8QAGxABAAMAAwEAAAAAAAAAAAAAAQARITFB"
+    "UWH/2gAIAQEAAT8Q6DWg0vD7CIkFDG11rYPK5mMN9tSlWNNaBtzBswfbu1DkTAh/"
+    "/9k="
+)
+# 32x24 RGB, q85, progressive 4:2:0
+_A_C32P = _b64(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAUDBAQEAwUEBAQFBQUGBwwIBwcHBw8L"
+    "CwkMEQ8SEhEPERETFhwXExQaFRERGCEYGh0dHx8fExciJCIeJBweHx7/2wBDAQUF"
+    "BQcGBw4ICA4eFBEUHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4e"
+    "Hh4eHh4eHh4eHh4eHh7/ygARCAAYACADASIAAhEBAxEB/8wABgAQARD/2gAMAwEA"
+    "AhADEAAAAf8AmYdnjjPOkLy0iOLfXfis1ahkFKYeFpQ6/8wABBAF/9oACAEBAAEF"
+    "AhWd2jRjxPKkj5j00byn1mheN5lXoSrBUqvYLrReANLe/8wABBEF/9oACAEDAQE/"
+    "ATVGnF3sXvBO1AnkiCQOhjQHHD8FC9TA/8wABBEF/9oACAECAQE/ATpdO6Gx7pp/"
+    "B7TmK4oHiRg3Dh4P5QHpWLuzxmDcfYj/zAAEEAX/2gAIAQEABj8C7MGZhk2rHdhr"
+    "jdIHDhC0nEWzNgg6NiHke5X33ly4yJ9IEP/MAAQQBf/aAAgBAQABPyGoFhXzYAEO"
+    "jP2HLafZ+4/Ts4v0lYhuWgioPX5kAyCi4q24u5WDLvBrilD/2gAMAwEAAgADAAAA"
+    "ELeIYP/MAAQRBf/aAAgBAwEBPxCUKSaQWo8PggEV9TGMr4MCaDIrHmFh56aFav/M"
+    "AAQRBf/aAAgBAgEBPxCsNOXJLtw7cT24JmoX9mYe4nIdhRbV0P4s2Yapy1Wm/8wA"
+    "BBAF/9oACAEBAAE/EFIcIDzhxVKjwfqU46qHN1FQrTyNDZUSTyoTxofkxlaqIxZO"
+    "wYcqI+muiNDGfLK8EQMzt5Dti02fpm4z0zlTYvZIchaaYvQa42+c/9k="
+)
+_H_C32P = _b64(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAUDBAQEAwUEBAQFBQUGBwwIBwcHBw8L"
+    "CwkMEQ8SEhEPERETFhwXExQaFRERGCEYGh0dHx8fExciJCIeJBweHx7/2wBDAQUF"
+    "BQcGBw4ICA4eFBEUHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4e"
+    "Hh4eHh4eHh4eHh4eHh7/wgARCAAYACADASIAAhEBAxEB/8QAGQAAAgMBAAAAAAAA"
+    "AAAAAAAAAAYDBAUB/8QAGAEAAgMAAAAAAAAAAAAAAAAAAwUBAgb/2gAMAwEAAhAD"
+    "EAAAAUN1ptRUdDAjZaaiPOAaTrqEO//EABsQAAMAAwEBAAAAAAAAAAAAAAADBAEC"
+    "BRMU/9oACAEBAAEFAo5yNB02/NLHOSL1F7JQnL9qqI8Ec513ejY0Ec5//8QAHREA"
+    "AQQCAwAAAAAAAAAAAAAAAQACAwQFQRESMf/aAAgBAwEBPwGaZzjwFUrmpB12fVh2"
+    "iSyXO0FYkcv/xAAgEQACAgEDBQAAAAAAAAAAAAABBAACAwUREiExcZHR/9oACAEC"
+    "AQE/AXsC1TxNx7E205PHxN+vg/IklhuwTYdo4vSf/8QAIhAAAQIFBAMAAAAAAAAA"
+    "AAAAAQIDABARMVESExQyISJi/9oACAEBAAY/ApbbaqPOWpcDMriFOuH1SKwp5YV5"
+    "sMDEdJcRsnQjv9Gf/8QAHxAAAgIBBAMAAAAAAAAAAAAAAAEhMRFBcbHBYYGh/9oA"
+    "CAEBAAE/IaoKYMNX2Ty+nFFUC6TDC0y0fN2OaG07jSFHYogehYyaaxBHrnYpgqg/"
+    "/9oADAMBAAIAAwAAABCZEKL/xAAdEQABBAMBAQAAAAAAAAAAAAABABEhQTFxgVFh"
+    "/9oACAEDAQE/EGNkkwNoeMXFGfNCum0IBy8NuA/Hj7OVMlf/xAAdEQACAgIDAQAA"
+    "AAAAAAAAAAABEQAhMVFBcdHh/9oACAECAQE/EFEycCwsoU9yp72US9MFj7zHoFY7"
+    "YD8l0qf/xAAdEAEBAAIDAQEBAAAAAAAAAAABEQAhMUHx0ZHw/9oACAEBAAE/EPDz"
+    "z845BoanpZZLpqqqzw8UEicNfwxLqzkLOBYKQDtQ7x0BwprYJ0DzCtXauf3/AJkv"
+    "nmyEG26Ndx2i9qUuefnh5//Z"
+)
+# 48x40 gray, q50, progressive + restart interval 2
+_A_G48P = _b64(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDABALDA4MChAODQ4SERATGCgaGBYWGDEj"
+    "JR0oOjM9PDkzODdASFxOQERXRTc4UG1RV19iZ2hnPk1xeXBkeFxlZ2P/ygALCAAo"
+    "ADABAREA/8wABAAQ/90ABAAC/9oACAEBAAAAAfqI/9Dg/9Hj/9KA/9PxwP/UuP/V"
+    "gP/Wsv/XuP/Q2P/RuP/SuP/T6P/U8eD/1faw/8wABBAF/9oACAEBAAEFAhrpnTi3"
+    "/9AQ6yCvQP/RUgqbr4D/0id2EP/TbvD/1B5h9Mj/1RDrHYD/1pW4/9ca4hMbKoD/"
+    "0KTAoP/RfCWGQP/SF34uaYD/013NkP/UHXn/1UszDDDg/8wABBAF/9oACAEBAAY/"
+    "Amzn8pq15fi2Y51g/9AQr0n3AAAACXKdCP/RCOzsFTNPw37hNPj2q7s4/9JOGuJA"
+    "/9OSKcH6CD0tQP/UT/ttltUfmFYw/9ULLduzGCG5Be+yieX3EP/WkXh+5XABpsuC"
+    "Kk8g/9eITrtL5z8+o70wEoD/0BLQKxdhMAVu4Sqo/9FP/wCJDoANPsOQscD/0pSN"
+    "MmGpT+pKaAe0jgyg/9OTpy4E/9Rd1XFa+//Vk8IrNDo05wL/zAAEEAX/2gAIAQEA"
+    "AT8hGX2qtNyho/I+IKmYb2R4/9CSF4hQwNemNp7Sxn5egCR9qZn0Pv/R6MMij2oU"
+    "yVXP8ZDPs0D/0u67vhdxdNwY5xV3968zt6+SlqWB9ED/0/2gyphodC0OjCNyy09n"
+    "3oMIkP/Ub6g5D559ai5Dqmx2CMXVgZbVwP/VHPaCOM7R4rR8WmEjTbxWoP/W46FA"
+    "/wBizm0zeTtLYxQdvPzo/9fQgPYR0tNBw+js/9Ddmg9A7uzB9VBTOVeFYP/Rp6C3"
+    "qGtDJo0h6clbfNzEj6AtZVz/0sJPCJz0v0BZsAO06bWA/9Oeevp4LdmFgn7joyp1"
+    "Yy6epvJt7Z6g/9SbFEc+8GdEOVy135qpJBiJ5tiBgP/VG/zboArJS6hr2uf3CEr/"
+    "2gAIAQEAAAAQgP/QgP/RgP/SgP/TgP/UgP/VgP/WgP/XgP/QgP/RgP/SgP/TgP/U"
+    "gP/VgP/MAAQQBf/aAAgBAQABPxAt/XoNLSW8c/Pv36aLl6jzJZXVavwTgP/QTUsp"
+    "ABNBFmY3EriKNtg7BR96VOIFwP/RDGo3MIeNtuUZNJ/do6t6g6qu7S0kUw8+v//S"
+    "XySa/WZjbBk6dv6Nc/fyC4ll8lfgF0D/09dTDXwp/ClTNMxPr0CAmzvmhbZbHD9p"
+    "/9QX3RvglmH6fGkE4CS8zyHYEoLrdiz/1Qg3+Kt9Dm4oPlayJPv9gqrijPvkRrVk"
+    "X4D/1o14MhQYbWiixsTpSd9mbq54r78dhD5tOP/XBWM+qZBjfuilc47ZpVi7OSxF"
+    "EgIXSUnw/9B+EPv1gfKxwBvsuwD/AHIuMUIhDfr5boHugP/RtGdll9OU7z5Ud9dP"
+    "Vgw553N2WddOMf/SgeJS2c/lA3RYp7EoSOCyMbtZ355AGugw/9P5u1PaSsEl1I1X"
+    "UlrloBSRpnNxJooueipO/9R9QoGQhSKmxILgSMuQoTcbD/vF9/NH5s3/1V+l5Bcl"
+    "NXgYr1yIpZdJqnxezNBm/9k="
+)
+_H_G48P = _b64(
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDABALDA4MChAODQ4SERATGCgaGBYWGDEj"
+    "JR0oOjM9PDkzODdASFxOQERXRTc4UG1RV19iZ2hnPk1xeXBkeFxlZ2P/wgALCAAo"
+    "ADABAREA/8QAFwABAAMAAAAAAAAAAAAAAAAAAQACA//dAAQAAv/aAAgBAQAAAAHL"
+    "X//QH//RNP/Sk//Trf8A/9RP/9WT/9Zf/9dP/9An/9FP/9JP/9Mr/9Sun//Vpp//"
+    "xAAfEAABBAICAwAAAAAAAAAAAAABAAIRIQMSMTITIkH/2gAIAQEAAQUCx4hiNhf/"
+    "0AIF6//R+kvA/9IiFC//061X/9Rorgf/1QIHK//WhTf/18bN25GeNf/Q1qF//9GS"
+    "h2//0mEtQ9l//9PgGh//1G9F/9VwdJkH/8QAKhAAAQIDBQcFAAAAAAAAAAAAAQAR"
+    "AiExEkFRYfADIlJxkaGxMoHB0eH/2gAIAQEABj8C3q4Cqc4vF9L/0AKjWuic91//"
+    "0RW1DRq9E5jiY13QGX//0slKrL//02sxE4oXsv/U4gvS2bA+F//VD2bJk4HwqMfG"
+    "K//WZumuanhabwv/17ccwaQhQx7NxNmX/9AbO93OSle9c1//0cPfWaF8m5hf/9Jo"
+    "Iw3DGhEYrZFHDAL/02EgpTX/1KBY93X/1WB7/qzZf//EACQQAQABAwIGAwEAAAAA"
+    "AAAAAAERACExQVFhcYGRscGh8PHh/9oACAEBAAE/IbvSE1uyi88xkwTpLh64V//Q"
+    "AEsASExHPi96F5BkvhI+Jyda/9EgEMC0cu6gUIYdwt8V/9Jwhd30C7EW9tAkU4L2"
+    "XhEbaea//9MGpj8vr+yU2VHq3jxtzr//1IJAgJaAzpNuxWrI62A8Odf/1RNoKN31"
+    "VYbBEEwf0ca//9YQTCCENtfJyvrCRRnhZNHzX//XLbUyACiN4ySnrX//0CE60TmH"
+    "qi6bJcg3bWFr/9FuQSsxqZmJ6jpXFxVnx8Tbhzr/0moI3gjP3SpSYELqTFf/07MQ"
+    "KEEEbZ9wYqB6vWL+Z+4H/9SDcWgb/T91UI2ZjQnMa6XtX//VHaAsBjWAnHJJXl/G"
+    "v//aAAgBAQAAABA//9A//9E//9I//9M//9Q//9U//9Y//9c//9A//9E//9I//9M/"
+    "/9Q//9U//8QAHxABAQEBAAMAAwEBAAAAAAAAAREhMQBBUWGBoXGR/9oACAEBAAE/"
+    "EKmeFzTfbM2s/p5ba4lnqJ5pTYD6PP/QwBMAFCBDtS7ftPJLaoy0IqHIkSxvH//R"
+    "HRgSCBpTBRRRCbr51DYUuEUQ7KnffPP/0gNwIAOhOEjz9Ll3KEdMmLhUuJq7zz//"
+    "0+4z0HzI1zWbbteVL1ghVVa0nUSzTWb5/9QV9ogK2qVxsU+/e12pyY14f2Z5/9XW"
+    "AJ5ilnIMSbg8vlTbLHIoKSA+yBmY/wD/1gtVFOxBIUcMo+sLtUN6A9OAGaWnHz//"
+    "1/bYOGkrJ8gGB/J5A3g0Upacn/Oe/wD/0ETNABDHq9aOercd+upZxNkOjYznb5//"
+    "0WKEmNVEJkLSffyi1kQCD+TIFw/Xp//SCJupAjlY47qX/dj0iCam0dX1rApnn//T"
+    "BcYioUUkLj+QKNKlgJXRpCml4VSrMng//9TEpIAAEBPyQOsgMZ4PyXk7wlRcHB71"
+    "t8//1QODwADgHgJQQDD0UpbBuKK+4ef/2Q=="
+)
+
+PROG_PAIRS = {
+    "g16p_gray_q90": (_A_G16P, _H_G16P),
+    "c32p_rgb_420": (_A_C32P, _H_C32P),
+    "g48p_gray_q50_restart2": (_A_G48P, _H_G48P),
+}
+
+
+def test_progressive_arith_decodes_bit_equal_to_huffman_twin():
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_jpeg_dc_progressive,
+        _decode_image_jpeg_dc_progressive_arith,
+    )
+
+    for name, (arith, huff) in PROG_PAIRS.items():
+        ra = _decode_image_jpeg_dc_progressive_arith(arith)
+        rh = _decode_image_jpeg_dc_progressive(huff)
+        assert ra == rh, name
+
+
+def test_progressive_arith_equals_sequential_encoding_of_same_image():
+    """SOF10 and SOF9 encodings of the same image at the same quality
+    carry the same quantized DC plane (the refinement scans restore the
+    successive-approximation bits exactly), so the two arithmetic
+    decoders must agree with each other too."""
+    for prog, seq in (("g16p_gray_q90", "g16_gray_q90"),
+                      ("c32p_rgb_420", "c32_rgb_420")):
+        rp = decode_image(PROG_PAIRS[prog][0], use_pil=False)
+        rs = decode_image(PAIRS[seq][0], use_pil=False)
+        assert rp == rs, (prog, seq)
+
+
+def test_decode_image_routes_sof10_without_pillow():
+    for name, (arith, huff) in PROG_PAIRS.items():
+        assert decode_image(arith, use_pil=False) == decode_image(
+            huff, use_pil=False
+        ), name
