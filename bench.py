@@ -234,6 +234,7 @@ HEADLINE = [
     # round-12 additions
     "dd_cdc_chunks",
     "ss_matryoshka_recall",
+    "fx_hll_distinct",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

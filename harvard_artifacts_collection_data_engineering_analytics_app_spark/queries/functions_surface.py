@@ -2621,3 +2621,193 @@ def fx_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ") AS (col_x, col_y, corr_ppm)"
     )
     return stacked.orderBy("col_x", "col_y")
+
+
+# --- HyperLogLog distinct-count sketch, deterministic and value-oracled --------------
+
+# Flajolet et al. 2007 bias constant for m=256 registers:
+# 0.7213 / (1 + 1.079/256). The estimate is computed as
+# FLOOR(C / S) where C = alpha * m^2 * 2^53 — C is one double constant
+# both engines fold identically (the 65536 and 2^53 factors are exact
+# power-of-two scalings of the same parsed literal) and S is an exact
+# BIGINT, so the single IEEE division is bit-identical across engines
+# and the floor is grid-stable.
+HLL_M = 256
+# explicit DOUBLE: both engines otherwise parse the bare literal as
+# DECIMAL, where the m^2 * 2^53 scaling overflows
+HLL_ALPHA = "CAST(0.7182725932495458 AS DOUBLE)"
+
+# the exact DuckDB twin of T.word_shingles(text, 3) used by the dedup
+# family — the sketch hashes the same shingle relation the dedup
+# operators block on
+from ..operators.dedup import _sql_shingles_n  # noqa: E402
+
+_SQL_SHINGLES3 = _sql_shingles_n(3)
+
+
+@register(
+    "fx_hll_distinct",
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+        SELECT source, unnest({_SQL_SHINGLES3}) AS s FROM documents
+    ),
+    tk AS MATERIALIZED (
+        SELECT source, s,
+               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+        FROM sh
+    ),
+    tr AS MATERIALIZED (
+        SELECT source, h >> 52 AS bucket,
+               CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                    ELSE 53 - length(bin(h & 4503599627370495)) END AS rho
+        FROM tk
+    ),
+    reg_global AS MATERIALIZED (
+        SELECT bucket, MAX(rho) AS r FROM tr GROUP BY bucket
+    ),
+    reg_merged AS (
+        SELECT bucket, MAX(r) AS r FROM (
+            SELECT source, bucket, MAX(rho) AS r
+            FROM tr GROUP BY source, bucket
+        ) GROUP BY bucket
+    ),
+    mismatch AS (
+        SELECT CAST(SUM(CASE WHEN COALESCE(g.r, -1) != COALESCE(p.r, -1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad
+        FROM reg_global g FULL JOIN reg_merged p ON p.bucket = g.bucket
+    ),
+    regs AS (
+        SELECT t.j AS bucket, COALESCE(g.r, 0) AS r
+        FROM unnest(range({HLL_M})) AS t(j)
+        LEFT JOIN reg_global g ON g.bucket = t.j
+    ),
+    summary AS (
+        SELECT CAST(SUM(1::BIGINT << (53 - r)) AS BIGINT) AS sum_term,
+               CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_buckets
+        FROM regs
+    ),
+    exact AS (SELECT COUNT(DISTINCT s) AS n_exact FROM tk)
+    SELECT m, n_exact, n_zero_buckets, sum_term, hll_est,
+           (ABS(hll_est - n_exact) * 1000000) // n_exact AS err_ppm,
+           merge_consistent
+    FROM (
+        SELECT CAST({HLL_M} AS BIGINT) AS m,
+               e.n_exact, s.n_zero_buckets, s.sum_term,
+               CAST(FLOOR({HLL_ALPHA} * 65536 * 9007199254740992
+                          / s.sum_term) AS BIGINT) AS hll_est,
+               (mm.bad = 0) AS merge_consistent
+        FROM summary s, exact e, mismatch mm
+    )
+    """,
+    tags=("functions", "sketch", "hll", "distinct"),
+)
+def fx_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct count of the corpus 3-gram shingle
+    vocabulary — the sketch that makes COUNT(DISTINCT) affordable at
+    100 TB — reported against the exact count, with mergeability
+    value-proven in the same row.
+
+    Deterministic twin of ``fx_hll_sketch_merge``: that operator
+    exercises Spark's native DataSketches HLL, whose binary sketch
+    DuckDB cannot replay, so its oracle is a 5%-tolerance gate. This
+    one is fully deterministic and replayed VALUE-FOR-VALUE by the
+    DuckDB oracle — the approximation itself is oracle-checked, not
+    just its error band: bucket = top 8 bits of the portable md5 hash,
+    rho = leading
+    zeros of the remaining 52 bits + 1 via the engine-identical
+    ``length(bin(w))``, registers = MAX(rho) per bucket, and the bias-
+    corrected estimate FLOOR(alpha·m²·2⁵³ / Σ 2^(53-r)) computed on an
+    exact integer denominator so the one IEEE division is bit-stable
+    across engines.
+
+    ``merge_consistent`` recomputes the registers as per-source PARTIAL
+    sketches merged by MAX and asserts equality with the global
+    registers — the property that makes the sketch map-side
+    combinable: at 100 TB the distinct count costs one 256-row
+    exchange of (bucket, max rho) partials instead of an exact-distinct
+    shuffle of the full key set. The exact side here is the priced
+    calibration ground truth (the ss_ivf_nprobe_sweep adjudication);
+    production would ship only the sketch. Linear-counting small-range
+    correction is intentionally NOT applied in-engine (ln() is not
+    bit-stable across engines); ``n_zero_buckets`` is emitted so a
+    consumer can apply it, and at every shipped scale factor the raw
+    regime holds (est >> 2.5m).
+    """
+    ensure_analytics_conf(spark)
+    from ..functions import text as T
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(T.word_shingles("text", 3)).alias("s")
+    )
+    tok = d.select(
+        "source",
+        "s",
+        T.portable_hash60(F.col("s")).alias("h"),
+    ).select(
+        "source",
+        "s",
+        F.shiftright("h", 52).alias("bucket"),
+        F.expr(
+            "CASE WHEN (h & 4503599627370495) = 0 THEN 53"
+            " ELSE 53 - length(bin(h & 4503599627370495)) END"
+        ).alias("rho"),
+    )
+    reg_global = tok.groupBy("bucket").agg(F.max("rho").alias("rg"))
+    reg_merged = (
+        tok.groupBy("source", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("rm"))
+    )
+    mismatch = (
+        reg_global.join(reg_merged, "bucket", "full")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("coalesce(rg, -1) != coalesce(rm, -1)"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("bad")
+        )
+    )
+    spine = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    summary = (
+        spine.join(reg_global, "bucket", "left")
+        .select(F.coalesce("rg", F.lit(0)).alias("r"))
+        .agg(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - r)"))
+            .cast("long")
+            .alias("sum_term"),
+            F.sum((F.col("r") == 0).cast("long"))
+            .cast("long")
+            .alias("n_zero_buckets"),
+        )
+    )
+    exact = tok.agg(F.countDistinct("s").alias("n_exact"))
+    return (
+        summary.crossJoin(exact)
+        .crossJoin(mismatch)
+        .withColumn("m", F.lit(HLL_M).cast("long"))
+        .withColumn(
+            "hll_est",
+            F.expr(
+                f"CAST(FLOOR({HLL_ALPHA} * 65536 * 9007199254740992"
+                " / sum_term) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "err_ppm", F.expr("(ABS(hll_est - n_exact) * 1000000) DIV n_exact")
+        )
+        .withColumn("merge_consistent", F.col("bad") == 0)
+        .select(
+            "m",
+            "n_exact",
+            "n_zero_buckets",
+            "sum_term",
+            "hll_est",
+            "err_ppm",
+            "merge_consistent",
+        )
+    )

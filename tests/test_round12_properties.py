@@ -258,3 +258,24 @@ def test_cdc_degenerate_whitespace_doc(spark):
     engines; the fold's token COUNTER (not cur == '') must flush it as
     one chunk, matching the SQL running-sum formulation."""
     assert _cdc_chunks_of(spark, "   ") == [""]
+
+
+def test_hll_estimate_within_theoretical_error(spark):
+    """HLL with m=256 has relative standard error 1.04/sqrt(m) = 6.5%;
+    the estimate must land within 4 sigma of the exact count at every
+    shipped scale, merge-consistency must hold, and the raw (no
+    small-range correction) regime must apply (est >> 2.5m)."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries.functions_surface import (
+        HLL_M,
+        fx_hll_distinct,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        row = fx_hll_distinct(spark, sf_dir).collect()[0]
+        assert row["m"] == HLL_M
+        assert row["merge_consistent"] is True
+        assert row["err_ppm"] <= 260_000, (sf_dir, row["err_ppm"])  # 4 sigma
+        assert row["hll_est"] > 2.5 * HLL_M, "raw-regime assumption violated"
+        assert row["err_ppm"] == (
+            abs(row["hll_est"] - row["n_exact"]) * 1_000_000
+        ) // row["n_exact"]
