@@ -112,6 +112,14 @@ ZIPF_CASES = [
     "dd_lsh_bits_plan",
     "dd_embedding_lsh_pairs",
     "ss_pair_cosine_histogram",
+    # round-12: the CDC chunker on the Zipfian vocabulary — boundary
+    # token TYPES are heavy-tailed here, so chunk lengths and the
+    # multiplicity histogram meet the skew they'd see on boilerplate
+    # corpora; and the deterministic HLL, whose register distribution
+    # faces a vocabulary where a few shingle types carry most mass
+    # (the raw-regime assumption est >> 2.5m must still hold).
+    "dd_cdc_chunks",
+    "fx_hll_distinct",
 ]
 
 
