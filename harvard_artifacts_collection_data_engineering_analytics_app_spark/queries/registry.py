@@ -74,45 +74,41 @@ _PRIORITY: tuple[str, ...] = (
     "rq20_join_agg_topk",
     "flagship_pricing_summary",
     "rq20_preagg_variant",
-    # --- round-12 rotation: the round-11 window HELD essentially intact
-    # (judge VERDICT r11 #1 — the driver skipped CORRECTNESS_r11.json, the
-    # second skip after r9, so these 28 never got their recorded rows; keep
-    # the window so the recording finally lands and the backlog drops
-    # 82 → ~54). One swap only, and it is itself a VERDICT directive:
-    # r11 #5 names five fixed plans that must appear green in
-    # CORRECTNESS_r12.json, and the fifth (dd_lsh_bits_plan, the round-11
-    # addition) was not in the r11 window — it takes the tail slot from
-    # tx_dataset_card, which stays never-recorded and leads round 13's
-    # rotation. Window head = the five fixed plans, exactly as r11 left
-    # them. ---
-    "st_exactly_once_sink_audit",
-    "ss_filtered_ivf_topk",
-    "ss_pair_cosine_histogram",
-    "dd_cluster_size_histogram",
-    "dd_lsh_bits_plan",
-    "tw_retention_halflife",
-    "fx_correlation_matrix",
-    "st_template_ingest",
-    "aj_error_last_action",
-    "rj_purchase_attribution_window",
-    "sk_salt_plan",
-    "wf_rolling_median",
-    "ht_dispersion_index",
-    "ht_classical_decompose",
-    "mm_aspect_bucket_plan",
-    "mm_shard_pack_plan",
-    "dd_bbit_minhash_calibration",
-    "dd_soft_weight",
-    "gr_hits",
-    "gr_bfs_distance",
-    "gr_katz_centrality",
-    "fx_column_profile",
-    "fx_ks_drift",
-    "ss_rrf_hybrid",
-    "ss_vector_audit",
-    "tw_inter_event_stats",
-    "tx_repetition",
-    "tx_bpe_token_count",
+    # --- round-13 rotation (judge VERDICT r12 #1/#5): the r12 window
+    # landed in full, so rotate to the next 28 never-recorded names.
+    # Lead = tx_dataset_card (designated since r12), followed by the three
+    # round-12 operators whose code is otherwise unattested
+    # (dd_cdc_chunks, ss_matryoshka_recall, fx_hll_distinct — VERDICT r12
+    # #5), then a cross-family fill from the 58-name backlog. The 30 names
+    # left behind (mostly tx_* and ss_* report queries) drain in r14. ---
+    "tx_dataset_card",
+    "dd_cdc_chunks",
+    "ss_matryoshka_recall",
+    "fx_hll_distinct",
+    "dd_cluster_quality_keepers",
+    "tx_chunk_plan",
+    "tx_split_assign",
+    "tx_pack_chunks",
+    "tx_unigram_logprob",
+    "tx_source_mix",
+    "tx_doc_vectors",
+    "tx_zipf_fit",
+    "tx_bm25_search",
+    "tx_readability",
+    "tx_code_detect",
+    "tx_lang_mix_by_source",
+    "ss_knn_graph",
+    "ss_ivf_nprobe_sweep",
+    "ss_maxmin_diversity",
+    "ss_binary_quantize_hamming",
+    "ss_pq_distortion_report",
+    "tw_new_vs_returning",
+    "tw_churn_rate",
+    "tw_activity_heatmap",
+    "gr_hierarchy_closure",
+    "gr_pagerank_convergence",
+    "fx_value_histogram",
+    "fx_upsert_merge",
 )
 
 

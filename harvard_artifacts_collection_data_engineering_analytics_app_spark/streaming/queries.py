@@ -30,6 +30,7 @@ from .pipelines import (
     dedup_events,
     latest_per_user,
     read_events_stream,
+    replay_state_partitions,
     run_to_memory,
     sliding_counts,
     tumbling_counts,
@@ -38,9 +39,16 @@ from .pipelines import (
 
 
 def _drain(
-    spark: SparkSession, stream: DataFrame, table: str, mode: str
+    spark: SparkSession,
+    stream: DataFrame,
+    table: str,
+    mode: str,
+    sf_dir: str | None = None,
 ) -> DataFrame:
-    run_to_memory(stream, table, output_mode=mode)
+    # State partitions sized to the replayed volume, not inherited from
+    # the batch-analytics conf (see replay_state_partitions).
+    n_state = replay_state_partitions(sf_dir) if sf_dir else None
+    run_to_memory(stream, table, output_mode=mode, state_partitions=n_state)
     return spark.table(table)
 
 
@@ -61,7 +69,7 @@ def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     AvailableNow; value-matches the batch twin (tw_tumbling_hourly)."""
     ensure_analytics_conf(spark)
     stream = tumbling_counts(read_events_stream(spark, sf_dir))
-    return _drain(spark, stream, "st_tumbling_mem", "complete").select(
+    return _drain(spark, stream, "st_tumbling_mem", "complete", sf_dir=sf_dir).select(
         "window_start", "event_type", "cnt", "avg_value"
     )
 
@@ -87,7 +95,7 @@ def st_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding 2h/1h event counts, drained via AvailableNow."""
     ensure_analytics_conf(spark)
     stream = sliding_counts(read_events_stream(spark, sf_dir))
-    return _drain(spark, stream, "st_sliding_mem", "complete").select(
+    return _drain(spark, stream, "st_sliding_mem", "complete", sf_dir=sf_dir).select(
         "window_start", "cnt"
     )
 
@@ -139,7 +147,7 @@ def st_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _drain(spark, stream, "st_session_mem", "complete").select(
+    return _drain(spark, stream, "st_session_mem", "complete", sf_dir=sf_dir).select(
         "user_id", "session_start", "n_events"
     )
 
@@ -154,7 +162,7 @@ def st_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the reference's INSERT IGNORE), then count the surviving rows."""
     ensure_analytics_conf(spark)
     stream = dedup_events(read_events_stream(spark, sf_dir))
-    deduped = _drain(spark, stream, "st_dedup_mem", "append")
+    deduped = _drain(spark, stream, "st_dedup_mem", "append", sf_dir=sf_dir)
     return deduped.agg(F.count("*").alias("n_unique_events"))
 
 
@@ -179,7 +187,7 @@ def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (update mode), drained via AvailableNow replay."""
     ensure_analytics_conf(spark)
     stream = user_running_totals(read_events_stream(spark, sf_dir))
-    return _drain(spark, stream, "st_running_mem", "update")
+    return _drain(spark, stream, "st_running_mem", "update", sf_dir=sf_dir)
 
 
 @register(
@@ -233,7 +241,7 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "inner",
     ).select("purchase_id", "click_id", "user_id")
-    return _drain(spark, joined, "st_ss_join_mem", "append")
+    return _drain(spark, joined, "st_ss_join_mem", "append", sf_dir=sf_dir)
 
 
 @register(
@@ -256,7 +264,7 @@ def st_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_analytics_conf(spark)
     dim = load_table(spark, sf_dir, "customer")
     stream = enrich_against_static(read_events_stream(spark, sf_dir), dim)
-    return _drain(spark, stream, "st_enrich_mem", "complete").select(
+    return _drain(spark, stream, "st_enrich_mem", "complete", sf_dir=sf_dir).select(
         "c_mktsegment", "cnt", "total_value"
     )
 
@@ -292,7 +300,7 @@ def st_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches bit-for-bit."""
     ensure_analytics_conf(spark)
     stream = latest_per_user(read_events_stream(spark, sf_dir))
-    return _drain(spark, stream, "st_latest_mem", "update")
+    return _drain(spark, stream, "st_latest_mem", "update", sf_dir=sf_dir)
 
 
 @register(
@@ -331,7 +339,7 @@ def st_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_analytics_conf(spark)
     stream = anomaly_flags(read_events_stream(spark, sf_dir))
-    return _drain(spark, stream, "st_anomaly_mem", "update")
+    return _drain(spark, stream, "st_anomaly_mem", "update", sf_dir=sf_dir)
 
 
 @register(
@@ -373,6 +381,7 @@ def st_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_transitions(read_events_stream(spark, sf_dir)),
         "st_transitions_mem",
         "update",
+        sf_dir=sf_dir,
     )
     return (
         steps.groupBy("from_type", "to_type")
@@ -465,7 +474,12 @@ def st_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("in_id", "ex_id")
         .agg(F.max("jac").alias("jac"))
     )
-    run_to_memory(pairs, "st_near_dup_mem", output_mode="complete")
+    run_to_memory(
+        pairs,
+        "st_near_dup_mem",
+        output_mode="complete",
+        state_partitions=replay_state_partitions(sf_dir, "documents"),
+    )
     drained = spark.table("st_near_dup_mem")
     return (
         drained.groupBy(F.col("in_id").alias("incoming_doc_id"))
@@ -512,7 +526,7 @@ def st_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_analytics_conf(spark)
     stream = tumbling_counts(read_events_stream(spark, sf_dir))
-    agg = _drain(spark, stream, "st_topk_window_mem", "complete").select(
+    agg = _drain(spark, stream, "st_topk_window_mem", "complete", sf_dir=sf_dir).select(
         "window_start", "event_type", "cnt"
     )
     w = Window.partitionBy("window_start").orderBy(
@@ -627,7 +641,7 @@ def st_quality_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~F.col("keep")).cast("long")).cast("long").alias("n_dropped"),
         )
     )
-    return _drain(spark, stream, "st_quality_mem", "complete").select(
+    return _drain(spark, stream, "st_quality_mem", "complete", sf_dir=sf_dir).select(
         "source", "n_docs", "n_kept", "n_dropped"
     )
 
@@ -685,7 +699,7 @@ def st_template_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_src"),
         )
     )
-    agg = _drain(spark, stream, "st_template_mem", "complete")
+    agg = _drain(spark, stream, "st_template_mem", "complete", sf_dir=sf_dir)
     return (
         agg.groupBy("template_key")
         .agg(

@@ -1,0 +1,117 @@
+"""Round-numbering unit tests for bench.py (judge VERDICT r12 #2).
+
+The driver's per-round artifact order is CORRECTNESS_rN.json first, THEN
+bench. ``_current_round`` must therefore treat a CORRECTNESS record with no
+matching BENCH record as THIS round's file (round N in progress), not as a
+finished prior round — the old ``max(...) + 1`` labeled the driver's
+round-12 bench as round 13 and wrote a stray ``bench_history/r13.json``.
+
+Pure-Python tests: no SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+_BENCH_PATH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+
+
+@pytest.fixture(scope="module")
+def bench_mod():
+    spec = importlib.util.spec_from_file_location("bench_under_test", _BENCH_PATH)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_under_test"] = mod
+    spec.loader.exec_module(mod)
+    yield mod
+    sys.modules.pop("bench_under_test", None)
+
+
+@pytest.fixture()
+def round_dir(bench_mod, tmp_path, monkeypatch):
+    monkeypatch.setattr(bench_mod, "ROUND_FILE_DIR", str(tmp_path))
+    return tmp_path
+
+
+def _touch(d, *names):
+    for n in names:
+        (d / n).write_text("{}")
+
+
+def test_fresh_repo_is_round_1(bench_mod, round_dir):
+    assert bench_mod._current_round() == 1
+
+
+def test_completed_round_pair_advances(bench_mod, round_dir):
+    _touch(round_dir, "CORRECTNESS_r12.json", "BENCH_r12.json")
+    assert bench_mod._current_round() == 13
+
+
+def test_correctness_written_bench_pending_is_same_round(bench_mod, round_dir):
+    # The driver state mid-round-13: CORRECTNESS_r13 just written, bench
+    # about to run. This is the exact state that was mislabeled round 14.
+    _touch(round_dir, "CORRECTNESS_r12.json", "BENCH_r12.json", "CORRECTNESS_r13.json")
+    assert bench_mod._current_round() == 13
+
+
+def test_driver_skipped_correctness_round(bench_mod, round_dir):
+    # Rounds 9/11 pattern: BENCH exists but the CORRECTNESS record was
+    # never written. Newest BENCH round is complete → next round.
+    _touch(round_dir, "CORRECTNESS_r08.json", "BENCH_r10.json")
+    assert bench_mod._current_round() == 11
+
+
+def test_driver_skipped_bench_round(bench_mod, round_dir):
+    # Round-10 pattern: BENCH_r9 never existed; CORRECTNESS_r10 just
+    # landed → we are in round 10, not 11.
+    _touch(round_dir, "BENCH_r08.json", "CORRECTNESS_r10.json")
+    assert bench_mod._current_round() == 10
+
+
+def test_noise_floor_refuses_inside_spread_movers(bench_mod, monkeypatch):
+    # Both queries trip the 1.3× ratio trigger, but q_noisy's delta
+    # (+0.5 s) is below its own inter-pass spread (0.9 s) → refused;
+    # q_real's delta (+5 s) clears its floor (0.1 s) → isolated.
+    prev = {"q_noisy": 1.0, "q_real": 10.0}
+    monkeypatch.setattr(bench_mod, "_previous_round_timings", lambda: prev)
+    seen = []
+
+    def fake_run(cmd, **kw):
+        seen.append(cmd[-1])
+
+        class P:
+            stdout = '{"query": "x", "isolated_sec": 1.0}'
+
+        return P()
+
+    import subprocess
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    timings = {"q_noisy": 1.5, "q_real": 15.0}
+    floors = {"q_noisy": 0.9, "q_real": 0.1}
+    out = bench_mod._isolate_movers(timings, floors)
+    assert seen == ["q_real"]
+    assert set(out) == {"q_real"}
+
+
+def test_mover_baseline_excludes_current_round(bench_mod, round_dir, monkeypatch):
+    # _previous_round_timings must only read STRICTLY-PRIOR round files —
+    # a bench_history/rN.json from the current round would self-compare.
+    import json
+
+    hist = round_dir / "bench_history"
+    hist.mkdir()
+    (hist / "r12.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q_prior": 1.0}})
+    )
+    (hist / "r13.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q_current": 9.9}})
+    )
+    _touch(round_dir, "CORRECTNESS_r12.json", "BENCH_r12.json", "CORRECTNESS_r13.json")
+    monkeypatch.setattr(bench_mod, "SF_DIR", "/root/testdata/sf0.1")
+    timings = bench_mod._previous_round_timings()
+    assert "q_prior" in timings
+    assert "q_current" not in timings
