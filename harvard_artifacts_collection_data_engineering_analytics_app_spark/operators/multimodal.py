@@ -1181,10 +1181,16 @@ def _decode_image_jpeg_dc_progressive_arith(
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+def _png_unfilter(
+    raw: bytes, width: int, height: int, bpp: int, stride: int | None = None
+) -> bytearray:
     """Undo the per-row PNG filters (types 0–4, RFC 2083 §6) over the
-    zlib-inflated raster; returns the flat sample bytes."""
-    stride = width * bpp
+    zlib-inflated raster; returns the flat sample bytes. ``stride``
+    overrides the row byte width for sub-8-bit depths, where a row packs
+    multiple samples per byte (filters still operate on bytes with
+    bpp=1, spec §9.2)."""
+    if stride is None:
+        stride = width * bpp
     out = bytearray(height * stride)
     pos = 0
     for y in range(height):
@@ -1276,9 +1282,12 @@ def _decode_image_png(payload: bytes, thumb_side: int = 8) -> dict:
     rgb2l in ImagingConvert.c), so a later ``pip install pillow`` cannot
     move any downstream hash or mean. 16-bit samples keep the HIGH byte
     (the PNG spec's sample >> 8 scaling; matches Pillow's 16-bit-RGB
-    high-byte read and its I;16→L shift for 16-bit gray).
-    Sub-8-bit depths and exotic color types raise ValueError and fall
-    through to the Pillow seam, same as progressive JPEG."""
+    high-byte read and its I;16→L shift for 16-bit gray). Sub-8-bit
+    depths (1/2/4, gray + palette — round 13, VERDICT r12 #7) unpack
+    MSB-first from byte-padded rows after byte-wise unfiltering; gray
+    scales by 255/(2^d−1), Pillow's exact 1-/L;2-/L;4-unpacker bit
+    replication. Only sub-8 INTERLACED and exotic color types still
+    raise ValueError into the Pillow seam, same as progressive JPEG."""
     import struct
     import zlib
 
@@ -1307,19 +1316,45 @@ def _decode_image_png(payload: bytes, thumb_side: int = 8) -> dict:
     width, height, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
-    if depth not in (8, 16) or interlace not in (0, 1):
+    if depth not in (1, 2, 4, 8, 16) or interlace not in (0, 1):
         raise ValueError(f"unsupported PNG depth/interlace {depth}/{interlace}")
     if depth == 16 and color == 3:
         raise ValueError("malformed PNG: palette cannot be 16-bit")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"sub-8-bit PNG invalid for color type {color}")
+    if depth < 8 and interlace:
+        # Adam7 over bit-packed rows — vanishingly rare; Pillow seam
+        raise ValueError("sub-8-bit interlaced PNG unsupported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None or (color == 3 and plte is None):
         raise ValueError(f"unsupported PNG color type {color}")
-    bpp = channels * (depth // 8)  # filters operate on BYTES (spec §9.2)
+    bpp = max(channels * (depth // 8), 1)  # filters operate on BYTES (§9.2)
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG stream: {exc}") from exc
-    if interlace:
+    if depth < 8:
+        # bit-packed rows: MSB-first samples, rows padded to a byte
+        # boundary; filters ran over the PACKED bytes (bpp = 1)
+        row_bytes = (width * depth + 7) // 8
+        if len(raw) != height * (row_bytes + 1):
+            raise ValueError("truncated PNG raster")
+        packed = _png_unfilter(raw, width, height, 1, stride=row_bytes)
+        mask = (1 << depth) - 1
+        per_byte = 8 // depth
+        samples = bytearray(width * height)
+        for y in range(height):
+            base = y * row_bytes
+            for x in range(width):
+                b = packed[base + x // per_byte]
+                shift = 8 - depth * (x % per_byte + 1)
+                samples[y * width + x] = (b >> shift) & mask
+        if color == 0:
+            # gray scales by 255/(2^d − 1) — exactly Pillow's 1/L;2/L;4
+            # unpackers (255, 85, 17: integer bit replication)
+            scale = 255 // mask
+            samples = bytearray(v * scale for v in samples)
+    elif interlace:
         samples = _png_deinterlace(raw, width, height, bpp)
     else:
         if len(raw) != height * (width * bpp + 1):
@@ -2053,8 +2088,9 @@ def decode_image(
             try:
                 return _decode_image_png(payload, thumb_side)
             except ValueError:
-                # sub-8-bit depth / exotic color type / corrupt stream →
-                # Pillow seam (8/16-bit and Adam7 decode pure-Python)
+                # sub-8-bit interlaced / exotic color type / corrupt
+                # stream → Pillow seam (1–16-bit and non-interlaced
+                # sub-8 decode pure-Python)
                 return _decode_image_pil(payload, thumb_side)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             try:
