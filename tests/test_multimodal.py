@@ -1457,3 +1457,209 @@ def test_png_sub8_rejects_rgb():
            + _png_chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         _decode_image_png(png)
+
+
+# --- lossless JPEG (SOF3, T.81 Annex H) — round 13 -----------------------------
+
+
+class _JBits:
+    """MSB-first bit writer with JPEG 0xFF00 stuffing, for hand-encoding
+    lossless-scan fixtures whose expected pixels are chosen FIRST and the
+    bitstream derived by the spec's category/extend rules."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put(self, code, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def bytes_aligned(self):
+        bits = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def _jls_cat(diff):
+    """(SSSS, raw bits) for a lossless difference, per RECEIVE/EXTEND."""
+    if diff == 0:
+        return 0, 0
+    t = abs(diff).bit_length()
+    return t, (diff if diff > 0 else diff + (1 << t) - 1)
+
+
+def _jls_dht(symbols):
+    """One DC-class Huffman table: every symbol at 3 bits (≤5 symbols,
+    so the all-ones code is never assigned); returns (segment, codes)."""
+    counts = bytes([0, 0, len(symbols)] + [0] * 13)
+    seg = b"\xff\xc4" + (2 + 17 + len(symbols)).to_bytes(2, "big")
+    seg += b"\x00" + counts + bytes(symbols)
+    codes = {s: (i, 3) for i, s in enumerate(symbols)}
+    return seg, codes
+
+
+def _jls_frame(w, h, ncomp, precision=8):
+    body = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    body += bytes([ncomp])
+    for c in range(ncomp):
+        body += bytes([c + 1, 0x11, 0])
+    return b"\xff\xc3" + (2 + len(body)).to_bytes(2, "big") + body
+
+
+def _jls_sos(ncomp, predictor, pt):
+    body = bytes([ncomp])
+    for c in range(ncomp):
+        body += bytes([c + 1, 0x00])
+    body += bytes([predictor, 0, pt])
+    return b"\xff\xda" + (2 + len(body)).to_bytes(2, "big") + body
+
+
+def test_jpeg_lossless_gray_predictor1():
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    pixels = [[100, 102, 99, 99], [50, 60, 70, 80]]
+    # diffs under Annex H: default 128 start, Ra on line 0, Rb at col 0
+    diffs = [-28, 2, -3, 0, -50, 10, 10, 10]
+    cats = [_jls_cat(d) for d in diffs]
+    dht, codes = _jls_dht(sorted({t for t, _ in cats}))
+    bw = _JBits()
+    for t, r in cats:
+        bw.put(*codes[t])
+        if t:
+            bw.put(r, t)
+    jpg = (b"\xff\xd8" + dht + _jls_frame(4, 2, 1) + _jls_sos(1, 1, 0)
+           + bw.bytes_aligned() + b"\xff\xd9")
+    out = decode_image(jpg)
+    assert (out["width"], out["height"]) == (4, 2)
+    flat = [v for row in pixels for v in row]
+    assert out["thumbnail"] == bytes(flat)  # full resolution, 4x2 < 8x8
+    assert out["mean_sample"] == sum(flat) / len(flat)
+
+
+def test_jpeg_lossless_rgb_predictor4_interleaved():
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_jpeg_lossless,
+    )
+
+    R = [[10, 20], [30, 40]]
+    G = [[5, 5], [5, 5]]
+    B = [[200, 100], [50, 25]]
+    # per-component diffs: default start, Ra on line 0, Rb at col 0,
+    # Ra+Rb-Rc elsewhere (predictor 4)
+    diffs = {
+        0: [-118, 10, 20, 0],
+        1: [-123, 0, 0, 0],
+        2: [72, -100, -150, 75],
+    }
+    seq = []  # interleaved MCU order: one sample per component
+    for i in range(4):
+        for c in range(3):
+            seq.append(diffs[c][i])
+    cats = [_jls_cat(d) for d in seq]
+    dht, codes = _jls_dht(sorted({t for t, _ in cats}))
+    bw = _JBits()
+    for t, r in cats:
+        bw.put(*codes[t])
+        if t:
+            bw.put(r, t)
+    jpg = (b"\xff\xd8" + dht + _jls_frame(2, 2, 3) + _jls_sos(3, 4, 0)
+           + bw.bytes_aligned() + b"\xff\xd9")
+    out = _decode_image_jpeg_lossless(jpg)
+
+    def luma(r, g, b):
+        return (r * 19595 + g * 38470 + b * 7471) >> 16
+
+    flat = [
+        luma(R[y][x], G[y][x], B[y][x]) for y in range(2) for x in range(2)
+    ]
+    assert out["thumbnail"] == bytes(flat)
+
+
+def test_jpeg_lossless_16bit_ssss16_wraparound():
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_jpeg_lossless,
+    )
+
+    # sample 1: default 32768, diff 32768 (SSSS=16, NO extra bits)
+    # -> (32768+32768) mod 2^16 = 0; sample 2: Ra=0, diff 1000
+    cats = [(16, 0), _jls_cat(1000)]
+    dht, codes = _jls_dht([10, 16])
+    bw = _JBits()
+    bw.put(*codes[16])  # no appended bits for SSSS=16
+    t, r = cats[1]
+    bw.put(*codes[t])
+    bw.put(r, t)
+    jpg = (b"\xff\xd8" + dht + _jls_frame(2, 1, 1, precision=16)
+           + _jls_sos(1, 1, 0) + bw.bytes_aligned() + b"\xff\xd9")
+    out = _decode_image_jpeg_lossless(jpg)
+    # 16-bit reduces to the high byte: 0 >> 8 = 0, 1000 >> 8 = 3
+    assert out["thumbnail"] == bytes([0, 3])
+
+
+def test_jpeg_lossless_point_transform():
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_jpeg_lossless,
+    )
+
+    # Pt=1: default is 2^(8-1-1)=64; output applies the inverse << 1
+    cats = [_jls_cat(-4), _jls_cat(3)]
+    dht, codes = _jls_dht([0, 2, 3])
+    bw = _JBits()
+    for t, r in cats:
+        bw.put(*codes[t])
+        if t:
+            bw.put(r, t)
+    jpg = (b"\xff\xd8" + dht + _jls_frame(2, 1, 1) + _jls_sos(1, 1, 1)
+           + bw.bytes_aligned() + b"\xff\xd9")
+    out = _decode_image_jpeg_lossless(jpg)
+    assert out["thumbnail"] == bytes([120, 126])  # (64-4)<<1, (60+3)<<1
+
+
+def test_jpeg_lossless_restart_resets_prediction():
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_jpeg_lossless,
+    )
+
+    # DRI=2: a restart lands between the rows of a 2x2 image; the first
+    # sample after RST0 must use the 128 default again (H.1.2.1)
+    row0 = [_jls_cat(-28), _jls_cat(10)]   # 100, 110
+    row1 = [_jls_cat(-48), _jls_cat(10)]   # 80 (from DEFAULT, not Rb), 90
+    dht, codes = _jls_dht(sorted({t for t, _ in row0 + row1}))
+    bw0 = _JBits()
+    for t, r in row0:
+        bw0.put(*codes[t])
+        if t:
+            bw0.put(r, t)
+    bw1 = _JBits()
+    for t, r in row1:
+        bw1.put(*codes[t])
+        if t:
+            bw1.put(r, t)
+    dri = b"\xff\xdd\x00\x04\x00\x02"
+    jpg = (b"\xff\xd8" + dri + dht + _jls_frame(2, 2, 1) + _jls_sos(1, 1, 0)
+           + bw0.bytes_aligned() + b"\xff\xd0"
+           + bw1.bytes_aligned() + b"\xff\xd9")
+    out = _decode_image_jpeg_lossless(jpg)
+    assert out["thumbnail"] == bytes([100, 110, 80, 90])
+
+
+def test_jpeg_lossless_truncated_degrades_to_seam_error():
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    # a truncated SOF3 payload (header, no scan bytes) must surface the
+    # seam's actionable ValueError, never a raw IndexError
+    dht, _ = _jls_dht([0, 2])
+    jpg = b"\xff\xd8" + dht + _jls_frame(2, 1, 1) + _jls_sos(1, 1, 0)
+    with pytest.raises(ValueError):
+        decode_image(jpg, use_pil=False)
