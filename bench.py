@@ -237,6 +237,7 @@ HEADLINE = [
     "fx_hll_distinct",
     "mm_wav_decode_stats",
     "ss_nsw_greedy_search",
+    "ss_nsw_beam_search",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -4411,6 +4411,38 @@ def _cos_e6(emb_a, emb_b, nrm_a, nrm_b) -> F.Column:
     return F.round(_cosine(emb_a, emb_b, nrm_a, nrm_b) * 1e6).cast("long")
 
 
+_NSW_INDEX_CACHE: dict = {}
+
+
+def _nsw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NSW serving index: degree-16 exact kNN edges, symmetrized,
+    neighbor vectors inlined, materialized once per (session, corpus) and
+    SHARED by every search op — a serving system holds one index for all
+    queries, it does not rebuild per request. The eager localCheckpoint
+    pins the materialization; the cache key is (applicationId, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _NSW_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    v = _vectors(spark, sf_dir)
+    directed = _knn_graph_topk(
+        spark, sf_dir, NSW_GRAPH_K, max(KNN_LOCAL_MARGIN, NSW_GRAPH_K + 4)
+    ).select("a_id", "b_id")
+    undirected = directed.unionByName(
+        directed.select(
+            F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")
+        )
+    ).distinct()
+    vb = v.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    edges_vec = undirected.join(vb, "b_id").localCheckpoint(eager=True)
+    _NSW_INDEX_CACHE[key] = edges_vec
+    return edges_vec
+
+
 @register(
     "ss_nsw_greedy_search",
     oracle=f"""
@@ -4511,23 +4543,7 @@ def ss_nsw_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_analytics_conf(spark)
     v = _vectors(spark, sf_dir)
-
-    # the index: degree-16 kNN edges, symmetrized, neighbor vectors
-    # inlined, materialized once
-    directed = _knn_graph_topk(
-        spark, sf_dir, NSW_GRAPH_K, max(KNN_LOCAL_MARGIN, NSW_GRAPH_K + 4)
-    ).select("a_id", "b_id")
-    undirected = directed.unionByName(
-        directed.select(
-            F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")
-        )
-    ).distinct()
-    vb = v.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("emb").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    edges_vec = undirected.join(vb, "b_id").localCheckpoint(eager=True)
+    edges_vec = _nsw_index(spark, sf_dir)
 
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -4668,4 +4684,271 @@ def ss_nsw_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("end_cos_e6") == F.col("top1_cos_e6")).alias("reached_top1"),
         )
         .orderBy("q_id")
+    )
+
+
+# --- NSW beam (ef) search: the HNSW serving algorithm, batch-synchronous --------
+#
+# Completes the graph-ANN story: greedy descent (above) is ef=1 of the real
+# serving algorithm — best-first BEAM search (HNSW's ef_search). This is the
+# deterministic batch form: per (query, ef), a beam of the ef best scored
+# nodes; each round expands every not-yet-expanded beam member, scores its
+# out-neighbors, and re-cuts the beam; EXACTLY NSW_BEAM_ROUNDS rounds run (a
+# bounded-round contract, so both engines compute the identical relation
+# with no fixed-point subtlety — the ss_maxmin_diversity unrolled-oracle
+# pattern). Ordering currency: key = cos_e6 · 2^24 − node_id packs the
+# rounded cosine and the smaller-id tie-break into ONE BIGINT, so every
+# beam cut is a plain integer ORDER BY in both engines.
+
+NSW_BEAM_EF = (1, 4, 16)  # the operating curve: greedy → HNSW-default-ish
+NSW_BEAM_ROUNDS = 5
+_NSW_KEY_M = 1 << 24  # id space bound; key = cos_e6 * M - node
+
+
+def _nsw_beam_oracle() -> str:
+    """Chained-CTE oracle for the beam search: NSW_BEAM_ROUNDS unrolled
+    expansion steps over the same degree-16 undirected index, each step
+    full SQL (window rank + anti-join), no recursion needed because the
+    round count is part of the operator's contract."""
+    ef_values = ", ".join(f"({e})" for e in NSW_BEAM_EF)
+    key = (
+        f"{_NSW_COS_E6.format(a='q', b='vb')} * {_NSW_KEY_M} - e.b_id"
+    )
+    entry_key = (
+        f"{_NSW_COS_E6.format(a='q', b='ve')} * {_NSW_KEY_M} - en.eid"
+    )
+    steps = []
+    prev = "s0"
+    for r in range(NSW_BEAM_ROUNDS):
+        steps.append(f"""
+    b{r} AS (
+        SELECT q_id, ef, node, key, cos_e6, expanded,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id, ef ORDER BY key DESC) AS rn
+        FROM {prev}
+    ),
+    n{r} AS (
+        SELECT DISTINCT t.q_id, t.ef, sc.node, sc.key, sc.cos_e6
+        FROM (SELECT q_id, ef, node FROM b{r}
+              WHERE rn <= ef AND NOT expanded) t
+        JOIN allscore sc ON sc.q_id = t.q_id AND sc.src = t.node
+        WHERE NOT EXISTS (
+            SELECT 1 FROM b{r} b
+            WHERE b.q_id = t.q_id AND b.ef = t.ef AND b.node = sc.node)
+    ),
+    s{r + 1} AS (
+        SELECT q_id, ef, node, key, cos_e6,
+               expanded OR rn <= ef AS expanded
+        FROM b{r}
+        UNION ALL
+        SELECT q_id, ef, node, key, cos_e6, FALSE FROM n{r}
+    )""")
+        prev = f"s{r + 1}"
+    return f"""
+    WITH {SQL_V},
+    q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
+    mx AS (SELECT MAX(vec_id) AS m, COUNT(*) AS n FROM v),
+    entries AS (
+        SELECT v.vec_id AS eid FROM v, mx
+        WHERE (mx.m - v.vec_id) % greatest(mx.n // {NSW_ENTRIES}, 1) = 0
+          AND v.vec_id >= {N_QUERIES}
+        ORDER BY eid DESC LIMIT {NSW_ENTRIES}
+    ),
+    knn AS ({_knn_oracle(NSW_GRAPH_K)}),
+    edges AS (
+        SELECT a_id, b_id FROM knn
+        UNION
+        SELECT b_id AS a_id, a_id AS b_id FROM knn
+    ),
+    allscore AS (
+        SELECT q.vec_id AS q_id, e.a_id AS src, e.b_id AS node,
+               {key} AS key,
+               {_NSW_COS_E6.format(a="q", b="vb")} AS cos_e6
+        FROM q CROSS JOIN edges e JOIN v vb ON vb.vec_id = e.b_id
+        WHERE e.b_id != q.vec_id
+    ),
+    s0 AS (
+        SELECT q.vec_id AS q_id, efs.ef, en.eid AS node,
+               {entry_key} AS key,
+               {_NSW_COS_E6.format(a="q", b="ve")} AS cos_e6,
+               FALSE AS expanded
+        FROM q
+        CROSS JOIN (VALUES {ef_values}) AS efs(ef)
+        CROSS JOIN entries en
+        JOIN v ve ON ve.vec_id = en.eid
+    ),{",".join(steps)},
+    final AS (
+        SELECT q_id, ef, node, cos_e6,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id, ef ORDER BY key DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY q_id, ef) AS n_scored
+        FROM {prev}
+    ),
+    top1 AS (
+        SELECT q_id, cos_e6 AS top1_cos_e6 FROM (
+            SELECT q.vec_id AS q_id,
+                   {_NSW_COS_E6.format(a="q", b="c")} AS cos_e6,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_NSW_COS_E6.format(a="q", b="c")} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM q JOIN v c ON c.vec_id != q.vec_id
+        ) WHERE rn = 1
+    )
+    SELECT CAST(f.ef AS BIGINT) AS ef, f.q_id,
+           f.node AS found_id, f.cos_e6 AS found_cos_e6,
+           t.top1_cos_e6,
+           f.cos_e6 = t.top1_cos_e6 AS hit,
+           CAST(f.n_scored AS BIGINT) AS n_scored
+    FROM final f JOIN top1 t USING (q_id)
+    WHERE f.rn = 1
+    ORDER BY ef, q_id
+    """
+
+
+@register(
+    "ss_nsw_beam_search",
+    oracle=_nsw_beam_oracle(),
+    tags=("similarity", "ann", "nsw", "beam", "graph-search"),
+)
+def ss_nsw_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSW/HNSW ef-search over the degree-16 undirected kNN index: the
+    recall-vs-ef operating curve (ef ∈ {1, 4, 16}) for best-first beam
+    search, NSW_BEAM_ROUNDS bounded-round contract. Per (query, ef):
+    the found top-1 after the rounds, the brute-force top-1, a hit
+    flag, and n_scored — the candidate volume that IS the serving cost
+    being traded against recall (the nprobe-sweep shape for graph
+    indexes).
+
+    Distributed shape (100 TB): same persisted vector-inlined index as
+    the greedy walk, built once and checkpointed. Each round is one
+    map-side broadcast join of the (Q·|ef|·ef)-row frontier against
+    the edge store, one anti-join against the scored set (both sides
+    tiny), and one window re-cut — all walks for the whole query batch
+    and every ef advance together, so a round's edge-store scan
+    amortizes across the batch. Round count is FIXED, so there is no
+    convergence collect at all — the loop is fully declarative, with
+    an eager per-round localCheckpoint bounding plan depth (the
+    pagerank pattern).
+    """
+    import functools
+    import operator
+
+    ensure_analytics_conf(spark)
+    v = _vectors(spark, sf_dir)
+    edges_vec = _nsw_index(spark, sf_dir)
+
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    m, n = v.agg(F.max("vec_id"), F.count("*")).collect()[0]
+    stride = max(int(n) // NSW_ENTRIES, 1)
+    entry_ids = [
+        int(m) - i * stride
+        for i in range(NSW_ENTRIES)
+        if int(m) - i * stride >= N_QUERIES
+    ][:NSW_ENTRIES]
+    entries = v.filter(F.col("vec_id").isin(entry_ids)).select(
+        F.col("vec_id").alias("node"),
+        F.col("emb").alias("e_emb"),
+        F.col("nrm").alias("e_nrm"),
+    )
+    efs = F.explode(F.array(*[F.lit(e) for e in NSW_BEAM_EF])).alias("ef")
+    key_m = F.lit(_NSW_KEY_M)
+    seed_cos = _cos_e6(
+        F.col("q_emb"), F.col("e_emb"), F.col("q_nrm"), F.col("e_nrm")
+    )
+    scored = (
+        q.crossJoin(F.broadcast(entries))
+        .select("q_id", "q_emb", "q_nrm", "node", seed_cos.alias("cos_e6"))
+        .select(
+            "q_id",
+            efs,
+            "node",
+            (F.col("cos_e6") * key_m - F.col("node")).alias("key"),
+            "cos_e6",
+            F.lit(False).alias("expanded"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    w = Window.partitionBy("q_id", "ef").orderBy(F.desc("key"))
+    for _ in range(NSW_BEAM_ROUNDS):
+        ranked = scored.withColumn("rn", F.row_number().over(w))
+        todo = ranked.filter(
+            (F.col("rn") <= F.col("ef")) & ~F.col("expanded")
+        ).select("q_id", "ef", F.col("node").alias("src"))
+        cand = (
+            edges_vec.join(F.broadcast(todo), edges_vec["a_id"] == todo["src"])
+            .join(F.broadcast(q), "q_id")
+            .filter(F.col("b_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "ef",
+                F.col("b_id").alias("node"),
+                _cos_e6(
+                    F.col("q_emb"), F.col("b_emb"),
+                    F.col("q_nrm"), F.col("b_nrm"),
+                ).alias("cos_e6"),
+            )
+            .withColumn("key", F.col("cos_e6") * key_m - F.col("node"))
+            .dropDuplicates(["q_id", "ef", "node"])
+            .join(
+                scored.select("q_id", "ef", "node"),
+                ["q_id", "ef", "node"],
+                "left_anti",
+            )
+            .select(
+                "q_id", "ef", "node", "key", "cos_e6",
+                F.lit(False).alias("expanded"),
+            )
+        )
+        scored = (
+            ranked.select(
+                "q_id", "ef", "node", "key", "cos_e6",
+                (F.col("expanded") | (F.col("rn") <= F.col("ef"))).alias(
+                    "expanded"
+                ),
+            )
+            .unionByName(cand)
+            .localCheckpoint(eager=True)
+        )
+
+    final = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_scored",
+            F.count("*").over(Window.partitionBy("q_id", "ef")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    top1 = (
+        v.join(F.broadcast(q), v["vec_id"] != q["q_id"])
+        .withColumn(
+            "ncos",
+            _cos_e6(F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")),
+        )
+        .groupBy("q_id")
+        .agg(
+            F.max(
+                F.struct(F.col("ncos"), (-F.col("vec_id")).alias("neg_id"))
+            ).alias("mx")
+        )
+        .select("q_id", F.col("mx.ncos").alias("top1_cos_e6"))
+    )
+    return (
+        final.join(F.broadcast(top1), "q_id")
+        .select(
+            F.col("ef").cast("long").alias("ef"),
+            "q_id",
+            F.col("node").alias("found_id"),
+            F.col("cos_e6").alias("found_cos_e6"),
+            "top1_cos_e6",
+            (F.col("cos_e6") == F.col("top1_cos_e6")).alias("hit"),
+            F.col("n_scored").cast("long").alias("n_scored"),
+        )
+        .orderBy("ef", "q_id")
     )

@@ -7,9 +7,11 @@ temporary override must be invisible to the surrounding session; and
 (b) the RIFF/WAVE decoder (judge VERDICT r12 #4a): analytically-known
 RMS fixtures across every supported sample format, container-walk
 hazards (junk chunks, pad bytes, extensible fmt), and the plan shape of
-the registered decode query; and (c) the NSW greedy graph search (judge
+the registered decode query; (c) the NSW greedy graph search (judge
 VERDICT r12 #4b): walk invariants, navigability, determinism, and the
-broadcast-frontier plan shape.
+broadcast-frontier plan shape; and (d) the NSW beam (ef) search: the
+operating-curve invariants (cost grows with ef, recall non-degrading,
+widest beam dominates greedy) and determinism.
 """
 
 from __future__ import annotations
@@ -266,3 +268,65 @@ def test_nsw_plan_broadcasts_frontier(spark, sf_dir):
     df = all_specs()["ss_nsw_greedy_search"].builder(spark, sf_dir)
     assert X.uses_broadcast_join(df)
     assert not X.has_cartesian_product(df)
+
+
+# --- NSW beam (ef) search ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def beam_rows(spark, sf_dir):
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries.registry import (
+        all_specs,
+    )
+
+    return all_specs()["ss_nsw_beam_search"].builder(spark, sf_dir).collect()
+
+
+def test_beam_operating_curve_invariants(beam_rows):
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.similarity import (
+        N_QUERIES,
+        NSW_BEAM_EF,
+    )
+
+    assert len(beam_rows) == N_QUERIES * len(NSW_BEAM_EF)
+    by_ef = {}
+    for r in beam_rows:
+        assert r.found_cos_e6 <= r.top1_cos_e6  # never beats brute force
+        assert r.hit == (r.found_cos_e6 == r.top1_cos_e6)
+        assert r.n_scored >= 1
+        by_ef.setdefault(r.ef, []).append(r)
+    # candidate volume (the serving cost) grows with the beam width
+    mean_scored = {
+        ef: sum(r.n_scored for r in rows) / len(rows)
+        for ef, rows in by_ef.items()
+    }
+    efs = sorted(by_ef)
+    for a, b in zip(efs, efs[1:]):
+        assert mean_scored[a] < mean_scored[b]
+    # recall is non-degrading from the narrowest to the widest beam on
+    # this corpus (empirical pin — the operating curve's whole point)
+    hits = {ef: sum(r.hit for r in rows) for ef, rows in by_ef.items()}
+    assert hits[efs[-1]] >= hits[efs[0]]
+    assert hits[efs[-1]] >= 1  # the widest beam finds at least one exact top-1
+
+
+def test_beam_widest_dominates_greedy(beam_rows, nsw_rows):
+    # ef=16 with the same entries explores a superset of the greedy
+    # walk's endpoints on this corpus: its found cosine is >= greedy's
+    # for every query (empirical pin at the tested SF)
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.similarity import (
+        NSW_BEAM_EF,
+    )
+
+    widest = {r.q_id: r.found_cos_e6 for r in beam_rows if r.ef == NSW_BEAM_EF[-1]}
+    for g in nsw_rows:
+        assert widest[g.q_id] >= g.end_cos_e6
+
+
+def test_beam_deterministic_rerun(spark, sf_dir, beam_rows):
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries.registry import (
+        all_specs,
+    )
+
+    again = all_specs()["ss_nsw_beam_search"].builder(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in beam_rows]
