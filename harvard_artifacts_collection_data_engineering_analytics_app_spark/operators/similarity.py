@@ -4522,7 +4522,10 @@ def _nsw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "nsw", "graph-search"),
 )
 def ss_nsw_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy NSW-style ANN search: every query (vec_id < N_QUERIES)
+    """Greedy NSW-style ANN search (Malkov et al. 2014, "Approximate
+    nearest neighbor algorithm based on navigable small world graphs";
+    the ef=1 degenerate of HNSW's layer-0 search, Malkov & Yashunin
+    2018): every query (vec_id < N_QUERIES)
     descends the undirected degree-16 kNN index from NSW_ENTRIES pinned
     entry points, hopping to the best strictly-improving neighbor
     (1e6-scaled-int cosine, smaller id on ties) until a local maximum;
@@ -4813,7 +4816,9 @@ def _nsw_beam_oracle() -> str:
     tags=("similarity", "ann", "nsw", "beam", "graph-search"),
 )
 def ss_nsw_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NSW/HNSW ef-search over the degree-16 undirected kNN index: the
+    """NSW/HNSW ef-search (the SEARCH-LAYER procedure of Malkov &
+    Yashunin 2018, batch-synchronous form) over the degree-16
+    undirected kNN index: the
     recall-vs-ef operating curve (ef ∈ {1, 4, 16}) for best-first beam
     search, NSW_BEAM_ROUNDS bounded-round contract. Per (query, ef):
     the found top-1 after the rounds, the brute-force top-1, a hit
