@@ -4455,8 +4455,8 @@ def _nsw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND v.vec_id >= {N_QUERIES}
         ORDER BY eid DESC LIMIT {NSW_ENTRIES}
     ),
-    knn AS ({_knn_oracle(NSW_GRAPH_K)}),
-    edges AS (
+    knn AS MATERIALIZED ({_knn_oracle(NSW_GRAPH_K)}),
+    edges AS MATERIALIZED (
         SELECT a_id, b_id FROM knn
         UNION
         SELECT b_id AS a_id, a_id AS b_id FROM knn
@@ -4724,13 +4724,13 @@ def _nsw_beam_oracle() -> str:
     prev = "s0"
     for r in range(NSW_BEAM_ROUNDS):
         steps.append(f"""
-    b{r} AS (
+    b{r} AS MATERIALIZED (
         SELECT q_id, ef, node, key, cos_e6, expanded,
                ROW_NUMBER() OVER (
                    PARTITION BY q_id, ef ORDER BY key DESC) AS rn
         FROM {prev}
     ),
-    n{r} AS (
+    n{r} AS MATERIALIZED (
         SELECT DISTINCT t.q_id, t.ef, sc.node, sc.key, sc.cos_e6
         FROM (SELECT q_id, ef, node FROM b{r}
               WHERE rn <= ef AND NOT expanded) t
@@ -4739,7 +4739,7 @@ def _nsw_beam_oracle() -> str:
             SELECT 1 FROM b{r} b
             WHERE b.q_id = t.q_id AND b.ef = t.ef AND b.node = sc.node)
     ),
-    s{r + 1} AS (
+    s{r + 1} AS MATERIALIZED (
         SELECT q_id, ef, node, key, cos_e6,
                expanded OR rn <= ef AS expanded
         FROM b{r}
@@ -4757,13 +4757,13 @@ def _nsw_beam_oracle() -> str:
           AND v.vec_id >= {N_QUERIES}
         ORDER BY eid DESC LIMIT {NSW_ENTRIES}
     ),
-    knn AS ({_knn_oracle(NSW_GRAPH_K)}),
-    edges AS (
+    knn AS MATERIALIZED ({_knn_oracle(NSW_GRAPH_K)}),
+    edges AS MATERIALIZED (
         SELECT a_id, b_id FROM knn
         UNION
         SELECT b_id AS a_id, a_id AS b_id FROM knn
     ),
-    allscore AS (
+    allscore AS MATERIALIZED (
         SELECT q.vec_id AS q_id, e.a_id AS src, e.b_id AS node,
                {key} AS key,
                {_NSW_COS_E6.format(a="q", b="vb")} AS cos_e6

@@ -120,6 +120,15 @@ ZIPF_CASES = [
     # (the raw-regime assumption est >> 2.5m must still hold).
     "dd_cdc_chunks",
     "fx_hll_distinct",
+    # round-13: the WAV decoder over boilerplate-skewed byte lengths
+    # (PCM frame counts and the stereo ragged-tail truncation meet a
+    # heavy-tailed document-length distribution), and both NSW searches
+    # on the zipf embedding corpus — graph navigability and the beam's
+    # recall/cost curve where cluster occupancy is skewed, with the
+    # degree-16 index built from THAT corpus on both engines.
+    "mm_wav_decode_stats",
+    "ss_nsw_greedy_search",
+    "ss_nsw_beam_search",
 ]
 
 
