@@ -4699,13 +4699,15 @@ def ss_nsw_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # out-neighbors, and re-cuts the beam; EXACTLY NSW_BEAM_ROUNDS rounds run (a
 # bounded-round contract, so both engines compute the identical relation
 # with no fixed-point subtlety — the ss_maxmin_diversity unrolled-oracle
-# pattern). Ordering currency: key = cos_e6 · 2^24 − node_id packs the
+# pattern). Ordering currency: key = cos_e6 · 2^40 − node_id packs the
 # rounded cosine and the smaller-id tie-break into ONE BIGINT, so every
 # beam cut is a plain integer ORDER BY in both engines.
 
 NSW_BEAM_EF = (1, 4, 16)  # the operating curve: greedy → HNSW-default-ish
 NSW_BEAM_ROUNDS = 5
-_NSW_KEY_M = 1 << 24  # id space bound; key = cos_e6 * M - node
+_NSW_KEY_M = 1 << 40  # id headroom: ids < 2^40 (~1.1e12 vectors) keep the
+# packed key = cos_e6 * M - node inside BIGINT (|cos_e6| <= 1e6 < 2^20, so
+# |key| <= 2^60) while the id can never perturb the cosine ordering
 
 
 def _nsw_beam_oracle() -> str:
