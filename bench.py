@@ -238,6 +238,8 @@ HEADLINE = [
     "mm_wav_decode_stats",
     "ss_nsw_greedy_search",
     "ss_nsw_beam_search",
+    # round-14 additions
+    "ss_nsw_ivf_beam_search",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness
@@ -332,9 +334,9 @@ def _current_round() -> int:
     return max(prev_bench, 0) + 1
 
 
-def _previous_round_timings() -> dict[str, float]:
-    """Per-query timings from the most recent PRIOR-round run AT THIS SF,
-    for mover detection.
+def _previous_round_record() -> dict:
+    """The full record (queries + calibration + noise_floor) from the most
+    recent PRIOR-round run AT THIS SF — see ``_previous_round_timings``.
 
     Preferred source: ``var/bench_r*_final.json`` (this script writes the
     full per-query map there every run — the driver's stdout capture only
@@ -401,13 +403,81 @@ def _previous_round_timings() -> dict[str, float]:
             k: v for k, v in q.items() if isinstance(v, (int, float)) and v > 0
         }
         if out:
-            return out
+            rec = dict(rec)
+            rec.update(parsed)
+            rec["queries"] = out
+            return rec
     return {}
+
+
+def _previous_round_timings() -> dict[str, float]:
+    """Per-query timings from the most recent PRIOR-round run AT THIS SF,
+    for mover detection."""
+    return _previous_round_record().get("queries") or {}
+
+
+# Cross-container calibration (judge VERDICT r13 #5): container speed
+# drifts 1.5–1.8x across driver sessions, so raw round-over-round ratios
+# flag phantom movers — r13 isolated 14 queries and every one re-measured
+# at its prior level. The fix: every bench artifact carries fresh-JVM
+# isolated timings of a fixed query pair; mover detection scales the
+# previous round's numbers by the calibration ratio before applying
+# ISOLATE_RATIO. The pair spans the two cost regimes (gr_kcore:
+# iterative join/agg, JVM-side; tx_corpus_build: Arrow/HOF-heavy), so
+# their ratio tracks the container, not any one engine path.
+CALIBRATION_QUERIES = ("gr_kcore", "tx_corpus_build")
+CALIBRATION_RATIO_CLAMP = (0.5, 3.0)
+
+
+def _calibration_ratio(
+    this_cal: dict[str, float], prev_cal: dict[str, float]
+) -> float:
+    """Geometric-mean speed ratio of this container vs the previous
+    round's (>1 = this container is slower). 1.0 when either side is
+    missing — mover detection then behaves exactly as before."""
+    import math
+
+    ratios = [
+        this_cal[q] / prev_cal[q]
+        for q in CALIBRATION_QUERIES
+        if this_cal.get(q, 0) and prev_cal.get(q, 0)
+        and this_cal[q] > 0 and prev_cal[q] > 0
+    ]
+    if not ratios:
+        return 1.0
+    g = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+    lo, hi = CALIBRATION_RATIO_CLAMP
+    return round(min(hi, max(lo, g)), 4)
+
+
+def _run_calibration() -> dict[str, float]:
+    """Fresh-JVM isolated timings of CALIBRATION_QUERIES (the SCALE.md
+    protocol), recorded INSIDE the bench artifact so any later session can
+    normalize this round's numbers without re-running anything."""
+    import subprocess
+
+    out: dict[str, float] = {}
+    for name in CALIBRATION_QUERIES:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--isolated", name],
+                capture_output=True,
+                text=True,
+                timeout=600,
+                env=os.environ.copy(),
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            out[name] = json.loads(line)["isolated_sec"]
+        except Exception as exc:
+            print(f"bench: calibration run of {name} failed: {exc}",
+                  file=sys.stderr)
+    return out
 
 
 def _isolate_movers(
     timings: dict[str, float],
     noise_floor: dict[str, float] | None = None,
+    cal_ratio: float = 1.0,
 ) -> dict[str, float]:
     """Re-run round-over-round REGRESSIONS (>ISOLATE_RATIO slower than the
     previous recorded round) in fresh JVMs; returns {name: isolated_sec}.
@@ -419,7 +489,12 @@ def _isolate_movers(
     that does not clear the query's own re-run variation is noise by
     construction and is refused as a mover (judge VERDICT r12 #6) — the
     ratio trigger alone flagged sub-second drifts well inside the recorded
-    ±9 s suite spread."""
+    ±9 s suite spread.
+
+    ``cal_ratio`` (see ``_calibration_ratio``) scales the previous round's
+    numbers to THIS container's speed first: a uniform 1.5x container
+    slowdown otherwise flags most of the suite (judge VERDICT r13 #5 —
+    all 14 r13 isolations were cross-container noise)."""
     import subprocess
 
     prev = _previous_round_timings()
@@ -431,8 +506,8 @@ def _isolate_movers(
         for n, t in timings.items()
         if t > 0
         and prev.get(n, 0) > 0
-        and t / prev[n] > ISOLATE_RATIO
-        and (t - prev[n]) > noise_floor.get(n, 0.0)
+        and t / (prev[n] * cal_ratio) > ISOLATE_RATIO
+        and (t - prev[n] * cal_ratio) > noise_floor.get(n, 0.0)
     ]
     movers.sort(reverse=True)
     out: dict[str, float] = {}
@@ -539,7 +614,18 @@ def main() -> None:
         if all(t >= 0 for t in ts)
     }
     full["noise_floor"] = noise_floor
-    isolated = _isolate_movers(timings, noise_floor)
+    # Calibration pair in fresh JVMs, recorded in the artifact; the ratio
+    # vs the previous round's recorded pair normalizes mover detection
+    # (judge VERDICT r13 #5). Prior rounds without a calibration field
+    # yield ratio 1.0 — identical to the old behavior.
+    calibration = _run_calibration()
+    cal_ratio = _calibration_ratio(
+        calibration, _previous_round_record().get("calibration") or {}
+    )
+    if calibration:
+        full["calibration"] = calibration
+    full["calibration_ratio_vs_prev"] = cal_ratio
+    isolated = _isolate_movers(timings, noise_floor, cal_ratio)
     if isolated:
         full["isolated"] = isolated
 
@@ -593,6 +679,9 @@ def main() -> None:
         compact["failed"] = failed
     if isolated:
         compact["isolated"] = isolated
+    if calibration:
+        compact["calibration"] = calibration
+    compact["calibration_ratio_vs_prev"] = cal_ratio
     print(json.dumps(compact))
 
 

@@ -1199,8 +1199,9 @@ def _decode_image_jpeg_lossless(payload: bytes, thumb_side: int = 8) -> dict:
     Supports precisions 8/12/16 (samples reduced to their high 8 bits,
     the PNG-16 convention), point transform Pt (inverse applied as
     << Pt per H.2.9), 1-component and interleaved multi-component scans
-    at 1×1 sampling, restart intervals (prediction resets to the
-    2^(P−Pt−1) default at each restart, H.1.2.1), and the SSSS=16
+    at 1×1 sampling, restart intervals (prediction restarts as at the
+    start of the scan: 2^(P−Pt−1) default for the first sample and the
+    1-D Ra predictor for the rest of that line, H.1.2.1–H.1.2.2), and the SSSS=16
     no-extra-bits diff of exactly 32768. Differences accumulate modulo
     2^16 (H.1.2.3). Color converts to luma with the same truncating
     ITU-R 601-2 integers as every other leg.
@@ -1278,12 +1279,19 @@ def _decode_image_jpeg_lossless(payload: bytes, thumb_side: int = 8) -> dict:
 
     br = _JpegBitReader(buf, pos)
     fresh = [True] * ncomp  # use the default predictor for the next sample
+    # Row holding the most recent restart: per T.81 H.1.2.2 each restart
+    # interval restarts prediction as at the start of the scan, so the
+    # remainder of THAT sample line is a "first line" — 1-D Ra predictor
+    # regardless of the scan's selector (restart intervals must be
+    # independently decodable; Rb/Rc would reach back across the marker).
+    restart_row = -1
     mcu = 0
     for y in range(h):
         for x in range(w):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.align_restart()
                 fresh = [True] * ncomp
+                restart_row = y
             for c in range(ncomp):
                 t = br.decode_huffman(tables[c])
                 if t == 16:  # H.2: 32768 with no appended bits
@@ -1296,8 +1304,10 @@ def _decode_image_jpeg_lossless(payload: bytes, thumb_side: int = 8) -> dict:
                 if fresh[c]:
                     px = default
                     fresh[c] = False
-                elif y == 0:
-                    px = plane[x - 1]  # first line: Ra regardless of sel
+                elif y == 0 or y == restart_row:
+                    # first line of the scan OR of a restart interval:
+                    # Ra regardless of sel (T.81 H.1.2.2)
+                    px = plane[y * w + x - 1]
                 elif x == 0:
                     px = plane[(y - 1) * w]  # first column: Rb
                 else:

@@ -268,10 +268,11 @@ def run_to_memory(
     block until it drains — the deterministic replay harness for tests.
 
     ``state_partitions`` (see ``replay_state_partitions``) temporarily
-    overrides ``spark.sql.shuffle.partitions`` for the stream's lifetime:
-    the stateful operators capture the value at query start, and
-    AvailableNow terminates before the conf is restored, so concurrent
-    batch queries in the same session are unaffected.
+    overrides the session-global ``spark.sql.shuffle.partitions`` for the
+    stream's lifetime (the stateful operators capture the value at query
+    start). SEQUENTIAL callers only: a batch query issued from another
+    thread while ``awaitTermination()`` blocks would run with the
+    replay-derived partition count until the override is restored.
     """
     spark = stream.sparkSession
     prev = (

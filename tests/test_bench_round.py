@@ -115,3 +115,81 @@ def test_mover_baseline_excludes_current_round(bench_mod, round_dir, monkeypatch
     timings = bench_mod._previous_round_timings()
     assert "q_prior" in timings
     assert "q_current" not in timings
+
+
+# --- calibration normalization (judge VERDICT r13 #5) --------------------------
+
+
+def test_calibration_ratio_geometric_mean(bench_mod):
+    this = {"gr_kcore": 3.0, "tx_corpus_build": 6.0}
+    prev = {"gr_kcore": 2.0, "tx_corpus_build": 4.0}
+    assert bench_mod._calibration_ratio(this, prev) == 1.5
+
+
+def test_calibration_ratio_missing_sides_is_neutral(bench_mod):
+    assert bench_mod._calibration_ratio({}, {"gr_kcore": 2.0}) == 1.0
+    assert bench_mod._calibration_ratio({"gr_kcore": 2.0}, {}) == 1.0
+    assert (
+        bench_mod._calibration_ratio({"gr_kcore": 2.0}, {"tx_corpus_build": 4.0})
+        == 1.0
+    )
+
+
+def test_calibration_ratio_clamped(bench_mod):
+    lo, hi = bench_mod.CALIBRATION_RATIO_CLAMP
+    assert (
+        bench_mod._calibration_ratio({"gr_kcore": 100.0}, {"gr_kcore": 1.0}) == hi
+    )
+    assert (
+        bench_mod._calibration_ratio({"gr_kcore": 1.0}, {"gr_kcore": 100.0}) == lo
+    )
+
+
+def test_mover_suppressed_when_calibration_explains_drift(
+    bench_mod, round_dir, monkeypatch
+):
+    """A uniform 1.5x container slowdown must produce an EMPTY mover list
+    when the calibration pair drifted by the same 1.5x — the exact r13
+    failure mode (14 isolated re-runs, all noise)."""
+    import json
+
+    prev = {
+        "metric": "headline_queries_total_time",
+        "value": 10.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {"dd_winnow_pairs": 2.0, "gr_pagerank_convergence": 3.0},
+        "calibration": {"gr_kcore": 2.0, "tx_corpus_build": 4.0},
+    }
+    os.makedirs(round_dir / "var", exist_ok=True)
+    (round_dir / "var" / "bench_r13_final.json").write_text(json.dumps(prev))
+    _touch(round_dir, "CORRECTNESS_r13.json", "BENCH_r13.json")
+    monkeypatch.setattr(bench_mod, "SF_DIR", "/root/testdata/sf0.1")
+
+    rec = bench_mod._previous_round_record()
+    assert rec["calibration"] == prev["calibration"]
+
+    this_cal = {"gr_kcore": 3.0, "tx_corpus_build": 6.0}  # container 1.5x slower
+    ratio = bench_mod._calibration_ratio(this_cal, rec["calibration"])
+    timings = {"dd_winnow_pairs": 3.0, "gr_pagerank_convergence": 4.5}  # +50%
+
+    calls = []
+    monkeypatch.setattr(
+        bench_mod, "run_isolated", lambda name: calls.append(name)
+    )
+    import subprocess as _sp
+
+    def _no_spawn(*a, **k):
+        calls.append(a)
+        raise AssertionError("no isolation should be spawned")
+
+    monkeypatch.setattr(_sp, "run", _no_spawn)
+    out = bench_mod._isolate_movers(timings, {}, ratio)
+    assert out == {}
+    assert calls == []
+    # sanity: WITHOUT normalization the same drift would have flagged both
+    movers_raw = [
+        n for n, t in timings.items()
+        if t / prev["queries"][n] > bench_mod.ISOLATE_RATIO
+    ]
+    assert sorted(movers_raw) == ["dd_winnow_pairs", "gr_pagerank_convergence"]

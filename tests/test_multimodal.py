@@ -1652,6 +1652,42 @@ def test_jpeg_lossless_restart_resets_prediction():
     assert out["thumbnail"] == bytes([100, 110, 80, 90])
 
 
+def test_jpeg_lossless_restart_first_line_uses_ra_predictor():
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_jpeg_lossless,
+    )
+
+    # T.81 H.1.2.2: each restart interval restarts prediction as at the
+    # start of the scan — so with a 2-D predictor (sel=2, Rb) the line on
+    # which the restart lands must still predict with the 1-D Ra rule
+    # (the interval is independently decodable; Rb would reach back across
+    # the marker), while the NEXT line resumes the scan's selector.
+    # 2-wide x 4-tall, sel=2, DRI=4 → RST0 lands at the start of row 2.
+    #   row0: 100, 110   (default+(-28); y==0 Ra rule: 100+10)
+    #   row1: 105, 115   (Rb=100 +5; Rb=110 +5)
+    #   --- RST0 ---
+    #   row2: 80, 90     (default 128 -48; Ra=80 +10 — Rb=115 would give 125)
+    #   row3: 85, 95     (Rb=80 +5; sel resumes: Rb=90 +5)
+    interval0 = [-28, 10, 5, 5]
+    interval1 = [-48, 10, 5, 5]
+    dht, codes = _jls_dht(
+        sorted({t for t, _ in map(_jls_cat, interval0 + interval1)})
+    )
+    parts = []
+    for diffs in (interval0, interval1):
+        bw = _JBits()
+        for t, r in map(_jls_cat, diffs):
+            bw.put(*codes[t])
+            if t:
+                bw.put(r, t)
+        parts.append(bw.bytes_aligned())
+    dri = b"\xff\xdd\x00\x04\x00\x04"
+    jpg = (b"\xff\xd8" + dri + dht + _jls_frame(2, 4, 1) + _jls_sos(1, 2, 0)
+           + parts[0] + b"\xff\xd0" + parts[1] + b"\xff\xd9")
+    out = _decode_image_jpeg_lossless(jpg)
+    assert out["thumbnail"] == bytes([100, 110, 105, 115, 80, 90, 85, 95])
+
+
 def test_jpeg_lossless_truncated_degrades_to_seam_error():
     from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
         decode_image,

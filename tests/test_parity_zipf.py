@@ -129,6 +129,13 @@ ZIPF_CASES = [
     "mm_wav_decode_stats",
     "ss_nsw_greedy_search",
     "ss_nsw_beam_search",
+    # round-14: the IVF-BOOTSTRAPPED NSW beam — on the zipf corpus the
+    # corpus-grown quantizer faces skewed cluster occupancy (a few lists
+    # hold most vectors), which is exactly where a probe-restricted
+    # index build could lose navigability; the oracle replays quantizer,
+    # probe restriction, degree cut, and walk, so any divergence is a
+    # value mismatch, not a silent recall loss.
+    "ss_nsw_ivf_beam_search",
 ]
 
 
