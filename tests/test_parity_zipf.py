@@ -136,6 +136,11 @@ ZIPF_CASES = [
     # probe restriction, degree cut, and walk, so any divergence is a
     # value mismatch, not a silent recall loss.
     "ss_nsw_ivf_beam_search",
+    # round-14: incremental index maintenance under skew — the batch
+    # slice inherits the zipf cluster imbalance, so the merge's window
+    # re-cut meets nodes whose neighborhoods are dominated by the same
+    # heavy cluster the batch lands in.
+    "ss_nsw_index_upsert",
 ]
 
 
