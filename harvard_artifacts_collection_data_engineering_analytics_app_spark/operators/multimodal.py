@@ -1451,6 +1451,43 @@ def _png_deinterlace(
     return out
 
 
+def _png_deinterlace_sub8(
+    raw: bytes, width: int, height: int, depth: int
+) -> bytearray:
+    """Adam7 over BIT-PACKED rows (depth 1/2/4): each pass's rows are
+    packed MSB-first at ceil(pw·depth/8) bytes and filtered over those
+    packed bytes (bpp=1, §9.2 — same convention as the non-interlaced
+    sub-8 path); unfilter each pass, unpack its samples, scatter onto
+    the full grid. Returns one UNSCALED sample per byte."""
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    out = bytearray(width * height)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass for small images — no bytes in stream
+        row_bytes = (pw * depth + 7) // 8
+        sub_len = ph * (1 + row_bytes)
+        if pos + sub_len > len(raw):
+            raise ValueError("truncated interlaced PNG raster")
+        packed = _png_unfilter(
+            raw[pos : pos + sub_len], pw, ph, 1, stride=row_bytes
+        )
+        pos += sub_len
+        for yy in range(ph):
+            base = yy * row_bytes
+            dst_y = (y0 + yy * dy) * width
+            for xx in range(pw):
+                b = packed[base + xx // per_byte]
+                shift = 8 - depth * (xx % per_byte + 1)
+                out[dst_y + x0 + xx * dx] = (b >> shift) & mask
+    if pos != len(raw):
+        raise ValueError("interlaced PNG raster length mismatch")
+    return out
+
+
 def _decode_image_png(payload: bytes, thumb_side: int = 8) -> dict:
     """Dependency-free PNG decode (judge VERDICT r10 #8 stretch, extended
     r12 with 16-bit depth and Adam7 interlace per VERDICT r11 #7): chunk
@@ -1468,8 +1505,12 @@ def _decode_image_png(payload: bytes, thumb_side: int = 8) -> dict:
     depths (1/2/4, gray + palette — round 13, VERDICT r12 #7) unpack
     MSB-first from byte-padded rows after byte-wise unfiltering; gray
     scales by 255/(2^d−1), Pillow's exact 1-/L;2-/L;4-unpacker bit
-    replication. Only sub-8 INTERLACED and exotic color types still
-    raise ValueError into the Pillow seam, same as progressive JPEG."""
+    replication. Sub-8 depths deinterlace too (round 14): each Adam7
+    pass's rows are bit-packed to ceil(pw·d/8) bytes and filtered over
+    those packed bytes, so unfilter-then-unpack runs per pass
+    (_png_deinterlace_sub8). Only exotic color types and corrupt
+    streams still raise ValueError into the Pillow seam, same as
+    progressive JPEG."""
     import struct
     import zlib
 
@@ -1504,9 +1545,6 @@ def _decode_image_png(payload: bytes, thumb_side: int = 8) -> dict:
         raise ValueError("malformed PNG: palette cannot be 16-bit")
     if depth < 8 and color not in (0, 3):
         raise ValueError(f"sub-8-bit PNG invalid for color type {color}")
-    if depth < 8 and interlace:
-        # Adam7 over bit-packed rows — vanishingly rare; Pillow seam
-        raise ValueError("sub-8-bit interlaced PNG unsupported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None or (color == 3 and plte is None):
         raise ValueError(f"unsupported PNG color type {color}")
@@ -1516,21 +1554,25 @@ def _decode_image_png(payload: bytes, thumb_side: int = 8) -> dict:
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG stream: {exc}") from exc
     if depth < 8:
-        # bit-packed rows: MSB-first samples, rows padded to a byte
-        # boundary; filters ran over the PACKED bytes (bpp = 1)
-        row_bytes = (width * depth + 7) // 8
-        if len(raw) != height * (row_bytes + 1):
-            raise ValueError("truncated PNG raster")
-        packed = _png_unfilter(raw, width, height, 1, stride=row_bytes)
-        mask = (1 << depth) - 1
-        per_byte = 8 // depth
-        samples = bytearray(width * height)
-        for y in range(height):
-            base = y * row_bytes
-            for x in range(width):
-                b = packed[base + x // per_byte]
-                shift = 8 - depth * (x % per_byte + 1)
-                samples[y * width + x] = (b >> shift) & mask
+        if interlace:
+            samples = _png_deinterlace_sub8(raw, width, height, depth)
+            mask = (1 << depth) - 1
+        else:
+            # bit-packed rows: MSB-first samples, rows padded to a byte
+            # boundary; filters ran over the PACKED bytes (bpp = 1)
+            row_bytes = (width * depth + 7) // 8
+            if len(raw) != height * (row_bytes + 1):
+                raise ValueError("truncated PNG raster")
+            packed = _png_unfilter(raw, width, height, 1, stride=row_bytes)
+            mask = (1 << depth) - 1
+            per_byte = 8 // depth
+            samples = bytearray(width * height)
+            for y in range(height):
+                base = y * row_bytes
+                for x in range(width):
+                    b = packed[base + x // per_byte]
+                    shift = 8 - depth * (x % per_byte + 1)
+                    samples[y * width + x] = (b >> shift) & mask
         if color == 0:
             # gray scales by 255/(2^d − 1) — exactly Pillow's 1/L;2/L;4
             # unpackers (255, 85, 17: integer bit replication)
@@ -2278,9 +2320,8 @@ def decode_image(
             try:
                 return _decode_image_png(payload, thumb_side)
             except ValueError:
-                # sub-8-bit interlaced / exotic color type / corrupt
-                # stream → Pillow seam (1–16-bit and non-interlaced
-                # sub-8 decode pure-Python)
+                # exotic color type / corrupt stream → Pillow seam
+                # (1–16-bit depths decode pure-Python, interlaced or not)
                 return _decode_image_pil(payload, thumb_side)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             try:

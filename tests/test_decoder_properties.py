@@ -257,3 +257,39 @@ def test_jpeg_lossless_random_roundtrip(width, height, sel, data):
     assert out["mean_sample"] == sum(flat) / len(flat)
     if width <= 8 and height <= 8:
         assert out["thumbnail"] == bytes(flat)
+
+
+# --- sub-8-bit INTERLACED PNG (round 14) -------------------------------------------
+
+
+@_PROP
+@given(
+    width=st.integers(1, 17),
+    height=st.integers(1, 12),
+    depth=st.sampled_from([1, 2, 4]),
+    data=st.data(),
+)
+def test_png_sub8_interlaced_roundtrip(width, height, depth, data):
+    """Random sub-8-bit gray images at sizes straddling every Adam7 pass
+    boundary AND every per-pass byte boundary: encode interlaced (bit-
+    packed per pass, PNG §7.2/§8.2) and require the decoder to recover
+    every sample exactly (gray scales by 255/(2^d−1))."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_png,
+    )
+
+    from .test_multimodal import _make_png_adam7_sub8
+
+    mask = (1 << depth) - 1
+    pixels = [
+        data.draw(st.integers(0, mask)) for _ in range(width * height)
+    ]
+    out = _decode_image_png(
+        _make_png_adam7_sub8(width, height, pixels, depth), thumb_side=32
+    )
+    assert out["n_pixels"] == width * height
+    scale = 255 // mask
+    expected = [v * scale for v in pixels]
+    assert out["mean_sample"] == sum(expected) / len(expected)
+    if width <= 32 and height <= 32:
+        assert list(out["thumbnail"]) == expected

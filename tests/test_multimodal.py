@@ -1432,7 +1432,11 @@ def test_png_4bit_palette_luma():
     assert out["mean_sample"] == sum(flat) / len(flat)
 
 
-def test_png_sub8_interlaced_still_raises_to_seam():
+def test_png_sub8_interlace_flag_on_flat_raster_is_valueerror():
+    """Sub-8 interlaced PNGs decode natively since r14, so a stream whose
+    IHDR claims Adam7 but whose raster is packed non-interlaced must
+    surface the seam's ValueError (pass-length mismatch), never garbage
+    pixels or an IndexError."""
     from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
         _decode_image_png,
     )
@@ -1699,3 +1703,89 @@ def test_jpeg_lossless_truncated_degrades_to_seam_error():
     jpg = b"\xff\xd8" + dht + _jls_frame(2, 1, 1) + _jls_sos(1, 1, 0)
     with pytest.raises(ValueError):
         decode_image(jpg, use_pil=False)
+
+
+def _make_png_adam7_sub8(width, height, pixels, depth, color_type=0,
+                         palette=None):
+    """Adam7-interlaced sub-8-bit PNG: each pass's rows are bit-packed
+    MSB-first to ceil(pw*depth/8) bytes (PNG §7.2), filter 0."""
+    import struct
+    import zlib
+
+    per_byte = 8 // depth
+    raster = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        row_bytes = (pw * depth + 7) // 8
+        for yy in range(ph):
+            raster.append(0)
+            row = bytearray(row_bytes)
+            for xx in range(pw):
+                v = pixels[(y0 + yy * dy) * width + (x0 + xx * dx)]
+                shift = 8 - depth * (xx % per_byte + 1)
+                row[xx // per_byte] |= v << shift
+            raster += row
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 1)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", bytes(palette))
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raster)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_png_adam7_1bit_gray():
+    """10x9 1-bit interlaced: all seven passes occur, several with
+    widths that are not byte multiples, so the per-pass bit padding is
+    exercised; 1-bit gray scales by 255."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_png,
+    )
+
+    w, h = 10, 9
+    pixels = [(x ^ y) & 1 for y in range(h) for x in range(w)]
+    out = _decode_image_png(_make_png_adam7_sub8(w, h, pixels, 1),
+                            thumb_side=16)
+    assert (out["width"], out["height"]) == (w, h)
+    assert list(out["thumbnail"]) == [v * 255 for v in pixels]
+
+
+def test_decode_image_png_adam7_2bit_palette_and_4bit_gray():
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_png,
+    )
+
+    # 2-bit palette, 5x5: indexes 0..3 → 4-entry palette, luma per entry
+    palette = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    pixels = [(x + y) % 4 for y in range(5) for x in range(5)]
+    out = _decode_image_png(
+        _make_png_adam7_sub8(5, 5, pixels, 2, color_type=3, palette=palette),
+        thumb_side=8,
+    )
+    luma = lambda r, g, b: (r * 19595 + g * 38470 + b * 7471) >> 16  # noqa: E731
+    lut = [luma(*palette[i * 3 : i * 3 + 3]) for i in range(4)]
+    assert list(out["thumbnail"]) == [lut[v] for v in pixels]
+    # 4-bit gray, 3x2 (narrow image skips empty Adam7 passes); scale 17
+    gpix = [0, 7, 15, 8, 1, 14]
+    out = _decode_image_png(_make_png_adam7_sub8(3, 2, gpix, 4))
+    assert list(out["thumbnail"]) == [v * 17 for v in gpix]
+
+
+def test_decode_image_png_adam7_sub8_matches_noninterlaced():
+    """The same 8x8 4-bit image encoded interlaced and non-interlaced
+    must decode identically — deinterlacing is a pure reordering."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_png,
+    )
+
+    pixels = [(3 * x + 5 * y) % 16 for y in range(8) for x in range(8)]
+    grid = [pixels[y * 8 : (y + 1) * 8] for y in range(8)]
+    inter = _decode_image_png(_make_png_adam7_sub8(8, 8, pixels, 4))
+    flat = _decode_image_png(_make_png_sub8(8, 8, grid, 4))
+    assert inter["thumbnail"] == flat["thumbnail"]
+    assert inter["mean_sample"] == flat["mean_sample"]

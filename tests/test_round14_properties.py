@@ -157,3 +157,18 @@ def test_nsw_upsert_new_edge_flags(spark, sf_dir):
     assert 0 < c_new < len(c_rows) / 2
     # a C-edge is new only because it points into the batch
     assert all(in_b(r.b_id) for r in c_rows if r.is_new_edge)
+
+
+def test_r14_ops_plan_shapes(spark, sf_dir):
+    """Both round-14 operators must keep the tiny side broadcast and
+    never degrade to an unbroadcast cartesian: the IVF beam's frontier
+    expansion and the upsert's batch-vs-corpus scoring are the claims
+    SCALE.md prices."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.plans import (
+        explain as X,
+    )
+
+    for name in ("ss_nsw_ivf_beam_search", "ss_nsw_index_upsert"):
+        df = all_specs()[name].builder(spark, sf_dir)
+        assert X.uses_broadcast_join(df), name
+        assert not X.has_cartesian_product(df), name
