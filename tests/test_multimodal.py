@@ -1789,3 +1789,45 @@ def test_decode_image_png_adam7_sub8_matches_noninterlaced():
     flat = _decode_image_png(_make_png_sub8(8, 8, grid, 4))
     assert inter["thumbnail"] == flat["thumbnail"]
     assert inter["mean_sample"] == flat["mean_sample"]
+
+
+def test_jpeg_lossless_midrow_restart_first_line_semantics():
+    """DRI=3 on a 4-wide image puts restarts MID-ROW: the first sample
+    of each interval takes the default prediction, the rest of that
+    sample line takes Ra (T.81 H.1.2.2), and the next row resumes the
+    scan's 2-D selector — all three regimes in one scan."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_jpeg_lossless,
+    )
+
+    # 4x3, sel=2 (Rb). Pixels chosen so the old Rb-after-restart
+    # interpretation decodes (3,1) as 100 and (3,2) as 100 instead of 90/95.
+    #   row0: 100 110 120 | 90      (RST before (3,0))
+    #   row1: 105 115 | 80 90       (RST before (2,1); (3,1) uses Ra=80)
+    #   row2: 110 | 75 85 95        (RST before (1,2); rest of row Ra)
+    intervals = [
+        [-28, 10, 10],   # (0,0) default; (1,0),(2,0) first-line Ra
+        [-38, 5, 5],     # (3,0) default; (0,1) Rb=100; (1,1) Rb=110
+        [-48, 10, 5],    # (2,1) default; (3,1) Ra=80; (0,2) Rb=105
+        [-53, 10, 10],   # (1,2) default; (2,2),(3,2) Ra
+    ]
+    all_cats = [_jls_cat(d) for seq in intervals for d in seq]
+    dht, codes = _jls_dht(sorted({t for t, _ in all_cats}))
+    parts = []
+    for seq in intervals:
+        bw = _JBits()
+        for t, r in map(_jls_cat, seq):
+            bw.put(*codes[t])
+            if t:
+                bw.put(r, t)
+        parts.append(bw.bytes_aligned())
+    dri = b"\xff\xdd\x00\x04\x00\x03"
+    scan = parts[0]
+    for i, p in enumerate(parts[1:]):
+        scan += bytes([0xFF, 0xD0 + (i % 8)]) + p
+    jpg = (b"\xff\xd8" + dri + dht + _jls_frame(4, 3, 1) + _jls_sos(1, 2, 0)
+           + scan + b"\xff\xd9")
+    out = _decode_image_jpeg_lossless(jpg)
+    assert out["thumbnail"] == bytes(
+        [100, 110, 120, 90, 105, 115, 80, 90, 110, 75, 85, 95]
+    )
