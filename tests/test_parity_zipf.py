@@ -141,6 +141,10 @@ ZIPF_CASES = [
     # re-cut meets nodes whose neighborhoods are dominated by the same
     # heavy cluster the batch lands in.
     "ss_nsw_index_upsert",
+    # round-14: NN-Descent refine where the IVF lists are unbalanced —
+    # 2-hop expansion inside a heavy cluster generates the most
+    # candidates exactly where the probe restriction lost the most.
+    "ss_nsw_nn_descent_refine",
 ]
 
 

@@ -172,3 +172,21 @@ def test_r14_ops_plan_shapes(spark, sf_dir):
         df = all_specs()[name].builder(spark, sf_dir)
         assert X.uses_broadcast_join(df), name
         assert not X.has_cartesian_product(df), name
+
+
+def test_nn_descent_refine_improves_edge_recall(spark, sf_dir):
+    """One NN-Descent round must strictly improve the IVF build's edge
+    recall on the planted corpus (measured 300 → 725 milli at sf0.01;
+    floor leaves margin), and both stages keep the degree bound."""
+    rows = {
+        r.stage: r
+        for r in all_specs()["ss_nsw_nn_descent_refine"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == {"ivf", "nn_descent_1"}
+    assert rows["nn_descent_1"].edge_recall_milli > rows["ivf"].edge_recall_milli
+    assert rows["nn_descent_1"].edge_recall_milli >= 600
+    for r in rows.values():
+        assert r.n_exact_hits <= r.n_edges
+        assert 0 <= r.edge_recall_milli <= 1000
