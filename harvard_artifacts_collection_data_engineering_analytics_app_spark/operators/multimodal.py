@@ -198,6 +198,15 @@ class _LosslessJpegError(ValueError):
     the arithmetic legs)."""
 
 
+class _HierarchicalJpegError(ValueError):
+    """Internal routing signal: DHP seen — retry with the hierarchical
+    (T.81 Annex J) decoder. Before this signal existed the sequential
+    walker silently SKIPPED the DHP segment and decoded the reduced
+    first pyramid frame as if it were the whole image — wrong dims and
+    pixels with no error (round-14 fix). Pillow cannot decode
+    hierarchical JPEG either, so the pure path is the only route."""
+
+
 def _jpeg_skip_entropy(buf: bytes, pos: int) -> int:
     """Advance past entropy-coded data to the next true marker (skipping
     0xFF00 stuffing and RSTn)."""
@@ -300,8 +309,11 @@ def _decode_image_jpeg_dc(payload: bytes, thumb_side: int = 8) -> dict:
             raise _ArithmeticJpegError("SOF10")
         elif marker == 0xC3:  # lossless sequential: the Annex H decoder
             raise _LosslessJpegError("SOF3")
+        elif marker == 0xDE:  # DHP: hierarchical — the Annex J decoder
+            raise _HierarchicalJpegError("DHP")
         elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("hierarchical/differential JPEG requires pillow")
+            # differential SOF without a preceding DHP is malformed
+            raise ValueError("differential JPEG frame outside a hierarchy")
         elif marker == 0xDD:  # DRI
             restart_interval = (body[0] << 8) | body[1]
         elif marker == 0xDA:  # SOS
@@ -400,6 +412,258 @@ def _jpeg_dc_result(
         "n_pixels": w * h,
         "thumbnail": bytes(thumb),
         "mean_sample": total / (bw * bh),
+    }
+
+
+def _jpeg_expand_double(grid: list, horiz: bool, vert: bool) -> list:
+    """T.81 J.1.1.2 reference-frame upsampling: double the sample grid
+    along the requested axes — even output samples copy the input, odd
+    outputs are the rounded mean (a + b + 1) >> 1 of the two bracketing
+    inputs, and the final odd sample (no right/lower neighbor)
+    replicates the edge sample."""
+    if horiz:
+        out = []
+        for row in grid:
+            w = len(row)
+            r = [0] * (2 * w)
+            for i in range(w):
+                r[2 * i] = row[i]
+                nxt = row[i + 1] if i + 1 < w else row[i]
+                r[2 * i + 1] = (row[i] + nxt + 1) >> 1
+            out.append(r)
+        grid = out
+    if vert:
+        h = len(grid)
+        out = [None] * (2 * h)
+        for i in range(h):
+            nxt = grid[i + 1] if i + 1 < h else grid[i]
+            out[2 * i] = list(grid[i])
+            out[2 * i + 1] = [(a + b + 1) >> 1 for a, b in zip(grid[i], nxt)]
+        grid = out
+    return grid
+
+
+def _decode_image_jpeg_hierarchical(payload: bytes, thumb_side: int = 8) -> dict:
+    """Hierarchical JPEG (T.81 Annex J) decoded at the DC fidelity of the
+    other lossy legs: a DHP segment declares the full-resolution image,
+    then a pyramid of FRAMES reconstructs it — a non-differential
+    sequential first stage, EXP segments doubling the reference
+    (J.1.1.2 bilinear: even samples copy, odd samples round-average),
+    and differential sequential stages whose DCT-coded DIFFERENCE image
+    is added to the reference. Pillow cannot decode hierarchical JPEG
+    (like SOF3/SOF9), so this pure path is the only decode route.
+
+    Supported subset, everything else → actionable ValueError into the
+    seam: 8-bit, Huffman sequential stages (SOF0/SOF1 non-differential,
+    SOF5 differential) at 1×1 sampling, one interleaved scan per frame,
+    restart intervals. Progressive/lossless/arithmetic stages (SOF6,
+    SOF7, SOF13–15) and subsampled hierarchies raise. Fidelity contract
+    matches the DC legs: exact when every stage's AC coefficients are
+    zero (the reference is then block-constant and the bilinear EXP is
+    evaluated on real samples, so block means stay exact), 1/8-scale
+    approximation otherwise. Differential-frame semantics per T.81
+    F.1.1.5.1: no level shift and DC prediction pinned to zero (each
+    block's DC is coded directly, not differenced against the previous
+    block); sample accumulation clamps to [0, 255] per stage.
+    ``mean_sample`` averages the reconstructed SAMPLE grid (the
+    hierarchy reconstructs at full resolution by construction)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    dhp = None  # (w, h) of the full-resolution image
+    frame = None  # (w, h, comps, differential) awaiting its scan
+    ref = None  # Y sample grid: list of rows
+    pos = 2
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = (payload[pos] << 8) | payload[pos + 1]
+        body = payload[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if prec == 0:
+                    qt[tid] = list(body[i : i + 64])
+                    i += 64
+                else:
+                    qt[tid] = [
+                        (body[i + 2 * k] << 8) | body[i + 2 * k + 1]
+                        for k in range(64)
+                    ]
+                    i += 128
+        elif marker == 0xC4:  # DHT — tables may be redefined between stages
+            i = 0
+            while i < len(body):
+                tclass, tid = body[i] >> 4, body[i] & 0x0F
+                counts = body[i + 1 : i + 17]
+                nsym = sum(counts)
+                symbols = body[i + 17 : i + 17 + nsym]
+                huff[(tclass, tid)] = _jpeg_build_huffman(counts, symbols)
+                i += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            restart_interval = (body[0] << 8) | body[1]
+        elif marker == 0xDE:  # DHP: same syntax as a frame header (B.3.2)
+            if body[0] != 8:
+                raise ValueError("non-8-bit hierarchical JPEG requires pillow")
+            dhp = ((body[3] << 8) | body[4], (body[1] << 8) | body[2])
+        elif marker == 0xDF:  # EXP: expand the reference before a stage
+            if ref is None:
+                raise ValueError("EXP before any reference frame")
+            eh, ev = body[0] >> 4, body[0] & 0x0F
+            if eh not in (0, 1) or ev not in (0, 1):
+                raise ValueError("bad EXP expansion flags")
+            ref = _jpeg_expand_double(ref, eh == 1, ev == 1)
+        elif marker in (0xC0, 0xC1, 0xC5):  # stage frame headers (Huffman seq.)
+            if dhp is None:
+                raise ValueError("hierarchical frame before DHP")
+            if body[0] != 8:
+                raise ValueError("non-8-bit hierarchical JPEG requires pillow")
+            fh = (body[1] << 8) | body[2]
+            fw = (body[3] << 8) | body[4]
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled hierarchical JPEG requires pillow"
+                    )
+                comps.append((cid, tq))
+            frame = (fw, fh, comps, marker == 0xC5)
+        elif marker in (
+            0xC2, 0xC3, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+        ):
+            raise ValueError(
+                "only sequential-Huffman hierarchical stages decode"
+                " pure-Python (progressive/lossless/arithmetic stages"
+                " require pillow)"
+            )
+        elif marker == 0xDA:  # SOS: one interleaved scan per stage
+            if frame is None:
+                raise ValueError("SOS before a stage frame header")
+            fw, fh, comps, differential = frame
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tables = body[2 + 2 * c]
+                scan.append((cid, tables >> 4, tables & 0x0F))
+            if [cid for cid, *_ in scan] != [cid for cid, _ in comps]:
+                raise ValueError(
+                    "non-interleaved hierarchical scans require pillow"
+                )
+            pos += seg_len
+            bw, bh = -(-fw // 8), -(-fh // 8)
+            y_cid = comps[0][0]
+            if comps[0][1] not in qt:
+                raise ValueError("stage references undefined quant table")
+            q0 = qt[comps[0][1]][0]
+            dcs = [[0] * bw for _ in range(bh)]
+            pred = {cid: 0 for cid, *_ in scan}
+            reader = _JpegBitReader(payload, pos)
+            for mcu in range(bw * bh):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    reader.align_restart()
+                    pred = {cid: 0 for cid in pred}
+                mx, my = mcu % bw, mcu // bw
+                for cid, td, ta in scan:
+                    dc_table = huff.get((0, td))
+                    ac_table = huff.get((1, ta))
+                    if dc_table is None or ac_table is None:
+                        raise ValueError(
+                            "scan references undefined Huffman table"
+                        )
+                    t = reader.decode_huffman(dc_table)
+                    diff = _jpeg_extend(reader.receive(t), t)
+                    if differential:
+                        # F.1.1.5.1: differential stages code each DC
+                        # directly — the prediction is pinned to zero
+                        val = diff
+                    else:
+                        pred[cid] += diff
+                        val = pred[cid]
+                    if cid == y_cid:
+                        dcs[my][mx] = val
+                    k = 1  # AC skip: decode symbols, discard values
+                    while k < 64:
+                        s = reader.decode_huffman(ac_table)
+                        if s == 0x00:  # EOB
+                            break
+                        if s == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += (s >> 4) + 1
+                        reader.receive(s & 0x0F)
+            pos = reader.pos
+            if not differential:
+                ref = [
+                    [
+                        min(255, max(0, (dcs[y // 8][x // 8] * q0) // 8 + 128))
+                        for x in range(fw)
+                    ]
+                    for y in range(fh)
+                ]
+            else:
+                if ref is None:
+                    raise ValueError(
+                        "differential stage before any reference frame"
+                    )
+                rh, rw = len(ref), len(ref[0])
+                # the (expanded) reference must cover the stage exactly,
+                # modulo the J.1.1.2 crop when the target dim is odd
+                if not (fw <= rw <= fw + 1 and fh <= rh <= fh + 1):
+                    raise ValueError(
+                        "differential stage dims do not match the"
+                        " (expanded) reference"
+                    )
+                ref = [
+                    [
+                        min(
+                            255,
+                            max(
+                                0,
+                                ref[y][x] + (dcs[y // 8][x // 8] * q0) // 8,
+                            ),
+                        )
+                        for x in range(fw)
+                    ]
+                    for y in range(fh)
+                ]
+            frame = None
+            continue  # reader already advanced past the entropy data
+        pos += seg_len
+    if ref is None or dhp is None:
+        raise ValueError("truncated hierarchical JPEG: no reconstructed stage")
+    w, h = dhp
+    if (len(ref[0]), len(ref)) != (w, h):
+        raise ValueError("hierarchy did not reconstruct the DHP dimensions")
+    tw, th = min(thumb_side, w), min(thumb_side, h)
+    thumb = bytearray()
+    for ty in range(th):
+        sy = ty * h // th
+        for tx in range(tw):
+            sx = tx * w // tw
+            thumb.append(ref[sy][sx])
+    total = sum(sum(row) for row in ref)
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "thumbnail": bytes(thumb),
+        "mean_sample": total / (w * h),
     }
 
 
@@ -2297,6 +2561,16 @@ def decode_image(
                     # Pillow cannot decode lossless JPEG, so the pure
                     # path above is the ONLY decode route
                     return _decode_image_pil(payload, thumb_side)
+            except _HierarchicalJpegError:
+                try:
+                    return _decode_image_jpeg_hierarchical(payload, thumb_side)
+                except (ValueError, IndexError, KeyError, StopIteration):
+                    # unsupported stage type (progressive/lossless/
+                    # arithmetic differential) or corrupt pyramid → seam
+                    # for the honest error; Pillow cannot decode
+                    # hierarchical JPEG, so the pure path above is the
+                    # ONLY decode route
+                    return _decode_image_pil(payload, thumb_side)
             except _ArithmeticJpegError as sig:
                 arith = (
                     _decode_image_jpeg_dc_progressive_arith
@@ -2311,7 +2585,7 @@ def decode_image(
                     # JPEG, so the pure path above is the ONLY decode route
                     return _decode_image_pil(payload, thumb_side)
             except ValueError:
-                # lossless/hierarchical/corrupt → imaging-library path
+                # corrupt / unsupported variant → imaging-library path
                 # (actionable pillow error when the library is absent)
                 return _decode_image_pil(payload, thumb_side)
             except IndexError as exc:

@@ -293,3 +293,72 @@ def test_png_sub8_interlaced_roundtrip(width, height, depth, data):
     assert out["mean_sample"] == sum(expected) / len(expected)
     if width <= 32 and height <= 32:
         assert list(out["thumbnail"]) == expected
+
+
+# --- hierarchical JPEG (round 14) ---------------------------------------------------
+
+
+@_PROP
+@given(
+    wb=st.integers(1, 3),
+    hb=st.integers(1, 3),
+    base=st.integers(40, 200),
+    n_stages=st.integers(1, 2),
+    use_exp=st.booleans(),
+    data=st.data(),
+)
+def test_jpeg_hierarchical_random_pyramids(wb, hb, base, n_stages, use_exp, data):
+    """Random hierarchies: a flat base stage (optionally at half
+    resolution, doubled by EXP — bilinear of a constant is exact), then
+    1-2 differential stages with random per-block corrections. Expected
+    samples follow directly from the chosen values (clamp per stage)."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        _decode_image_jpeg_hierarchical,
+    )
+
+    from .test_multimodal import _JpegWriter
+
+    w_px, h_px = 8 * wb, 8 * hb
+    w = _JpegWriter()
+    w.dqt(0, 8)
+    w.dht_dc(0)
+    w.dht_ac(0)
+    w.dhp(w_px, h_px, [(1, 1, 1, 0)])
+    if use_exp:
+        # base at pixel-exact half resolution; EXP doubles both axes
+        bw0, bh0 = -(-w_px // 2), -(-h_px // 2)
+        w.sof0(bw0, bh0, [(1, 1, 1, 0)])
+        nb0 = (-(-bw0 // 8)) * (-(-bh0 // 8))
+    else:
+        w.sof0(w_px, h_px, [(1, 1, 1, 0)])
+        nb0 = wb * hb
+    w.sos([(1, 0, 0)])
+    prev = 0
+    for _ in range(nb0):
+        coeff = 8 * (base - 128) // 8
+        w.dc_code(coeff - prev)
+        prev = coeff
+    w.flush_scan()
+    if use_exp:
+        w.exp(1, 1)
+    expected = [[base] * (wb) for _ in range(hb)]  # per-block values
+    for _ in range(n_stages):
+        diffs = [
+            [data.draw(st.integers(-40, 40)) for _ in range(wb)]
+            for _ in range(hb)
+        ]
+        w.sof5(w_px, h_px, [(1, 1, 1, 0)])
+        w.sos([(1, 0, 0)])
+        for r in range(hb):
+            for c in range(wb):
+                w.dc_code(diffs[r][c])
+                expected[r][c] = min(255, max(0, expected[r][c] + diffs[r][c]))
+        w.flush_scan()  # each stage's entropy must precede the next marker
+    out = _decode_image_jpeg_hierarchical(w.finish(), thumb_side=w_px)
+    assert (out["width"], out["height"]) == (w_px, h_px)
+    # thumb_side == width → the first row of the thumbnail is exact samples
+    got_row0 = list(out["thumbnail"][:w_px])
+    want_row0 = [expected[0][c // 8] for c in range(w_px)]
+    assert got_row0 == want_row0
+    want_mean = sum(sum(r) for r in expected) / (wb * hb)
+    assert out["mean_sample"] == want_mean

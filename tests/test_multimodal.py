@@ -348,7 +348,10 @@ class _JpegWriter:
             self.put_bits(raw, t)
         self.put_bits(0b00, 2)  # AC EOB
 
-    def finish(self):
+    def flush_scan(self):
+        """Byte-pad and append the accumulated entropy bits (with 0xFF00
+        stuffing), clearing the bit buffer — lets one writer emit the
+        multiple scans of a hierarchical stream."""
         while len(self.bits) % 8:
             self.bits.append(1)
         for i in range(0, len(self.bits), 8):
@@ -358,6 +361,29 @@ class _JpegWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        self.bits = []
+
+    # --- hierarchical (Annex J) segments ---------------------------------
+
+    def dhp(self, w, h, comps):
+        body = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        body.append(len(comps))
+        for cid, hs, vs, tq in comps:
+            body += bytes([cid, (hs << 4) | vs, tq])
+        self.seg(0xDE, bytes(body))
+
+    def sof5(self, w, h, comps):
+        body = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        body.append(len(comps))
+        for cid, hs, vs, tq in comps:
+            body += bytes([cid, (hs << 4) | vs, tq])
+        self.seg(0xC5, bytes(body))
+
+    def exp(self, eh, ev):
+        self.seg(0xDF, bytes([(eh << 4) | ev]))
+
+    def finish(self):
+        self.flush_scan()
         self.out += b"\xff\xd9"
         return bytes(self.out)
 
@@ -1831,3 +1857,168 @@ def test_jpeg_lossless_midrow_restart_first_line_semantics():
     assert out["thumbnail"] == bytes(
         [100, 110, 120, 90, 105, 115, 80, 90, 110, 75, 85, 95]
     )
+
+
+# --- hierarchical JPEG (Annex J) — round 14 ---------------------------------------
+
+
+def test_jpeg_hierarchical_same_resolution_differential():
+    """DHP + non-differential SOF0 stage + SOF5 correction stage at the
+    same resolution: the difference image's DC (no level shift, no DC
+    prediction — F.1.1.5.1) adds onto the first stage's block means."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    w = _JpegWriter()
+    w.dqt(0, 8)
+    w.dht_dc(0)
+    w.dht_ac(0)
+    w.dhp(16, 8, [(1, 1, 1, 0)])
+    w.sof0(16, 8, [(1, 1, 1, 0)])
+    w.sos([(1, 0, 0)])
+    prev = 0
+    for m in (100, 160):  # stage-1 block means
+        coeff = 8 * (m - 128) // 8
+        w.dc_code(coeff - prev)
+        prev = coeff
+    w.flush_scan()
+    w.sof5(16, 8, [(1, 1, 1, 0)])
+    w.sos([(1, 0, 0)])
+    for d in (20, -30):  # per-block corrections, coded directly
+        w.dc_code(8 * d // 8)
+    payload = w.finish()
+    out = decode_image(payload, thumb_side=8, use_pil=False)
+    assert (out["width"], out["height"]) == (16, 8)
+    assert out["thumbnail"] == bytes([120] * 4 + [130] * 4) * 8
+    assert out["mean_sample"] == 125.0
+
+
+def test_jpeg_hierarchical_pyramid_exp_and_dims():
+    """8x8 base stage, EXP doubles both axes, 16x16 differential stage:
+    the reconstructed image must have the DHP dims (the pre-fix
+    sequential walker returned the 8x8 base as the whole image)."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    w = _JpegWriter()
+    w.dqt(0, 8)
+    w.dht_dc(0)
+    w.dht_ac(0)
+    w.dhp(16, 16, [(1, 1, 1, 0)])
+    w.sof0(8, 8, [(1, 1, 1, 0)])
+    w.sos([(1, 0, 0)])
+    w.dc_code(8 * (100 - 128) // 8)  # flat 100 base
+    w.flush_scan()
+    w.exp(1, 1)
+    w.sof5(16, 16, [(1, 1, 1, 0)])
+    w.sos([(1, 0, 0)])
+    for d in (10, 20, -10, -20):  # quadrant corrections
+        w.dc_code(d)
+    payload = w.finish()
+    out = decode_image(payload, thumb_side=8, use_pil=False)
+    assert (out["width"], out["height"]) == (16, 16)
+    top = bytes([110] * 4 + [120] * 4)
+    bot = bytes([90] * 4 + [80] * 4)
+    assert out["thumbnail"] == top * 4 + bot * 4
+    assert out["mean_sample"] == 100.0
+
+
+def test_jpeg_hierarchical_exp_bilinear_boundary():
+    """EXP's J.1.1.2 filter on a NON-flat reference: the odd output
+    sample at the block boundary is the rounded neighbor mean, so one
+    column of the doubled image reads (100+160+1)>>1 = 130 — block
+    replication would read 100."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    w = _JpegWriter()
+    w.dqt(0, 8)
+    w.dht_dc(0)
+    w.dht_ac(0)
+    w.dhp(32, 8, [(1, 1, 1, 0)])
+    w.sof0(16, 8, [(1, 1, 1, 0)])
+    w.sos([(1, 0, 0)])
+    prev = 0
+    for m in (100, 160):
+        coeff = 8 * (m - 128) // 8
+        w.dc_code(coeff - prev)
+        prev = coeff
+    w.flush_scan()
+    w.exp(1, 0)
+    w.sof5(32, 8, [(1, 1, 1, 0)])
+    w.sos([(1, 0, 0)])
+    for _ in range(4):
+        w.dc_code(0)  # zero correction: probes the upsample alone
+    payload = w.finish()
+    out = decode_image(payload, thumb_side=32, use_pil=False)
+    assert (out["width"], out["height"]) == (32, 8)
+    row = [100] * 15 + [130] + [160] * 16
+    assert list(out["thumbnail"][:32]) == row
+    assert out["mean_sample"] == sum(row) / 32
+
+
+def test_jpeg_hierarchical_odd_dim_crop():
+    """DHP width 15 after an EXP to 16: the doubled reference is cropped
+    by the differential stage's dims (J.1.1.2 odd-target rule)."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    w = _JpegWriter()
+    w.dqt(0, 8)
+    w.dht_dc(0)
+    w.dht_ac(0)
+    w.dhp(15, 8, [(1, 1, 1, 0)])
+    w.sof0(8, 8, [(1, 1, 1, 0)])
+    w.sos([(1, 0, 0)])
+    w.dc_code(8 * (100 - 128) // 8)
+    w.flush_scan()
+    w.exp(1, 0)
+    w.sof5(15, 8, [(1, 1, 1, 0)])
+    w.sos([(1, 0, 0)])
+    for d in (10, 20):
+        w.dc_code(d)
+    payload = w.finish()
+    out = decode_image(payload, thumb_side=15, use_pil=False)
+    assert (out["width"], out["height"]) == (15, 8)
+    assert list(out["thumbnail"][:15]) == [110] * 8 + [120] * 7
+    assert out["mean_sample"] == (8 * 110 + 7 * 120) / 15
+
+
+def test_jpeg_hierarchical_unsupported_stage_is_seam_valueerror():
+    """A progressive differential stage (SOF6) must surface the seam's
+    actionable ValueError, never garbage pixels."""
+    import pytest
+
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    try:
+        from PIL import Image  # noqa: F401
+
+        pytest.skip("Pillow installed: the seam would re-decode for real")
+    except ImportError:
+        pass
+    w = _JpegWriter()
+    w.dqt(0, 8)
+    w.dht_dc(0)
+    w.dht_ac(0)
+    w.dhp(16, 8, [(1, 1, 1, 0)])
+    w.sof0(16, 8, [(1, 1, 1, 0)])
+    w.sos([(1, 0, 0)])
+    prev = 0
+    for m in (100, 160):
+        coeff = 8 * (m - 128) // 8
+        w.dc_code(coeff - prev)
+        prev = coeff
+    w.flush_scan()
+    body = bytearray([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+    body += bytes([1, 1, 0x11, 0])
+    w.seg(0xC6, bytes(body))  # SOF6: differential progressive
+    payload = w.finish()
+    with pytest.raises(ValueError, match="pillow|undecodable"):
+        decode_image(payload, use_pil=False)
