@@ -607,7 +607,10 @@ def _decode_image_jpeg_hierarchical(payload: bytes, thumb_side: int = 8) -> dict
                             continue
                         k += (s >> 4) + 1
                         reader.receive(s & 0x0F)
-            pos = reader.pos
+            # skip residual pad/stuffing bytes to the next true marker
+            # (the progressive walker's convention — reader.pos can sit
+            # on an unconsumed 0xFF00 pad at the end of a stage's scan)
+            pos = _jpeg_skip_entropy(payload, reader.pos)
             if not differential:
                 ref = [
                     [
