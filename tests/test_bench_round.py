@@ -135,6 +135,53 @@ def test_calibration_ratio_missing_sides_is_neutral(bench_mod):
     )
 
 
+def test_calibration_ratio_disagreement_falls_back_to_smaller(
+    bench_mod, capsys
+):
+    # gr_kcore "slowed" 2.4x while tx_corpus_build is flat: that is a
+    # code-level regression in gr_kcore, not container drift — folding it
+    # into the geometric mean (~1.55) would raise the effective mover
+    # threshold suite-wide (round-14 advice). The smaller ratio wins and
+    # a warning names both ratios.
+    this = {"gr_kcore": 4.8, "tx_corpus_build": 4.0}
+    prev = {"gr_kcore": 2.0, "tx_corpus_build": 4.0}
+    assert bench_mod._calibration_ratio(this, prev) == 1.0
+    assert "disagree" in capsys.readouterr().err
+
+
+def test_calibration_ratio_agreement_keeps_geomean(bench_mod, capsys):
+    # 1.3x vs 1.5x is within CALIBRATION_DISAGREE — ordinary container
+    # drift, geometric mean applies and no warning is emitted.
+    this = {"gr_kcore": 2.6, "tx_corpus_build": 6.0}
+    prev = {"gr_kcore": 2.0, "tx_corpus_build": 4.0}
+    got = bench_mod._calibration_ratio(this, prev)
+    assert 1.3 <= got <= 1.5
+    assert "disagree" not in capsys.readouterr().err
+
+
+def test_isolate_movers_accepts_preloaded_prev(bench_mod, monkeypatch):
+    # main() passes the previous-round record it already loaded; the
+    # fallback scan must NOT run in that case (round-14 advice).
+    def boom():
+        raise AssertionError("re-scanned previous round record")
+
+    monkeypatch.setattr(bench_mod, "_previous_round_timings", boom)
+
+    def fake_run(cmd, **kw):
+        class P:
+            stdout = '{"query": "x", "isolated_sec": 1.0}'
+
+        return P()
+
+    import subprocess
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = bench_mod._isolate_movers(
+        {"q": 5.0}, {"q": 0.1}, 1.0, prev={"q": 1.0}
+    )
+    assert set(out) == {"q"}
+
+
 def test_calibration_ratio_clamped(bench_mod):
     lo, hi = bench_mod.CALIBRATION_RATIO_CLAMP
     assert (
