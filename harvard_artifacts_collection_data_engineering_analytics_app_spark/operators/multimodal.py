@@ -464,7 +464,11 @@ def _decode_image_jpeg_hierarchical(payload: bytes, thumb_side: int = 8) -> dict
     approximation otherwise. Differential-frame semantics per T.81
     F.1.1.5.1: no level shift and DC prediction pinned to zero (each
     block's DC is coded directly, not differenced against the previous
-    block); sample accumulation clamps to [0, 255] per stage.
+    block); differential stages ACCUMULATE on an unclamped int grid and
+    the result clamps to [0, 255] once at output — T.81 keeps full
+    precision between stages, so a stage that overshoots the sample
+    range and is corrected by a later stage must not lose the overshoot
+    to an intermediate clamp (round-14 advice, LOW).
     ``mean_sample`` averages the reconstructed SAMPLE grid (the
     hierarchy reconstructs at full resolution by construction)."""
     if payload[:2] != b"\xff\xd8":
@@ -614,7 +618,7 @@ def _decode_image_jpeg_hierarchical(payload: bytes, thumb_side: int = 8) -> dict
             if not differential:
                 ref = [
                     [
-                        min(255, max(0, (dcs[y // 8][x // 8] * q0) // 8 + 128))
+                        (dcs[y // 8][x // 8] * q0) // 8 + 128
                         for x in range(fw)
                     ]
                     for y in range(fh)
@@ -634,13 +638,7 @@ def _decode_image_jpeg_hierarchical(payload: bytes, thumb_side: int = 8) -> dict
                     )
                 ref = [
                     [
-                        min(
-                            255,
-                            max(
-                                0,
-                                ref[y][x] + (dcs[y // 8][x // 8] * q0) // 8,
-                            ),
-                        )
+                        ref[y][x] + (dcs[y // 8][x // 8] * q0) // 8
                         for x in range(fw)
                     ]
                     for y in range(fh)
@@ -653,6 +651,8 @@ def _decode_image_jpeg_hierarchical(payload: bytes, thumb_side: int = 8) -> dict
     w, h = dhp
     if (len(ref[0]), len(ref)) != (w, h):
         raise ValueError("hierarchy did not reconstruct the DHP dimensions")
+    # single output clamp (T.81 keeps full precision between stages)
+    ref = [[min(255, max(0, v)) for v in row] for row in ref]
     tw, th = min(thumb_side, w), min(thumb_side, h)
     thumb = bytearray()
     for ty in range(th):

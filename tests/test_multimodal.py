@@ -1894,6 +1894,43 @@ def test_jpeg_hierarchical_same_resolution_differential():
     assert out["mean_sample"] == 125.0
 
 
+def test_jpeg_hierarchical_overshoot_accumulates_unclamped():
+    """T.81 keeps full precision BETWEEN stages and clamps once at
+    output: a stage that overshoots the [0, 255] sample range and is
+    corrected by a later stage must decode as if no clamp ever happened
+    (round-14 advice). Block 0 overshoots high (200 +100 → 300, −120 →
+    180; a per-stage clamp would give 255 − 120 = 135), block 1
+    overshoots low (50 −100 → −50, +80 → 30; per-stage clamping would
+    give 0 + 80 = 80)."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    w = _JpegWriter()
+    w.dqt(0, 8)
+    w.dht_dc(0)
+    w.dht_ac(0)
+    w.dhp(16, 8, [(1, 1, 1, 0)])
+    w.sof0(16, 8, [(1, 1, 1, 0)])
+    w.sos([(1, 0, 0)])
+    prev = 0
+    for m in (200, 50):  # stage-1 block means
+        coeff = m - 128
+        w.dc_code(coeff - prev)
+        prev = coeff
+    w.flush_scan()
+    for d0, d1 in ((100, -100), (-120, 80)):  # two correction stages
+        w.sof5(16, 8, [(1, 1, 1, 0)])
+        w.sos([(1, 0, 0)])
+        w.dc_code(d0)
+        w.dc_code(d1)
+        w.flush_scan()
+    out = decode_image(w.finish(), thumb_side=8, use_pil=False)
+    assert (out["width"], out["height"]) == (16, 8)
+    assert out["thumbnail"] == bytes([180] * 4 + [30] * 4) * 8
+    assert out["mean_sample"] == (180 + 30) / 2
+
+
 def test_jpeg_hierarchical_pyramid_exp_and_dims():
     """8x8 base stage, EXP doubles both axes, 16x16 differential stage:
     the reconstructed image must have the DHP dims (the pre-fix
