@@ -242,6 +242,9 @@ HEADLINE = [
     "ss_nsw_ivf_beam_search",
     "ss_nsw_index_upsert",
     "ss_nsw_nn_descent_refine",
+    # round-15 additions
+    "ss_nsw_nn_descent_converge",
+    "ss_nsw_index_delete",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

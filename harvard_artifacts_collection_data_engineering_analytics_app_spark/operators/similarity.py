@@ -3161,14 +3161,28 @@ def ss_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_graph_ivf_topk(spark, sf_dir, KNN_GRAPH_K)
 
 
+_KNN_IVF_GRAPH_CACHE: dict = {}
+
+
 def _knn_graph_ivf_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """The IVF-restricted kNN-graph kernel at degree ``k`` (see
     ss_knn_graph_ivf for the plan-shape story). ``k`` parameterizes only
     the final window cut and the per-list local keep margin — the probe
     assignment, list scoring, and comparators are identical, so
-    _knn_ivf_oracle(k) replays it exactly."""
+    _knn_ivf_oracle(k) replays it exactly.
+
+    Materialized once per (session, corpus, k) — the IVF-built graph is
+    the shared input of the NSW index build, the NN-Descent refine, and
+    the convergence loop, which otherwise each re-ran the probe + list
+    scoring inside one gate/bench session (the _exact_knn16 discipline
+    applied to the approximate kernel)."""
     import numpy as np
     import pandas as pd
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir, k)
+    cached = _KNN_IVF_GRAPH_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
 
     keep_margin = max(KNN_LOCAL_MARGIN, k + 4)
     ensure_analytics_conf(spark)
@@ -3247,7 +3261,7 @@ def _knn_graph_ivf_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     )
     raw = F.col("cosine_raw")
     w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
-    return (
+    out = (
         scored.select(
             "a_id",
             "b_id",
@@ -3259,7 +3273,10 @@ def _knn_graph_ivf_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         .filter(F.col("nbr_rank") <= k)
         .select("a_id", "nbr_rank", "b_id", "cosine")
         .orderBy("a_id", "nbr_rank")
+        .localCheckpoint(eager=True)
     )
+    _KNN_IVF_GRAPH_CACHE[cache_key] = out
+    return out
 
 
 # --- power iteration (top principal direction) ------------------------------------

@@ -32,9 +32,15 @@ HEAD_STATIC = 22  # rq01-20 + flagship + rq20_preagg (keepers released r11)
 def main() -> None:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recorded: set[str] = set()
+    last_round: dict[str, int] = {}
     for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         with open(p) as f:
-            recorded |= set(json.load(f))
+            rec = set(json.load(f))
+        recorded |= rec
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        rnd = int(m.group(1)) if m else 0
+        for n in rec:
+            last_round[n] = max(last_round.get(n, 0), rnd)
     names = list(registry.all_specs())
     window = set(names[:50])
     never = [n for n in names if n not in recorded]
@@ -61,6 +67,21 @@ def main() -> None:
         print(f'    "{n}",')
     leftover = sum(len(v) for v in by_fam.values())
     print(f"\nremaining after that window: {leftover}")
+    # Steady state (backlog drained, registry _PRIORITY layout §2/§4):
+    # the keepers and the rotation tail advance to the names the driver
+    # has not re-attested for the longest — family-diverse, oldest
+    # record first, skipping names already seated in the current window.
+    print("\nsteady-state refresh (least-recently-recorded, per family;"
+          " pick keepers from the top of each family, tail across"
+          " families):")
+    by_fam_old: dict[str, list[tuple[int, str]]] = {}
+    for n in names:
+        if n in window or n in never:
+            continue
+        by_fam_old.setdefault(fam(n), []).append((last_round.get(n, 0), n))
+    for f in sorted(by_fam_old):
+        oldest = sorted(by_fam_old[f])[:3]
+        print(f"  {f}: " + ", ".join(f"{n} (r{r})" for r, n in oldest))
 
 
 if __name__ == "__main__":

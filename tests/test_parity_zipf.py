@@ -145,6 +145,16 @@ ZIPF_CASES = [
     # 2-hop expansion inside a heavy cluster generates the most
     # candidates exactly where the probe restriction lost the most.
     "ss_nsw_nn_descent_refine",
+    # round-15: the convergence loop on the skewed corpus — per-round
+    # new-edge counts (and therefore the TERMINATION round) depend on
+    # how fast 2-hop expansion drains the heavy clusters, so the
+    # QUALIFY-prefix oracle must agree round for round; and the
+    # tombstone delete, whose batch (the pivot's 48 nearest neighbors)
+    # lands squarely inside a heavy cluster — the margin rule's
+    # patch/rescan routing is stressed exactly where co-located
+    # deletions concentrate.
+    "ss_nsw_nn_descent_converge",
+    "ss_nsw_index_delete",
 ]
 
 

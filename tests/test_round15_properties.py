@@ -147,6 +147,20 @@ def test_nsw_delete_churn_flags_consistent(delete_rows):
         assert len(ranks) <= NSW_GRAPH_K
 
 
+def test_nsw_delete_plan_shape(spark, sf_dir):
+    """The repair plan must never degrade to an unbroadcast cartesian:
+    per-node joins shuffle on a_id (the lost-count relation is
+    corpus-sized, never broadcast-eligible at 100 TB) and the only
+    nested-loop is the 1-row pivot broadcast inside batch derivation —
+    SCALE.md prices exactly this shape."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.plans import (
+        explain as X,
+    )
+
+    df = all_specs()["ss_nsw_index_delete"].builder(spark, sf_dir)
+    assert not X.has_cartesian_product(df)
+
+
 def test_nn_descent_converge_degree_bound(converge_rows):
     """Every ledger row counts a degree-≤K directed graph over the same
     corpus: edge counts can never exceed round 0's (n·K) and exact hits
