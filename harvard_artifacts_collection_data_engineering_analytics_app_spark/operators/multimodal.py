@@ -1923,8 +1923,11 @@ _VP8L_DIST_MAP: tuple[tuple[int, int], ...] = (
     (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
 )
 
-# Code-length code symbols arrive in this fixed order (RFC 9649 §4.2.1.2).
-_VP8L_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+# Code-length code symbols arrive in this fixed order (RFC 9649 §4.2.1.2;
+# libwebp kCodeLengthCodeOrder — note 16 sits between 5 and 6, NOT last.
+# The old (…, 15, 16) ordering decoded only streams whose CLC never used
+# repeat-16 early; pinned by the real-encoder sweep in tests/test_vp8l_sweep.py).
+_VP8L_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 
 class _LsbBitReader:
@@ -1976,6 +1979,14 @@ class _Vp8lPrefixCode:
         bl_count = [0] * (self.max_len + 1)
         for ln, _ in used:
             bl_count[ln] += 1
+        # Multi-symbol codes must be COMPLETE (Kraft sum exactly 1) —
+        # libwebp's table builder rejects over/under-subscribed codes, so a
+        # conformant stream never carries one; raising here routes corrupt
+        # payloads to the seam instead of decoding garbage.
+        if sum(c << (self.max_len - ln) for ln, c in enumerate(bl_count) if ln) != (
+            1 << self.max_len
+        ):
+            raise ValueError("incomplete VP8L prefix code")
         next_code = [0] * (self.max_len + 1)
         code = 0
         for ln in range(1, self.max_len + 1):
@@ -2099,6 +2110,13 @@ def _vp8l_decode_entropy_image(
     meta_bits = 0
     meta_w = 0
     num_groups = 1
+    # Field order per the spec grammar: <color cache info><meta prefix><data>
+    # — the cache bit comes FIRST (pinned against real libwebp encodes in
+    # tests/test_vp8l_sweep.py; the old meta-first read only decoded streams
+    # with neither feature at the top level).
+    cache_bits = br.read_bits(4) if br.read_bits(1) else 0
+    if cache_bits > 11:
+        raise ValueError("VP8L color cache bits out of range")
     if is_main and br.read_bits(1):
         meta_bits = br.read_bits(3) + 2
         meta_w = _vp8l_subsample(width, meta_bits)
@@ -2107,9 +2125,6 @@ def _vp8l_decode_entropy_image(
         # group index = (red << 8) | green of the sub-image pixel
         meta = [(p >> 8) & 0xFFFF for p in meta_img]
         num_groups = max(meta) + 1
-    cache_bits = br.read_bits(4) if br.read_bits(1) else 0
-    if cache_bits > 11:
-        raise ValueError("VP8L color cache bits out of range")
     cache_size = (1 << cache_bits) if cache_bits else 0
     groups = []
     for _ in range(num_groups):
@@ -2373,6 +2388,40 @@ def _decode_image_webp_lossless(payload: bytes, thumb_side: int = 8) -> dict:
     br.read_bits(1)  # alpha-used hint
     if br.read_bits(3) != 0:
         raise ValueError("unknown VP8L version")
+    px = _vp8l_decode_image_stream(br, width, height)
+    gray = bytearray(width * height)
+    for i, p in enumerate(px):
+        r = (p >> 16) & 0xFF
+        g = (p >> 8) & 0xFF
+        b = p & 0xFF
+        gray[i] = (r * 19595 + g * 38470 + b * 7471) >> 16
+    tw, th = min(thumb_side, width), min(thumb_side, height)
+    thumb = bytearray()
+    for ty in range(th):
+        sy = ty * height // th
+        for tx in range(tw):
+            sx = tx * width // tw
+            thumb.append(gray[sy * width + sx])
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "thumbnail": bytes(thumb),
+        "mean_sample": sum(gray) / len(gray),
+    }
+
+
+def _vp8l_decode_image_stream(
+    br: _LsbBitReader, width: int, height: int
+) -> list[int]:
+    """Decode one headerless VP8L image stream (transforms + entropy image
+    + inverse transforms in reverse read order) → flat ARGB list.
+
+    This is the body shared by the VP8L chunk proper (after its 5-byte
+    size header) and the ALPH chunk of a VP8X extended file, whose
+    compressed case is exactly this stream with the canvas dimensions
+    implied (RFC 9649 §4.3: "losslessly compressed using the WebP
+    lossless format", no size header)."""
     # Transforms are read in stream order against the CURRENT width
     # (color-indexing bundling shrinks it for transforms read after it and
     # for the entropy image); inverses apply in reverse read order.
@@ -2426,26 +2475,66 @@ def _decode_image_webp_lossless(payload: bytes, thumb_side: int = 8) -> dict:
         else:
             px = _vp8l_palette_inverse(px, cur_w, height, tr[1], tr[2], tr[3])
             cur_w = tr[3]
-    gray = bytearray(width * height)
-    for i, p in enumerate(px):
-        r = (p >> 16) & 0xFF
-        g = (p >> 8) & 0xFF
-        b = p & 0xFF
-        gray[i] = (r * 19595 + g * 38470 + b * 7471) >> 16
-    tw, th = min(thumb_side, width), min(thumb_side, height)
-    thumb = bytearray()
-    for ty in range(th):
-        sy = ty * height // th
-        for tx in range(tw):
-            sx = tx * width // tw
-            thumb.append(gray[sy * width + sx])
-    return {
-        "width": width,
-        "height": height,
-        "n_pixels": width * height,
-        "thumbnail": bytes(thumb),
-        "mean_sample": sum(gray) / len(gray),
-    }
+    return px
+
+
+def _decode_webp_alpha(alph: bytes, width: int, height: int) -> bytes:
+    """Decode one ALPH chunk of a VP8X extended WebP → width*height alpha
+    bytes in scan order (RFC 9649 §4.3, semantics pinned against
+    libwebp's dec/alpha_dec.c + dsp/filters.c).
+
+    Header byte, LSB-first: compression C (bits 0-1; 0 = raw bytes,
+    1 = headerless VP8L stream with alpha in the GREEN channel),
+    filtering F (bits 2-3; 0 none / 1 horizontal / 2 vertical /
+    3 gradient, undone here with libwebp's exact unfilter borders:
+    row 0 starts from 0 then left; later rows seed from the byte
+    above), preprocessing P (bits 4-5; 1 = lossy level reduction whose
+    decode-side smoothing we do not replicate → ValueError into the
+    imaging-library seam)."""
+    if not alph:
+        raise ValueError("empty ALPH chunk")
+    hdr = alph[0]
+    compression = hdr & 3
+    filtering = (hdr >> 2) & 3
+    preprocessing = (hdr >> 4) & 3
+    if preprocessing == 1:
+        raise ValueError(
+            "ALPH level-reduction preprocessing requires an imaging library"
+        )
+    if preprocessing > 1 or compression > 1:
+        raise ValueError("reserved ALPH preprocessing/compression mode")
+    n = width * height
+    if compression == 0:
+        data = alph[1 : 1 + n]
+        if len(data) < n:
+            raise ValueError("truncated uncompressed ALPH plane")
+        plane = bytearray(data)
+    else:
+        px = _vp8l_decode_image_stream(_LsbBitReader(alph, 1), width, height)
+        plane = bytearray((p >> 8) & 0xFF for p in px)
+    if filtering:
+        for y in range(height):
+            row = y * width
+            if filtering == 1 or y == 0:  # horizontal (all filters on row 0
+                # fall back to it, per HorizontalUnfilter_C's NULL-prev leg)
+                pred = plane[row - width] if y else 0
+                for x in range(width):
+                    pred = plane[row + x] = (plane[row + x] + pred) & 0xFF
+            elif filtering == 2:  # vertical: predictor is the byte above
+                prev = row - width
+                for x in range(width):
+                    plane[row + x] = (plane[row + x] + plane[prev + x]) & 0xFF
+            else:  # gradient: clamp(left + top - top_left)
+                prev = row - width
+                left = top_left = plane[prev]
+                for x in range(width):
+                    top = plane[prev + x]
+                    g = left + top - top_left
+                    left = plane[row + x] = (
+                        plane[row + x] + (0 if g < 0 else 255 if g > 255 else g)
+                    ) & 0xFF
+                    top_left = top
+    return bytes(plane)
 
 
 def _decode_image_webp_lossy(payload: bytes, thumb_side: int = 8) -> dict:
@@ -2459,12 +2548,24 @@ def _decode_image_webp_lossy(payload: bytes, thumb_side: int = 8) -> dict:
     per-segment quantizers/filter levels exercised), so unlike the
     JPEG DC legs this path is full-resolution and exact, not a 1/8
     approximation. Gray contract = the decoded Y plane (the JPEG-leg
-    luma convention; U/V are decoded and verified but not mixed in).
-    VP8X containers and interframes raise into the imaging-library
-    seam."""
-    from .vp8 import decode_webp_vp8
+    luma convention; U/V are decoded and verified but not mixed in —
+    and any ALPH alpha plane of a VP8X extended container is likewise
+    decoded and length-checked (:func:`_decode_webp_alpha`, bit-exact
+    vs libwebp's WebPDecodeRGBA A channel in tests/test_vp8.py) but not
+    mixed into the gray, matching Pillow's RGBA→L. Interframes and
+    animated containers raise into the imaging-library seam."""
+    from .vp8 import decode_vp8_keyframe, parse_webp_chunks
 
-    width, height, Y, _u, _v = decode_webp_vp8(payload)
+    chunks = parse_webp_chunks(payload)
+    if chunks["vp8"] is None:
+        raise ValueError("no VP8 chunk in WebP payload")
+    width, height, Y, _u, _v = decode_vp8_keyframe(chunks["vp8"])
+    if chunks["alph"] is not None:
+        # decode for real so a corrupt ALPH routes to the seam instead
+        # of passing silently; the plane itself does not enter the gray
+        alpha = _decode_webp_alpha(chunks["alph"], width, height)
+        if len(alpha) != width * height:
+            raise ValueError("ALPH plane size mismatch")
     tw, th = min(thumb_side, width), min(thumb_side, height)
     thumb = bytearray()
     for ty in range(th):
@@ -2645,9 +2746,10 @@ def decode_image(
                     # (operators/vp8.py, bit-exact vs libwebp)
                     return _decode_image_webp_lossy(payload, thumb_side)
                 except (ValueError, IndexError, KeyError):
-                    # VP8X container / interframe / truncated stream →
-                    # imaging-library seam (actionable pillow error when
-                    # the library is absent)
+                    # animation / interframe / ALPH level-reduction /
+                    # truncated stream → imaging-library seam (actionable
+                    # pillow error when the library is absent); plain
+                    # VP8X stills with alpha decode pure-Python above
                     return _decode_image_pil(payload, thumb_side)
         return _decode_image_pil(payload, thumb_side)
     channels = 3 if magic == b"P6" else 1

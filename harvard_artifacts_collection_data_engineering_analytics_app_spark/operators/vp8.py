@@ -841,21 +841,51 @@ def _loop_filter(Y, U, V, mb_w, mb_h, mbs, mb_has_coeffs, base_level,
                                   sfilter(get_h(Y, py + dy, px + x), sbE))
 
 
-def decode_webp_vp8(payload: bytes):
-    """RIFF walk to the 'VP8 ' chunk → full key-frame decode.
-    Returns (w, h, Y, U, V). VP8X/animation containers raise."""
+def parse_webp_chunks(payload: bytes) -> dict:
+    """RIFF walk over a WebP container, VP8X-aware (RFC 9649 §2).
+
+    Returns {'vp8': bytes|None, 'vp8l': bytes|None, 'alph': bytes|None,
+    'canvas': (w, h)|None} with canvas taken from the VP8X chunk's
+    24-bit minus-one fields. Animated files (VP8X animation flag or an
+    ANIM/ANMF chunk) raise — a still decoder must not silently return
+    frame 1 of an animation."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     pos = 12
     n = len(payload)
+    out = {"vp8": None, "vp8l": None, "alph": None, "canvas": None}
     while pos + 8 <= n:
         fourcc = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
-        if fourcc == b"VP8 ":
-            return decode_vp8_keyframe(payload[pos + 8:pos + 8 + size])
-        if fourcc == b"VP8X":
-            raise ValueError(
-                "extended WebP container (VP8X) requires an imaging library"
-            )
+        body = payload[pos + 8:pos + 8 + size]
+        if fourcc == b"VP8 " and out["vp8"] is None:
+            out["vp8"] = body
+        elif fourcc == b"VP8L" and out["vp8l"] is None:
+            out["vp8l"] = body
+        elif fourcc == b"ALPH" and out["alph"] is None:
+            out["alph"] = body
+        elif fourcc == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("truncated VP8X chunk")
+            if body[0] & 0x02:  # animation flag
+                raise ValueError(
+                    "animated WebP requires an imaging library"
+                )
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+            out["canvas"] = (cw, ch)
+        elif fourcc in (b"ANIM", b"ANMF"):
+            raise ValueError("animated WebP requires an imaging library")
         pos += 8 + size + (size & 1)
-    raise ValueError("no VP8 chunk in WebP payload")
+    return out
+
+
+def decode_webp_vp8(payload: bytes):
+    """RIFF walk to the 'VP8 ' chunk (direct or inside a VP8X extended
+    container) → full key-frame decode. Returns (w, h, Y, U, V); any
+    ALPH plane is the caller's concern (multimodal._decode_webp_alpha).
+    Animated containers raise."""
+    chunks = parse_webp_chunks(payload)
+    if chunks["vp8"] is None:
+        raise ValueError("no VP8 chunk in WebP payload")
+    return decode_vp8_keyframe(chunks["vp8"])

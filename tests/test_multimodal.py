@@ -865,7 +865,9 @@ class _Vp8lBitWriter:
         return bytes(self.out)
 
 
-_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+# libwebp kCodeLengthCodeOrder: 16 sits between 5 and 6 (the round-15
+# order fix — pinned against real encoder output in test_vp8l_sweep.py)
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 
 def _canon(length_by_sym):
@@ -927,8 +929,18 @@ def _write_normal(bw, length_by_sym, alphabet):
         tokens.append((0, 0, 0))
     used_clc = sorted({t[0] for t in tokens})
     k = len(used_clc)
-    clc_bits = 1 if k == 1 else max(1, (k - 1).bit_length())
-    clc_len = {s: clc_bits for s in used_clc}
+    # COMPLETE canonical lengths (Kraft sum exactly 1) — a flat
+    # ceil(log2 k) assignment is undersubscribed for non-power-of-2 k and
+    # conformant decoders (libwebp, ours) reject it: with L = ceil(log2 k),
+    # 2*(k - 2^(L-1)) symbols get length L and the rest get L-1.
+    if k == 1:
+        clc_len = {used_clc[0]: 1}
+    else:
+        L = (k - 1).bit_length()
+        n_long = 2 * (k - (1 << (L - 1)))
+        clc_len = {
+            s: (L if i >= k - n_long else L - 1) for i, s in enumerate(used_clc)
+        }
     bw.bits(1, 0)  # not simple
     pos = {s: i for i, s in enumerate(_CLC_ORDER)}
     num_clc = max(4, max(pos[s] for s in used_clc) + 1)
@@ -1088,9 +1100,9 @@ def test_webp_lossless_color_cache():
 
     def body(bw):
         bw.bits(1, 0)  # no transforms
-        bw.bits(1, 0)  # no meta prefix
-        bw.bits(1, 1)  # color cache present
+        bw.bits(1, 1)  # color cache present (cache info precedes meta prefix)
         bw.bits(4, cache_bits)
+        bw.bits(1, 0)  # no meta prefix
         _write_group(
             bw,
             ("normal", glen),
