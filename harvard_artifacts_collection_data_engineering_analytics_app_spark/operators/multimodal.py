@@ -388,14 +388,23 @@ def _jpeg_dc_result(
     thumb_side: int,
 ) -> dict:
     """Quantized Y DC grid → decode_image contract: DC-only IDCT (block
-    mean = DC·Q[0]/8 + 128, clamped), nearest-neighbor thumbnail, mean.
-    The padded block grid is cropped to blocks actually covering the
-    image (Y spatial size = ceil(dim · sampling / max_sampling))."""
+    mean = DESCALE(DC·Q[0], 3) + 128, clamped), nearest-neighbor
+    thumbnail, mean. The rounding is libjpeg's jpeg_idct_1x1 DESCALE —
+    (x + 4) >> 3, round-half-up under arithmetic shift — NOT a plain
+    floor division: the round-15 libjpeg scale_denom=8 sweep
+    (tests/test_jpeg_dc_sweep.py) pins every block value bit-exact
+    against the system decoder, which a floored //8 fails by one gray
+    level whenever DC·Q[0] mod 8 ≥ 4. The padded block grid is cropped
+    to blocks actually covering the image (Y spatial size =
+    ceil(dim · sampling / max_sampling))."""
     yw = -(-w * y_h // hmax)
     yh = -(-h * y_v // vmax)
     bw, bh = -(-yw // 8), -(-yh // 8)
     means = [
-        [min(255, max(0, (y_grid[r][c] * q0) // 8 + 128)) for c in range(bw)]
+        [
+            min(255, max(0, ((y_grid[r][c] * q0 + 4) >> 3) + 128))
+            for c in range(bw)
+        ]
         for r in range(bh)
     ]
     tw, th = min(thumb_side, w), min(thumb_side, h)
@@ -618,7 +627,7 @@ def _decode_image_jpeg_hierarchical(payload: bytes, thumb_side: int = 8) -> dict
             if not differential:
                 ref = [
                     [
-                        (dcs[y // 8][x // 8] * q0) // 8 + 128
+                        ((dcs[y // 8][x // 8] * q0 + 4) >> 3) + 128
                         for x in range(fw)
                     ]
                     for y in range(fh)
@@ -638,7 +647,7 @@ def _decode_image_jpeg_hierarchical(payload: bytes, thumb_side: int = 8) -> dict
                     )
                 ref = [
                     [
-                        ref[y][x] + (dcs[y // 8][x // 8] * q0) // 8
+                        ref[y][x] + ((dcs[y // 8][x // 8] * q0 + 4) >> 3)
                         for x in range(fw)
                     ]
                     for y in range(fh)
@@ -1755,6 +1764,167 @@ def _png_deinterlace_sub8(
     return out
 
 
+def _gif_lzw(data: bytes, min_code: int, expected: int) -> bytearray:
+    """GIF-variant LZW decode (GIF89a spec Appendix F): codes are packed
+    LSB-first, the code width starts at min_code+1 and grows when the
+    table reaches 2^width (capped at 12 until the next clear), and the
+    KwKwK case (code == next table slot) emits prev + prev[0]."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    base = [bytes([i]) for i in range(clear)]
+    table: list[bytes] = base + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < expected:
+        if bitpos + width > total_bits:
+            raise ValueError("truncated GIF LZW stream")
+        byte0 = bitpos >> 3
+        acc = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        code = (acc >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = base + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or len(table[code])):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("invalid GIF LZW code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("GIF LZW stream ended early")
+    return out[:expected]
+
+
+# GIF interlace passes: (row offset, row step) — GIF89a spec §20
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_image_gif(payload: bytes, thumb_side: int = 8) -> dict:
+    """Dependency-free STILL-GIF decode (round 15): header + color
+    tables, extension-block walk, one image descriptor, LZW
+    decompression, 4-pass deinterlace, palette → the same truncating
+    ITU-R 601-2 luma as the PNG palette path (transparency ignored —
+    Pillow's P→L maps the transparent index to its palette RGB too).
+
+    Verified against real giflib (libgif.so.7) encodes in
+    tests/test_gif_sweep.py — GIF's LZW is lossless, so the source
+    index raster is the ground truth. Animated GIFs (a second image
+    descriptor), partial-canvas frames, and corrupt streams raise an
+    actionable ValueError into the imaging-library seam: a still
+    decoder must not silently return frame 1 of an animation."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width = int.from_bytes(payload[6:8], "little")
+    height = int.from_bytes(payload[8:10], "little")
+    if not width or not height:
+        raise ValueError("bad GIF dimensions")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    frame = None
+    n_bytes = len(payload)
+    while pos < n_bytes:
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + data sub-blocks, all skipped
+            pos += 2
+            while pos < n_bytes and payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if frame is not None:
+                raise ValueError("animated GIF requires an imaging library")
+            fx = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+            fy = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+            fw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            fh = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            iflags = payload[pos + 9]
+            pos += 10
+            lct = None
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                lct = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if (fx, fy, fw, fh) != (0, 0, width, height):
+                raise ValueError(
+                    "partial-canvas GIF frame requires an imaging library"
+                )
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError("bad GIF LZW minimum code size")
+            data = bytearray()
+            while pos < n_bytes and payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            indices = _gif_lzw(bytes(data), min_code, fw * fh)
+            frame = (bool(iflags & 0x40), lct, indices)
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if frame is None:
+        raise ValueError("GIF has no image descriptor")
+    interlaced, lct, indices = frame
+    palette = lct if lct is not None else gct
+    if palette is None:
+        raise ValueError("GIF frame has no color table")
+    if interlaced:
+        ordered = bytearray(width * height)
+        src = 0
+        for off, step in _GIF_PASSES:
+            for y in range(off, height, step):
+                ordered[y * width : (y + 1) * width] = indices[
+                    src : src + width
+                ]
+                src += width
+        indices = ordered
+    n_colors = len(palette) // 3
+    lut = bytes(
+        (palette[3 * i] * 19595 + palette[3 * i + 1] * 38470
+         + palette[3 * i + 2] * 7471) >> 16
+        for i in range(n_colors)
+    )
+    if max(indices) >= n_colors:
+        raise ValueError("GIF index outside the color table")
+    gray = indices.translate(lut + bytes(256 - n_colors))
+    tw, th = min(thumb_side, width), min(thumb_side, height)
+    thumb = bytearray()
+    for ty in range(th):
+        sy = ty * height // th
+        for tx in range(tw):
+            sx = tx * width // tw
+            thumb.append(gray[sy * width + sx])
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "thumbnail": bytes(thumb),
+        "mean_sample": sum(gray) / len(gray),
+    }
+
+
 def _decode_image_png(payload: bytes, thumb_side: int = 8) -> dict:
     """Dependency-free PNG decode (judge VERDICT r10 #8 stretch, extended
     r12 with 16-bit depth and Adam7 interlace per VERDICT r11 #7): chunk
@@ -2736,6 +2906,12 @@ def decode_image(
             except ValueError:
                 # exotic color type / corrupt stream → Pillow seam
                 # (1–16-bit depths decode pure-Python, interlaced or not)
+                return _decode_image_pil(payload, thumb_side)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            try:
+                return _decode_image_gif(payload, thumb_side)
+            except ValueError:
+                # animated / partial-canvas frame / corrupt → seam
                 return _decode_image_pil(payload, thumb_side)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             try:
