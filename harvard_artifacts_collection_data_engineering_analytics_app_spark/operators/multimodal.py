@@ -1764,6 +1764,274 @@ def _png_deinterlace_sub8(
     return out
 
 
+def _tiff_lzw(data: bytes, expected: int) -> bytearray:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, 9-bit
+    initial codes, Clear=256 / EOI=257, table grows from 258, and the
+    EARLY-CHANGE width schedule — the code width bumps when the table
+    reaches 2^width − 1 (one code earlier than GIF), capped at 12."""
+    width = 9
+    base = [bytes([i]) for i in range(256)]
+    table: list[bytes] = base + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < expected:
+        if bitpos + width > total_bits:
+            raise ValueError("truncated TIFF LZW stream")
+        byte0 = bitpos >> 3
+        acc = int.from_bytes(data[byte0 : byte0 + 3], "big")
+        code = (acc >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == 256:  # clear
+            table = base + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # end of information
+            break
+        if code < len(table) and (code < 256 or len(table[code])):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("invalid TIFF LZW code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("TIFF LZW strip ended early")
+    return out[:expected]
+
+
+def _tiff_packbits(data: bytes, expected: int) -> bytearray:
+    """PackBits RLE (TIFF 6.0 §9): n in 0..127 copies n+1 literals,
+    n in -127..-1 repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    n_bytes = len(data)
+    while len(out) < expected and pos < n_bytes:
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            if pos >= n_bytes:
+                break
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError("PackBits strip ended early")
+    return out[:expected]
+
+
+# TIFF field type byte widths: BYTE ASCII SHORT LONG RATIONAL SBYTE
+# UNDEFINED SSHORT SLONG SRATIONAL FLOAT DOUBLE (TIFF 6.0 §2)
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+
+
+def _decode_image_tiff(payload: bytes, thumb_side: int = 8) -> dict:
+    """Dependency-free TIFF decode of IFD0 (round 15) — the scanned-
+    document format a training corpus's PDFs and archives carry.
+
+    Supported subset, pinned bit-exact against real libtiff encodes in
+    tests/test_tiff_sweep.py: both byte orders (II/MM), strip
+    organization with any RowsPerStrip, Compression 1 (none) /
+    5 (TIFF-variant LZW with the early-change width schedule and the
+    horizontal-differencing Predictor 2) / 32773 (PackBits),
+    PhotometricInterpretation 0 (white-is-zero, inverted) / 1 / 2 (RGB,
+    optional ExtraSamples alpha ignored like every RGBA leg) /
+    3 (palette, 16-bit ColorMap channels reduced >> 8), BitsPerSample
+    1/4/8/16 for gray (MSB-first packed rows, PNG-style bit-replication
+    scaling; 16-bit keeps the high byte) and 8/16 for RGB/palette-8.
+    Tiles, planar configuration 2, BigTIFF, CCITT/JPEG/Deflate
+    compressions, and later IFDs' pages raise an actionable ValueError
+    into the imaging-library seam (IFD0 alone IS the still image —
+    unlike GIF frames, subsequent TIFF pages are separate documents,
+    but we only ever return page 0 and multi-page files are fine)."""
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    bo = "little" if payload[:2] == b"II" else "big"
+
+    def u(off: int, size: int) -> int:
+        return int.from_bytes(payload[off : off + size], bo)
+
+    magic = u(2, 2)
+    if magic == 43:
+        raise ValueError("BigTIFF requires an imaging library")
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    ifd = u(4, 4)
+    if ifd + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    n_entries = u(ifd, 2)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd + 2 + 12 * i
+        tag = u(e, 2)
+        ftype = u(e + 2, 2)
+        count = u(e + 4, 4)
+        tsize = _TIFF_TYPE_SIZE.get(ftype)
+        if tsize is None or ftype in (2, 5, 10, 11, 12):
+            continue  # ASCII/rational/float tags are metadata we ignore
+        total = tsize * count
+        voff = e + 8 if total <= 4 else u(e + 8, 4)
+        if voff + total > len(payload):
+            raise ValueError("TIFF tag value out of bounds")
+        tags[tag] = [u(voff + j * tsize, tsize) for j in range(count)]
+
+    def one(tag: int, default: int | None = None) -> int | None:
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    width = one(256)
+    height = one(257)
+    if not width or not height:
+        raise ValueError("TIFF missing dimensions")
+    bits_list = tags.get(258, [1])
+    bits = bits_list[0]
+    if any(b != bits for b in bits_list):
+        raise ValueError("heterogeneous TIFF BitsPerSample")
+    compression = one(259, 1)
+    photometric = one(262, 1)
+    spp = one(277, 1)
+    rows_per_strip = one(278, height) or height
+    predictor = one(317, 1)
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF requires an imaging library")
+    if one(284, 1) != 1:
+        raise ValueError("planar TIFF requires an imaging library")
+    if compression not in (1, 5, 32773):
+        raise ValueError(
+            f"TIFF compression {compression} requires an imaging library"
+        )
+    if predictor not in (1, 2):
+        raise ValueError("unsupported TIFF predictor")
+    if photometric not in (0, 1, 2, 3):
+        raise ValueError(
+            f"TIFF photometric {photometric} requires an imaging library"
+        )
+    if photometric in (0, 1):
+        if spp != 1 or bits not in (1, 4, 8, 16):
+            raise ValueError("unsupported TIFF gray layout")
+    elif photometric == 2:
+        if spp not in (3, 4) or bits not in (8, 16):
+            raise ValueError("unsupported TIFF RGB layout")
+    else:
+        if spp != 1 or bits not in (4, 8):
+            raise ValueError("unsupported TIFF palette layout")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip layout")
+    row_bytes = (width * spp * bits + 7) // 8
+    raster = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        n_rows = min(rows_per_strip, height - si * rows_per_strip)
+        if n_rows <= 0:
+            raise ValueError("TIFF strip beyond image height")
+        strip = payload[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError("truncated TIFF strip")
+        expected = row_bytes * n_rows
+        if compression == 1:
+            if len(strip) < expected:
+                raise ValueError("short uncompressed TIFF strip")
+            strip = bytearray(strip[:expected])
+        elif compression == 5:
+            strip = _tiff_lzw(strip, expected)
+        else:
+            strip = _tiff_packbits(strip, expected)
+        if predictor == 2:  # horizontal differencing, per row per channel
+            if bits == 8:
+                for r in range(n_rows):
+                    base = r * row_bytes
+                    for i in range(base + spp, base + row_bytes):
+                        strip[i] = (strip[i] + strip[i - spp]) & 0xFF
+            elif bits == 16:
+                for r in range(n_rows):
+                    base = r * row_bytes
+                    for i in range(base + 2 * spp, base + row_bytes, 2):
+                        v = (
+                            int.from_bytes(strip[i : i + 2], bo)
+                            + int.from_bytes(strip[i - 2 * spp : i - 2 * spp + 2], bo)
+                        ) & 0xFFFF
+                        strip[i : i + 2] = v.to_bytes(2, bo)
+            else:
+                raise ValueError("TIFF predictor on sub-byte samples")
+        raster += strip
+    gray = bytearray(width * height)
+    if bits < 8:
+        mask = (1 << bits) - 1
+        scale = 255 // mask
+        per_byte = 8 // bits
+        for y in range(height):
+            base = y * row_bytes
+            row_out = y * width
+            for x in range(width):
+                b = raster[base + x // per_byte]
+                shift = 8 - bits * (x % per_byte + 1)
+                v = (b >> shift) & mask
+                if photometric == 0:
+                    v = mask - v
+                if photometric == 3:
+                    gray[row_out + x] = v  # palette index; mapped below
+                else:
+                    gray[row_out + x] = v * scale
+    else:
+        step = bits // 8
+        px_bytes = spp * step
+        hi = 0 if bo == "big" else step - 1
+        for i in range(width * height):
+            off = i * px_bytes
+            if photometric == 2:
+                r = raster[off + hi]
+                g = raster[off + step + hi]
+                b = raster[off + 2 * step + hi]
+                gray[i] = (r * 19595 + g * 38470 + b * 7471) >> 16
+            else:
+                v = raster[off + hi]
+                if photometric == 0:
+                    v = 255 - v
+                gray[i] = v
+    if photometric == 3:
+        cmap = tags.get(320)
+        n_colors = 1 << bits
+        if not cmap or len(cmap) < 3 * n_colors:
+            raise ValueError("TIFF palette image missing ColorMap")
+        lut = bytes(
+            (
+                (cmap[i] >> 8) * 19595
+                + (cmap[n_colors + i] >> 8) * 38470
+                + (cmap[2 * n_colors + i] >> 8) * 7471
+            )
+            >> 16
+            for i in range(n_colors)
+        )
+        if max(gray) >= n_colors:
+            raise ValueError("TIFF palette index out of range")
+        gray = gray.translate(lut + bytes(256 - n_colors))
+    tw, th = min(thumb_side, width), min(thumb_side, height)
+    thumb = bytearray()
+    for ty in range(th):
+        sy = ty * height // th
+        for tx in range(tw):
+            sx = tx * width // tw
+            thumb.append(gray[sy * width + sx])
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "thumbnail": bytes(thumb),
+        "mean_sample": sum(gray) / len(gray),
+    }
+
+
 def _gif_lzw(data: bytes, min_code: int, expected: int) -> bytearray:
     """GIF-variant LZW decode (GIF89a spec Appendix F): codes are packed
     LSB-first, the code width starts at min_code+1 and grows when the
@@ -2912,6 +3180,13 @@ def decode_image(
                 return _decode_image_gif(payload, thumb_side)
             except ValueError:
                 # animated / partial-canvas frame / corrupt → seam
+                return _decode_image_pil(payload, thumb_side)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            try:
+                return _decode_image_tiff(payload, thumb_side)
+            except (ValueError, IndexError):
+                # tiled / planar / CCITT-JPEG-Deflate compressed / BigTIFF
+                # → imaging-library seam
                 return _decode_image_pil(payload, thumb_side)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             try:
