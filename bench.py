@@ -245,6 +245,7 @@ HEADLINE = [
     # round-15 additions
     "ss_nsw_nn_descent_converge",
     "ss_nsw_index_delete",
+    "mm_tiff_decode_stats",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -1835,6 +1835,148 @@ def _tiff_packbits(data: bytes, expected: int) -> bytearray:
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
 
 
+def _tiff_lzw_encode_literal(data: bytes) -> bytes:
+    """Minimal conformant TIFF-LZW encoder: Clear, then every byte as a
+    literal code, then EOI — no string matching, but the DECODER still
+    grows its table on every code, so the early-change width schedule is
+    exercised for real. The builder twin of :func:`_tiff_lzw` (separate
+    code path on purpose: a shared-bug round-trip cannot cancel out, and
+    the registered query's oracle pins the decoded VALUES from the
+    source bytes; conformance vs libtiff's reader is pinned in
+    tests/test_tiff_sweep.py)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    width = 9
+    put(256, width)  # clear
+    table_size = 258
+    prev = False
+    for b in data:
+        put(b, width)
+        if prev:
+            table_size += 1
+        if table_size == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = True
+    put(257, width)  # end of information
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_packbits_encode(row: bytes) -> bytes:
+    """Literal-only PackBits: chunks of ≤128 bytes behind an n-1 header
+    (spec-legal; the decoder must still walk headers and counts)."""
+    out = bytearray()
+    for i in range(0, len(row), 128):
+        chunk = row[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
+def encode_tiff_gray(
+    raster: bytes,
+    width: int,
+    height: int,
+    photometric: int = 1,
+    compression: int = 1,
+    big_endian: bool = False,
+    rows_per_strip: int = 0,
+) -> bytes:
+    """Assemble a minimal conformant gray-8 TIFF around a raster — the
+    builder twin of :func:`_decode_image_tiff` for the registered
+    ``mm_tiff_decode_stats`` query (layout: header, strip data, IFD,
+    external offset/count arrays; 10 ascending tags; values
+    left-justified in the 4-byte field per TIFF 6.0 §2)."""
+    if len(raster) != width * height:
+        raise ValueError("raster size does not match dimensions")
+    bo = "big" if big_endian else "little"
+    rps = rows_per_strip or height
+    strips = []
+    for y0 in range(0, height, rps):
+        rows = raster[y0 * width : min(y0 + rps, height) * width]
+        if compression == 1:
+            strips.append(bytes(rows))
+        elif compression == 5:
+            strips.append(_tiff_lzw_encode_literal(rows))
+        elif compression == 32773:
+            n_rows = len(rows) // width
+            strips.append(
+                b"".join(
+                    _tiff_packbits_encode(rows[r * width : (r + 1) * width])
+                    for r in range(n_rows)
+                )
+            )
+        else:
+            raise ValueError(f"unsupported builder compression {compression}")
+    strip_data = b"".join(strips)
+    n_strips = len(strips)
+    ifd_off = 8 + len(strip_data)
+    arrays_off = ifd_off + 2 + 10 * 12 + 4
+    offsets = []
+    counts = []
+    off = 8
+    for s in strips:
+        offsets.append(off)
+        counts.append(len(s))
+        off += len(s)
+
+    def entry(tag: int, ftype: int, count: int, value: bytes) -> bytes:
+        return (
+            tag.to_bytes(2, bo)
+            + ftype.to_bytes(2, bo)
+            + count.to_bytes(4, bo)
+            + value.ljust(4, b"\x00")
+        )
+
+    ext = bytearray()
+
+    def long_array(vals: list[int]) -> bytes:
+        if len(vals) == 1:
+            return vals[0].to_bytes(4, bo)
+        pos = arrays_off + len(ext)
+        for v in vals:
+            ext.extend(v.to_bytes(4, bo))
+        return pos.to_bytes(4, bo)
+
+    short = lambda v: v.to_bytes(2, bo)  # noqa: E731 - left-justified SHORT
+    ifd = (
+        entry(256, 4, 1, width.to_bytes(4, bo))
+        + entry(257, 4, 1, height.to_bytes(4, bo))
+        + entry(258, 3, 1, short(8))
+        + entry(259, 3, 1, short(compression))
+        + entry(262, 3, 1, short(photometric))
+        + entry(273, 4, n_strips, long_array(offsets))
+        + entry(277, 3, 1, short(1))
+        + entry(278, 4, 1, rps.to_bytes(4, bo))
+        + entry(279, 4, n_strips, long_array(counts))
+        + entry(284, 3, 1, short(1))
+    )
+    header = (
+        (b"MM" if big_endian else b"II")
+        + (42).to_bytes(2, bo)
+        + ifd_off.to_bytes(4, bo)
+    )
+    return (
+        header
+        + strip_data
+        + (10).to_bytes(2, bo)
+        + ifd
+        + (0).to_bytes(4, bo)
+        + bytes(ext)
+    )
+
+
 def _decode_image_tiff(payload: bytes, thumb_side: int = 8) -> dict:
     """Dependency-free TIFF decode of IFD0 (round 15) — the scanned-
     document format a training corpus's PDFs and archives carry.
@@ -4377,6 +4519,136 @@ def mm_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).astype("int64")
 
     return blobs.mapInPandas(_stats, WAV_STATS_SCHEMA).orderBy("doc_id")
+
+
+TIFF_STATS_DOCS = 100
+
+TIFF_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("compression", LongType()),
+        StructField("gray_sum", LongType()),
+        StructField("thumb_sum", LongType()),
+    ]
+)
+
+
+@register(
+    "mm_tiff_decode_stats",
+    # Same contract as mm_wav_decode_stats: the oracle recomputes the
+    # decoded VALUES directly from the document bytes (the raster is the
+    # text bytes verbatim), so the decoder must honestly invert the
+    # container the builder wrapped around them — IFD arithmetic in both
+    # byte orders, strip reassembly at per-id RowsPerStrip, the
+    # TIFF-LZW early-change schedule, PackBits headers, and the
+    # white-is-zero inversion all have to agree with plain SQL byte math
+    # (including the 8x8 nearest-neighbor thumbnail index rule).
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents
+        WHERE doc_id < {TIFF_STATS_DOCS} AND octet_length(encode(text)) >= 64
+    ),
+    shaped AS (
+        SELECT doc_id, hx,
+               8 + doc_id % 17 AS w,
+               LEAST(24, nb // (8 + doc_id % 17)) AS h,
+               doc_id % 5 = 0 AS inverted
+        FROM src
+    ),
+    gray AS (
+        SELECT doc_id, w, h,
+               list_transform(range(1, w * h + 1),
+                   k -> CASE WHEN inverted THEN 255 - {_HXB.format(k="k")}
+                             ELSE {_HXB.format(k="k")} END) AS g
+        FROM shaped
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 32773
+                ELSE 5 END AS BIGINT) AS compression,
+           CAST(list_sum(g) AS BIGINT) AS gray_sum,
+           CAST(list_sum(flatten(
+               list_transform(range(0, LEAST(8, h)), ty ->
+                   list_transform(range(0, LEAST(8, w)), tx ->
+                       g[(ty * h // LEAST(8, h)) * w
+                         + (tx * w // LEAST(8, w)) + 1]))
+           )) AS BIGINT) AS thumb_sum
+    FROM gray
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "image", "tiff", "decoder", "pandas-udf"),
+)
+def mm_tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real TIFF decode over Spark — the image twin of
+    ``mm_wav_decode_stats`` (round 15): wrap each document's bytes in a
+    gray-8 TIFF whose layout varies per id — byte order II/MM by parity,
+    Compression none / PackBits / TIFF-LZW by id mod 3,
+    white-is-zero inversion every fifth id, RowsPerStrip 1..7 — and
+    recover per-payload pixel statistics with the dependency-free
+    ``_decode_image_tiff`` (the decoder libtiff-swept in
+    tests/test_tiff_sweep.py; the builder's containers are pinned
+    readable by libtiff itself there too).
+
+    Plan shape (100 TB): container decode is one embarrassingly-parallel
+    Arrow pass over the blobs — no shuffle before the presentation sort;
+    at scale the blobs arrive as a binary column from the lakehouse scan
+    and the same mapInPandas signature applies per input split. The
+    doc_id/length filters reach the parquet scan.
+    """
+    import pandas as pd
+
+    ensure_analytics_conf(spark)
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < TIFF_STATS_DOCS)
+        & (F.length(F.encode("text", "utf-8")) >= 64)
+    )
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                did = int(did)
+                data = bytes(blob)
+                w = 8 + did % 17
+                h = min(24, len(data) // w)
+                raster = data[: w * h]
+                comp = (1, 32773, 5)[did % 3]
+                tif = encode_tiff_gray(
+                    raster,
+                    w,
+                    h,
+                    photometric=0 if did % 5 == 0 else 1,
+                    compression=comp,
+                    big_endian=did % 2 == 1,
+                    rows_per_strip=1 + did % 7,
+                )
+                st = decode_image(tif, thumb_side=8, use_pil=False)
+                rows.append(
+                    (
+                        did,
+                        st["width"],
+                        st["height"],
+                        st["n_pixels"],
+                        comp,
+                        round(st["mean_sample"] * st["n_pixels"]),
+                        sum(st["thumbnail"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in TIFF_STATS_SCHEMA.fields],
+            ).astype("int64")
+
+    return blobs.mapInPandas(_stats, TIFF_STATS_SCHEMA).orderBy("doc_id")
 
 
 def _mm_registered_oracle(name: str) -> str:

@@ -105,12 +105,13 @@ _PRIORITY: tuple[str, ...] = (
     "rj_interval_overlap",
     "ht_rollup_multigrain",
     "sk_salted_group_agg",
-    # --- 3. new code: the 3 r14 ops (never recorded) + the 2 r15 ops ---
+    # --- 3. new code: the 3 r14 ops (never recorded) + the 3 r15 ops ---
     "ss_nsw_ivf_beam_search",
     "ss_nsw_index_upsert",
     "ss_nsw_nn_descent_refine",
     "ss_nsw_nn_descent_converge",
     "ss_nsw_index_delete",
+    "mm_tiff_decode_stats",
     # --- 4. rotation tail (oldest driver record first, family-diverse) ---
     "fx_anti_join",
     "pd_user_trend",
@@ -121,7 +122,9 @@ _PRIORITY: tuple[str, ...] = (
     "aj_purchase_next_click",
     "gr_triangles",
     "ht_ewma_smooth",
-    "mm_feature_extract",
+    # (mm_feature_extract rotated out for the r15 mm_tiff_decode_stats
+    # new-code seat — mm stays represented by both the keeper and the
+    # new op; rotation_suggest.py re-seats it next round)
 )
 
 

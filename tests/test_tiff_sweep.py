@@ -270,3 +270,56 @@ def test_tiff_unsupported_raises():
         _decode_image_tiff(b"II\x2b\x00" + bytes(12))
     with pytest.raises(ValueError, match="not a TIFF"):
         _decode_image_tiff(b"XX\x2a\x00" + bytes(8))
+
+
+@pytest.mark.skipif(_libtiff() is None, reason="libtiff.so.6 not present")
+@pytest.mark.parametrize("comp", [1, 5, 32773])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_tiff_builder_conformant_per_libtiff(comp, big_endian):
+    """The mm_tiff_decode_stats BUILDER (encode_tiff_gray, including its
+    literal-mode LZW and PackBits writers) must produce files libtiff
+    itself reads back byte-identically — so the registered query's
+    containers are conformant TIFF, not merely self-consistent."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.multimodal import (
+        encode_tiff_gray,
+    )
+
+    t = _libtiff()
+    t.TIFFReadScanline.restype = ctypes.c_int
+    t.TIFFReadScanline.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_uint32, ctypes.c_uint16]
+    random.seed(comp)
+    w, h = 23, 17
+    raster = bytes(random.randrange(256) for _ in range(w * h))
+    payload = encode_tiff_gray(raster, w, h, photometric=1, compression=comp,
+                               big_endian=big_endian, rows_per_strip=4)
+    buf = bytearray(payload)
+    pos = [0]
+
+    def _read(_h, p, n):
+        d = bytes(buf[pos[0]:pos[0] + n])
+        ctypes.memmove(p, d, len(d))
+        pos[0] += len(d)
+        return len(d)
+
+    def _seek(_h, off, whence):
+        if whence == 0:
+            pos[0] = off
+        elif whence == 1:
+            pos[0] += off
+        else:
+            pos[0] = len(buf) + off
+        return pos[0]
+
+    cbs = (_READ(_read), _WRITE(lambda _h, p, n: 0), _SEEK(_seek),
+           _CLOSE(lambda _h: 0), _SIZE(lambda _h: len(buf)),
+           _MAP(lambda _h, a, b: 0), _UNMAP(lambda _h, a, b: None))
+    tif = t.TIFFClientOpen(b"mem", b"r", None, *cbs)
+    assert tif, "libtiff refused the builder's container"
+    rb = ctypes.create_string_buffer(w)
+    rows = []
+    for y in range(h):
+        assert t.TIFFReadScanline(tif, rb, y, 0) == 1
+        rows.append(bytes(rb.raw[:w]))
+    t.TIFFClose(tif)
+    assert b"".join(rows) == raster
