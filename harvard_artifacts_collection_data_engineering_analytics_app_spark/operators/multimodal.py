@@ -88,6 +88,24 @@ DECODED_SCHEMA = StructType(
 )
 
 
+# Decode-DoS guard for every dependency-free image leg: a CORRUPT (or
+# hostile) header can declare dimensions whose raster allocation/work is
+# unbounded even though the payload is tiny — e.g. a flipped TIFF LONG or
+# PNG 31-bit field demanding gigabytes, or a small IDAT inflating 1000:1
+# (zlib bomb; the PNG path also bounds the inflate itself). 2^26 pixels
+# (an 8192x8192 frame) is far beyond any corpus thumbnail while keeping
+# worst-case pure-Python work bounded; beyond it we raise the usual
+# actionable ValueError into the imaging-library seam.
+_PIXEL_CAP = 1 << 26
+
+
+def _check_dims(width: int, height: int) -> None:
+    if width <= 0 or height <= 0 or width * height > _PIXEL_CAP:
+        raise ValueError(
+            f"image dimensions {width}x{height} outside the supported range"
+        )
+
+
 def _ppm_token(buf: bytes, pos: int) -> tuple[bytes, int]:
     """Next whitespace/comment-delimited header token of a PNM file."""
     n = len(buf)
@@ -300,6 +318,7 @@ def _decode_image_jpeg_dc(payload: bytes, thumb_side: int = 8) -> dict:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            _check_dims(w, h)
             frame = (w, h, comps)
         elif marker == 0xC2:  # progressive: the DC-scan decoder handles it
             raise _ProgressiveJpegError("SOF2")
@@ -532,6 +551,7 @@ def _decode_image_jpeg_hierarchical(payload: bytes, thumb_side: int = 8) -> dict
             if body[0] != 8:
                 raise ValueError("non-8-bit hierarchical JPEG requires pillow")
             dhp = ((body[3] << 8) | body[4], (body[1] << 8) | body[2])
+            _check_dims(*dhp)
         elif marker == 0xDF:  # EXP: expand the reference before a stage
             if ref is None:
                 raise ValueError("EXP before any reference frame")
@@ -555,6 +575,7 @@ def _decode_image_jpeg_hierarchical(payload: bytes, thumb_side: int = 8) -> dict
                         "subsampled hierarchical JPEG requires pillow"
                     )
                 comps.append((cid, tq))
+            _check_dims(fw, fh)
             frame = (fw, fh, comps, marker == 0xC5)
         elif marker in (
             0xC2, 0xC3, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
@@ -759,6 +780,7 @@ def _decode_image_jpeg_dc_progressive(payload: bytes, thumb_side: int = 8) -> di
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            _check_dims(w, h)
             frame = (w, h, comps)
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("not a progressive JPEG stream")
@@ -1177,6 +1199,7 @@ def _decode_image_jpeg_dc_arith(payload: bytes, thumb_side: int = 8) -> dict:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            _check_dims(w, h)
             frame = (w, h, comps)
         elif marker in (0xC0, 0xC1, 0xC2):
             raise ValueError("not an arithmetic JPEG (Huffman SOF)")
@@ -1345,6 +1368,7 @@ def _decode_image_jpeg_dc_progressive_arith(
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            _check_dims(w, h)
             frame = (w, h, comps)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -1520,6 +1544,7 @@ def _decode_image_jpeg_lossless(payload: bytes, thumb_side: int = 8) -> dict:
                 if hv != 0x11:
                     raise ValueError("lossless subsampling != 1x1 unsupported")
                 comps.append(cid)
+            _check_dims(w, h)
             frame = (w, h, comps)
         elif marker == 0xDD:  # DRI
             restart_interval = (body[0] << 8) | body[1]
@@ -2035,6 +2060,7 @@ def _decode_image_tiff(payload: bytes, thumb_side: int = 8) -> dict:
     height = one(257)
     if not width or not height:
         raise ValueError("TIFF missing dimensions")
+    _check_dims(width, height)
     bits_list = tags.get(258, [1])
     bits = bits_list[0]
     if any(b != bits for b in bits_list):
@@ -2240,10 +2266,16 @@ def _decode_image_gif(payload: bytes, thumb_side: int = 8) -> dict:
         raise ValueError("not a GIF payload")
     if len(payload) < 13:
         raise ValueError("truncated GIF header")
+    try:
+        return _decode_image_gif_inner(payload, thumb_side)
+    except IndexError as exc:  # a read past a truncated block
+        raise ValueError(f"truncated GIF payload: {exc}") from exc
+
+
+def _decode_image_gif_inner(payload: bytes, thumb_side: int) -> dict:
     width = int.from_bytes(payload[6:8], "little")
     height = int.from_bytes(payload[8:10], "little")
-    if not width or not height:
-        raise ValueError("bad GIF dimensions")
+    _check_dims(width, height)
     flags = payload[10]
     pos = 13
     gct = None
@@ -2384,6 +2416,7 @@ def _decode_image_png(payload: bytes, thumb_side: int = 8) -> dict:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     width, height, depth, color, comp, filt, interlace = ihdr
+    _check_dims(width, height)
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
     if depth not in (1, 2, 4, 8, 16) or interlace not in (0, 1):
@@ -2397,7 +2430,15 @@ def _decode_image_png(payload: bytes, thumb_side: int = 8) -> dict:
         raise ValueError(f"unsupported PNG color type {color}")
     bpp = max(channels * (depth // 8), 1)  # filters operate on BYTES (§9.2)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bound the inflate to the largest legal raster for these
+        # dimensions (+1 sentinel byte) so a small IDAT cannot act as a
+        # decompression bomb — filter bytes add one per row per pass
+        # (x8 covers Adam7), samples at most 4 channels x 2 bytes
+        max_raw = width * height * 8 + 8 * (height + 8) + 64
+        dobj = zlib.decompressobj()
+        raw = dobj.decompress(b"".join(idat), max_raw + 1)
+        if len(raw) > max_raw:
+            raise ValueError("PNG stream inflates beyond its raster size")
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG stream: {exc}") from exc
     if depth < 8:
@@ -2965,6 +3006,7 @@ def _decode_image_webp_lossless(payload: bytes, thumb_side: int = 8) -> dict:
     br = _LsbBitReader(vp8l, 1)
     width = br.read_bits(14) + 1
     height = br.read_bits(14) + 1
+    _check_dims(width, height)
     br.read_bits(1)  # alpha-used hint
     if br.read_bits(3) != 0:
         raise ValueError("unknown VP8L version")
@@ -3320,8 +3362,9 @@ def decode_image(
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             try:
                 return _decode_image_gif(payload, thumb_side)
-            except ValueError:
-                # animated / partial-canvas frame / corrupt → seam
+            except (ValueError, IndexError):
+                # animated / partial-canvas frame / truncated / corrupt
+                # → seam (IndexError = a read past a truncated block)
                 return _decode_image_pil(payload, thumb_side)
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
             try:
@@ -3352,6 +3395,7 @@ def decode_image(
     width, height, maxval = int(tok_w), int(tok_h), int(tok_max)
     if width <= 0 or height <= 0 or not 0 < maxval < 65536:
         raise ValueError(f"bad PNM dimensions {width}x{height} max {maxval}")
+    _check_dims(width, height)
     bps = 1 if maxval < 256 else 2  # bytes per sample
     pos += 1  # exactly ONE whitespace byte separates header from raster
     pixel_bytes = channels * bps

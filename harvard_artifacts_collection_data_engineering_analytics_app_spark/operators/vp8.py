@@ -166,8 +166,10 @@ def decode_vp8_keyframe(vp8: bytes):
         raise ValueError("bad VP8 keyframe start code")
     w = (vp8[6] | (vp8[7] << 8)) & 0x3FFF
     h = (vp8[8] | (vp8[9] << 8)) & 0x3FFF
-    if w == 0 or h == 0:
-        raise ValueError("empty VP8 frame")
+    # decode-DoS guard (multimodal._PIXEL_CAP twin): a corrupt size field
+    # must not demand unbounded pure-Python reconstruction work
+    if w == 0 or h == 0 or w * h > (1 << 26):
+        raise ValueError(f"VP8 frame dimensions {w}x{h} out of range")
     bd = _Bool(vp8[10:10 + part0_size])
 
     bd.lit(1)  # color space (0 for the WebP profile)
