@@ -28,6 +28,22 @@ PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point rank grid
 PR_ROUNDS = 3
 PR_TOP = 20
 
+# Broadcast the per-round rank relation when |V| is at most this many
+# nodes (a 16-byte (node, p) row → ~160 MB of broadcast at the cap).
+# Below the cap each power-iteration round is a BroadcastHashJoin that
+# never moves the edge list; above it the join falls back to the planner
+# (the SCALE.md co-partitioned recipe). Without the explicit hint the
+# post-checkpoint rank scan has no size stats, so every round paid a
+# SortMergeJoin exchange+sort of the FULL edge relation (measured at
+# sf0.1: 986k edge rows re-shuffled per round; 3 rounds 2.10 s → 0.94 s
+# with the hint, identical integer ranks). Env-overridable so a cluster
+# deployment can tune it to executor memory.
+import os as _os
+
+PR_BCAST_MAX_NODES = int(
+    _os.environ.get("SPARK_GRAFT_PR_BCAST_MAX_NODES", str(10_000_000))
+)
+
 
 def _pr_ctes() -> list[str]:
     """The p0..p{PR_ROUNDS} chained-CTE PageRank replay — composable so
@@ -165,7 +181,12 @@ def _pagerank_trajectory(
         # the out-degree column is 'outw' rather than the conventional 'W'
         # because Spark SQL name resolution is case-INSENSITIVE: `E.w`
         # would match both the edge weight and the degree column.
+        # Size-gated broadcast of the |V|-row rank side (see
+        # PR_BCAST_MAX_NODES): integer sums are join-strategy-independent,
+        # so ranks are bit-identical either way.
         ranks = p.select(F.col("src").alias("node"), "p").alias("P")
+        if n_nodes <= PR_BCAST_MAX_NODES:
+            ranks = F.broadcast(ranks)
         p = (
             edges.alias("E")
             .join(ranks, F.col("E.src") == F.col("P.node"))
@@ -1456,7 +1477,15 @@ def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = seeds.select("node", F.lit(PR_SCALE // ns).cast("long").alias("p"))
     for _ in range(PPR_ROUNDS):
-        ranks = p.alias("P")
+        # Broadcast the rank side: it is frontier-sized by PPR's design
+        # (mass only ever reaches seed-reachable nodes), while the edge
+        # list is the big side — and the post-checkpoint RDD scan carries
+        # no size stats, so without the hint every round paid a full
+        # SortMergeJoin shuffle+sort of the edge relation (measured at
+        # sf0.1: 986k edge rows re-exchanged per round; plan in
+        # plans/r15/gr_personalized_pagerank_round_before.txt). Integer
+        # sums are join-strategy-independent, so results are unchanged.
+        ranks = F.broadcast(p.alias("P"))
         spread = (
             edges.alias("E")
             .join(ranks, F.col("E.src") == F.col("P.node"))
@@ -1591,16 +1620,34 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = be.select("c").distinct().select(
         "c", F.lit(HITS_SCALE).cast("long").alias("h")
     )
+    # The score relations are one-bipartite-side-sized (|C| and |S|) and
+    # never grow: inner joins keep the node sets fixed across rounds. One
+    # pair of counts up front gates the same broadcast choice as
+    # PR_BCAST_MAX_NODES; without it, the post-checkpoint score scans
+    # carry no stats and all four half-round joins re-shuffled the full
+    # checkpointed edge relation (SortMergeJoin at sf0.1). Integer sums
+    # are join-strategy-independent.
+    side_counts = be.agg(
+        F.countDistinct("c").alias("nc"), F.countDistinct("s").alias("ns")
+    ).collect()[0]
+    bcast_scores = (
+        max(int(side_counts["nc"]), int(side_counts["ns"]))
+        <= PR_BCAST_MAX_NODES
+    )
+
+    def _score_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast_scores else df
+
     a = None
     for _ in range(HITS_ROUNDS):
         a = _rescale(
-            be.join(h, "c")
+            be.join(_score_side(h), "c")
             .groupBy("s")
             .agg(F.sum(F.col("h") * F.col("w")).cast("long").alias("a")),
             "a",
         ).localCheckpoint(eager=True)
         h = _rescale(
-            be.join(a, "s")
+            be.join(_score_side(a), "s")
             .groupBy("c")
             .agg(F.sum(F.col("a") * F.col("w")).cast("long").alias("h")),
             "h",
@@ -2098,14 +2145,23 @@ def gr_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncate lineage. The only driver-side state is the maxW scalar.
     """
     edges = _bipartite_edges(spark, sf_dir)
-    mxd = 2 * edges.agg(F.max("outw")).collect()[0][0]
+    stats = edges.agg(
+        F.max("outw").alias("mx"), F.countDistinct("src").alias("nv")
+    ).collect()[0]
+    mxd = 2 * stats["mx"]
+    n_nodes = int(stats["nv"])
     x = (
         edges.select("src")
         .distinct()
         .select("src", F.lit(KATZ_SCALE).cast("long").alias("x"))
     )
     for _ in range(KATZ_ROUNDS):
+        # Same size-gated rank broadcast as _pagerank_trajectory: the
+        # rank side is |V|-sized and statless post-checkpoint, so the
+        # planner's SortMergeJoin re-shuffled the edge list every round.
         ranks = x.select(F.col("src").alias("node"), "x").alias("X")
+        if n_nodes <= PR_BCAST_MAX_NODES:
+            ranks = F.broadcast(ranks)
         x = (
             edges.alias("E")
             .join(ranks, F.col("E.src") == F.col("X.node"))

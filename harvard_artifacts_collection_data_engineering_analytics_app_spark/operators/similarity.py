@@ -29,6 +29,8 @@ last-bit float divergence between engines cannot reorder rows.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -5295,7 +5297,10 @@ def ss_nsw_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _nn_descent_round(
-    spark: SparkSession, sf_dir: str, graph: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    graph: DataFrame,
+    bcast_edges: bool = False,
 ) -> DataFrame:
     """One NN-Descent expansion/score/cut (Dong et al. 2011): symmetrize
     the directed degree-16 ``graph``, expand to 2-hop candidates
@@ -5310,6 +5315,24 @@ def _nn_descent_round(
     degree-bounded edge list (≤ 16·16 = 256 candidates per node — LINEAR
     in corpus size); scoring joins candidates to the two vector rows
     (shuffle on id); the cut is one window. Θ(n·K²·dim) per round.
+
+    The candidate relation is SYMMETRIC by construction (``sym`` is, and
+    the 2-hop expansion of a symmetric relation is symmetric), so each
+    unordered pair is scored ONCE (a_id < b_id — the strictness folded
+    into the self-join condition, which also subsumes the old a≠b
+    filter) and mirrored afterwards. Cosine is exactly direction-
+    independent at the IEEE level (elementwise products commute, the
+    einsum reduction order per pair is fixed, na·nb commutes), so the
+    mirrored row carries the bit-identical score the old double
+    evaluation produced — while the candidate dedup shuffle, both
+    vector-attach joins, and the Arrow payload all halve.
+
+    ``bcast_edges=True`` (callers gate it on the known directed edge
+    count — see NSW_BCAST_MAX_EDGES) broadcasts the symmetrized edge
+    list into its own self-join: the expansion becomes a
+    BroadcastHashJoin instead of a statless-RDD SortMergeJoin, dropping
+    two exchanges and two sorts per round. Join strategy cannot change
+    the candidate set, so results are identical.
     """
     v = _vectors(spark, sf_dir)
     sym = (
@@ -5321,20 +5344,29 @@ def _nn_descent_round(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e1, e2 = sym.alias("e1"), sym.alias("e2")
-    twohop = (
-        e1.join(e2, F.col("e1.b_id") == F.col("e2.a_id"))
-        .select(F.col("e1.a_id").alias("a_id"), F.col("e2.b_id").alias("b_id"))
-        .filter(F.col("a_id") != F.col("b_id"))
+    e1 = sym.alias("e1")
+    e2 = (F.broadcast(sym) if bcast_edges else sym).alias("e2")
+    twohop_half = e1.join(
+        e2,
+        (F.col("e1.b_id") == F.col("e2.a_id"))
+        & (F.col("e1.a_id") < F.col("e2.b_id")),
+    ).select(F.col("e1.a_id").alias("a_id"), F.col("e2.b_id").alias("b_id"))
+    cand_half = (
+        sym.filter(F.col("a_id") < F.col("b_id"))
+        .unionByName(twohop_half)
+        .distinct()
     )
-    cand = sym.unionByName(twohop).distinct()
     va = v.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
     vb = v.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"))
 
     # Arrow batch scorer: ~256 candidate pairs per node makes the score
     # relation n·K² rows — a row-at-a-time zip_with fold here measured
     # 3x the whole op's budget at sf1; one einsum per Arrow batch is the
-    # same raw-cosine-then-F.round contract as the block kernel.
+    # same raw-cosine-then-F.round contract as the block kernel. Each
+    # HALF pair is scored once and BOTH directed rows are emitted here
+    # (mirroring inside the worker keeps the scoring subplan single-
+    # evaluation — a DataFrame-level union of scored_half with its
+    # mirror would recompute the whole pipeline per branch).
     def row_cos(batches):
         import numpy as np
         import pandas as pd
@@ -5355,14 +5387,20 @@ def _nn_descent_round(
             nb = np.sqrt((B * B).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.einsum("ij,ij->i", A, B) / (na * nb)
+            ids_a = pdf["a_id"].to_numpy(dtype="int64")
+            ids_b = pdf["b_id"].to_numpy(dtype="int64")
             yield pd.DataFrame(
-                {"a_id": pdf["a_id"], "b_id": pdf["b_id"], "cosine_raw": cos}
+                {
+                    "a_id": np.concatenate([ids_a, ids_b]),
+                    "b_id": np.concatenate([ids_b, ids_a]),
+                    "cosine_raw": np.concatenate([cos, cos]),
+                }
             )
 
     w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
     raw = F.col("cosine_raw")
     return (
-        cand.join(va, "a_id")
+        cand_half.join(va, "a_id")
         .join(vb, "b_id")
         .select("a_id", "b_id", "a_emb", "b_emb")
         .mapInPandas(row_cos, "a_id long, b_id long, cosine_raw double")
@@ -5485,7 +5523,14 @@ def ss_nsw_nn_descent_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_analytics_conf(spark)
     ivf = _knn_graph_ivf_topk(spark, sf_dir, NSW_GRAPH_K).select("a_id", "b_id")
-    refined = _nn_descent_round(spark, sf_dir, ivf)
+    # One cheap count on the session-checkpointed IVF graph gates the
+    # same edge-list broadcast as the converge loop (see
+    # NSW_BCAST_MAX_EDGES); the recall join's probe side is the exact
+    # graph (same K·n bound), gated identically.
+    n_ivf = ivf.count()
+    refined = _nn_descent_round(
+        spark, sf_dir, ivf, bcast_edges=n_ivf <= NSW_BCAST_MAX_EDGES
+    )
     exact = _exact_knn16(spark, sf_dir).select("a_id", "b_id")
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     tagged = ivf.select(
@@ -5493,9 +5538,12 @@ def ss_nsw_nn_descent_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         refined.select(F.lit("nn_descent_1").alias("stage"), "a_id", "b_id")
     )
+    ex_tag = exact.withColumn("is_exact", F.lit(1))
+    if n_ivf <= NSW_BCAST_MAX_EDGES:
+        ex_tag = F.broadcast(ex_tag)
     return (
         tagged.join(
-            exact.withColumn("is_exact", F.lit(1)), ["a_id", "b_id"], "left"
+            ex_tag, ["a_id", "b_id"], "left"
         )
         .groupBy("stage")
         .agg(
@@ -5521,6 +5569,16 @@ def ss_nsw_nn_descent_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NN_DESCENT_MAX_ROUNDS = 6  # Dong et al. 2011 report 4-6 rounds to converge
 NN_DESCENT_STOP_MILLI = 10  # stop once <1% of directed edges changed in a round
+
+# Broadcast the degree-bounded edge list (2·K·n rows of 16 bytes) into the
+# NN-Descent self-join and the per-round ledger joins when the DIRECTED
+# edge count is at most this — ~128 MB of broadcast at the cap. Post-
+# checkpoint RDD scans carry no stats, so without the gate every round
+# paid SortMergeJoin exchanges+sorts on relations Spark could not size.
+# Above the cap the planner's shuffle plans stand (the 100 TB path).
+NSW_BCAST_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_NSW_BCAST_MAX_EDGES", str(4_000_000))
+)
 
 
 def _nn_descent_converge_oracle() -> str:
@@ -5662,18 +5720,54 @@ def ss_nsw_nn_descent_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .localCheckpoint(eager=True)
     )
-    n0 = g_prev.count()
-    hits0 = g_prev.join(exact, ["a_id", "b_id"], "left_semi").count()
+    # One aggregation job per ledger row instead of three counts: (a_id,
+    # b_id) is unique in each graph round AND in the exact graph (both
+    # are row_number-cut degree-K lists), so the left joins never
+    # duplicate rows and COUNT/SUM reproduce count()/left_anti-count()/
+    # left_semi-count() exactly. Both probe relations are known-small
+    # (≤ the exact graph's n_exact rows, counted above), so the same
+    # NSW_BCAST_MAX_EDGES gate turns the statless-RDD SortMergeJoins
+    # into broadcast joins — the whole ledger is then one stage.
+    ledger_bcast = n_exact <= NSW_BCAST_MAX_EDGES
+
+    def _tag(df: DataFrame, col: str) -> DataFrame:
+        tagged = df.withColumn(col, F.lit(1))
+        return F.broadcast(tagged) if ledger_bcast else tagged
+
+    ex_tag = _tag(exact, "_ex")
+
+    def _ledger(g: DataFrame, prev: DataFrame | None) -> tuple[int, int, int]:
+        tagged = g.join(ex_tag, ["a_id", "b_id"], "left")
+        if prev is not None:
+            tagged = tagged.join(
+                _tag(prev, "_prev"), ["a_id", "b_id"], "left"
+            )
+        chg = (
+            F.sum(F.when(F.col("_prev").isNull(), 1).otherwise(0))
+            if prev is not None
+            else F.lit(0)
+        )
+        row = tagged.agg(
+            F.count(F.lit(1)).alias("n"),
+            chg.cast("long").alias("changed"),
+            F.sum(F.coalesce(F.col("_ex"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+        ).collect()[0]
+        return int(row["n"]), int(row["changed"]), int(row["hits"])
+
+    n0, _, hits0 = _ledger(g_prev, None)
     rows: list[tuple[int, int, int, int, int]] = [
         (0, n0, 0, 0, 1000 * hits0 // n_exact)
     ]
+    # The round's directed edge count is n0 every round (the cut keeps
+    # the node set and degree), so one gate decision covers the loop.
+    bcast = n0 <= NSW_BCAST_MAX_EDGES
     for r in range(1, NN_DESCENT_MAX_ROUNDS + 1):
-        g = _nn_descent_round(spark, sf_dir, g_prev).localCheckpoint(
-            eager=True
-        )
-        n = g.count()
-        changed = g.join(g_prev, ["a_id", "b_id"], "left_anti").count()
-        hits = g.join(exact, ["a_id", "b_id"], "left_semi").count()
+        g = _nn_descent_round(
+            spark, sf_dir, g_prev, bcast_edges=bcast
+        ).localCheckpoint(eager=True)
+        n, changed, hits = _ledger(g, g_prev)
         rate = 1000 * changed // n
         rows.append((r, n, changed, rate, 1000 * hits // n_exact))
         g_prev = g
