@@ -3559,33 +3559,78 @@ def ss_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOP_K,
     ).select("q_id", "neighbor_id")
 
-    out = []
-    for np_ in IVF_SWEEP_NPROBES:
-        cand = (
-            F.broadcast(probe_df.filter(F.col("rn") <= np_))
-            .join(assigned, "cluster")
-            .filter(F.col("vec_id") != F.col("q_id"))
-            .select("q_id", "vec_id")
-            .distinct()
-        )
-        n_cand = cand.count()
-        ivf = _ranked_topk(
-            cand.join(F.broadcast(qe), "q_id")
-            .join(emb, "vec_id")
-            .withColumn(
-                "cosine",
-                F.round(
-                    _cosine(
-                        F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
-                    ),
-                    6,
+    # The probe depths are PREFIXES of one ranked probe list, so the depth
+    # sweep shares one candidate superset: a candidate's min probe rank
+    # (rmin) decides which depths see it, the cosine of a (q, neighbor)
+    # pair is depth-independent, and brute-hit membership is a flag
+    # attached once (brute is N_QUERIES·TOP_K rows — broadcast). The old
+    # form recomputed the brute-force ground truth, the candidate join,
+    # and the rerank cosines PER DEPTH across six driver actions; this
+    # form scores once, checkpoints the (q_id, neighbor_id, rmin, cosine,
+    # is_brute) relation, and runs the whole sweep as ONE action (each
+    # depth re-cuts its own window over its rmin prefix — the only
+    # genuinely per-depth work).
+    cand_all = (
+        F.broadcast(probe_df.filter(F.col("rn") <= max(IVF_SWEEP_NPROBES)))
+        .join(assigned, "cluster")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.min("rn").alias("rmin"))
+    )
+    scored = (
+        cand_all.join(F.broadcast(qe), "q_id")
+        .join(emb, "vec_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine(
+                    F.col("q_emb"), F.col("emb"), F.col("q_nrm"), F.col("nrm")
                 ),
+                6,
+            ),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rmin", "cosine")
+        .join(
+            F.broadcast(brute.withColumn("is_brute", F.lit(1))),
+            ["q_id", "neighbor_id"],
+            "left",
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    per_depth = []
+    for np_ in IVF_SWEEP_NPROBES:
+        c = scored.filter(F.col("rmin") <= np_).withColumn(
+            "rank", F.row_number().over(w)
+        )
+        per_depth.append(
+            c.agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.sum(
+                    F.when(
+                        (F.col("rank") <= TOP_K) & F.col("is_brute").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_hits"),
+            ).select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "n_candidates",
+                "n_hits",
             )
-            .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine"),
-            TOP_K,
-        ).select("q_id", "neighbor_id")
-        hits = ivf.join(brute, ["q_id", "neighbor_id"]).count()
-        out.append((np_, n_cand, (1000 * hits) // (N_QUERIES * TOP_K)))
+        )
+    rows = per_depth[0]
+    for p in per_depth[1:]:
+        rows = rows.unionByName(p)
+    out = sorted(
+        (
+            int(r["nprobe"]),
+            int(r["n_candidates"]),
+            (1000 * int(r["n_hits"])) // (N_QUERIES * TOP_K),
+        )
+        for r in rows.collect()
+    )
     return spark.createDataFrame(
         out, "nprobe long, n_candidates long, recall_milli long"
     )
@@ -4658,7 +4703,11 @@ def ss_nsw_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("steps"),
             F.lit(False).alias("done"),
         )
-        .localCheckpoint(eager=True)
+        # Lazy checkpoint: the per-hop convergence count below is the
+        # action that materializes each hop's frontier, so each hop costs
+        # ONE Spark job (materialize + count fused) instead of two, with
+        # the lineage still truncated per hop.
+        .localCheckpoint(eager=False)
     )
 
     for _ in range(NSW_STEPS_CAP):
@@ -4705,7 +4754,8 @@ def ss_nsw_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("steps"),
                 F.when(moved, F.lit(False)).otherwise(F.lit(True)).alias("done"),
             )
-            .localCheckpoint(eager=True)  # Q×E rows; truncates per-hop lineage
+            .localCheckpoint(eager=False)  # Q×E rows; truncates per-hop
+            # lineage; materialized by the convergence count just below
         )
         # convergence scalar on the driver (gr_pagerank_convergence pattern)
         if frontier.filter(~F.col("done")).count() == 0:
@@ -4921,9 +4971,10 @@ def ss_nsw_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny), and one window re-cut — all walks for the whole query batch
     and every ef advance together, so a round's edge-store scan
     amortizes across the batch. Round count is FIXED, so there is no
-    convergence collect at all — the loop is fully declarative, with
-    an eager per-round localCheckpoint bounding plan depth (the
-    pagerank pattern).
+    convergence collect at all — the loop is fully declarative, with a
+    LAZY per-round localCheckpoint bounding plan depth (lineage still
+    truncates to a LogicalRDD per round) while the whole walk runs as
+    ONE Spark job.
     """
     return _nsw_beam_search_over(spark, sf_dir, _nsw_index(spark, sf_dir))
 
@@ -4967,7 +5018,15 @@ def _nsw_beam_search_over(
             "cos_e6",
             F.lit(False).alias("expanded"),
         )
-        .localCheckpoint(eager=True)
+        # Lazy checkpoints throughout: the round count is FIXED (no
+        # convergence collect), so nothing needs a driver action until the
+        # final cut — eager per-round materialization only added one Spark
+        # job per round. localCheckpoint(eager=False) still truncates each
+        # round's lineage to a LogicalRDD at plan level, and the single
+        # final action materializes the rounds in dependency order (each
+        # round's blocks persist and are reused by the two downstream
+        # references — the ranked re-cut and the anti-join probe).
+        .localCheckpoint(eager=False)
     )
 
     w = Window.partitionBy("q_id", "ef").orderBy(F.desc("key"))
@@ -5009,7 +5068,7 @@ def _nsw_beam_search_over(
                 ),
             )
             .unionByName(cand)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     final = (
@@ -5335,14 +5394,17 @@ def _nn_descent_round(
     the candidate set, so results are identical.
     """
     v = _vectors(spark, sf_dir)
-    sym = (
-        graph.unionByName(
-            graph.select(
-                F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    # Plain union, NO distinct/checkpoint: ``cand_half`` ends in its own
+    # .distinct(), so duplicate symmetrized rows (an edge stored in both
+    # directions) cannot reach the scorer — the dedup exchange here only
+    # shrank the self-join input by the tiny both-directions overlap
+    # (~5% of 2·K·n rows) at the price of one full exchange, one
+    # materialization job, and a checkpoint write PER ROUND. ``graph``
+    # is checkpointed by every caller, so the three scans of ``sym``
+    # (broadcast build, probe side, candidate base) re-read cached
+    # blocks, not lineage.
+    sym = graph.unionByName(
+        graph.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     )
     e1 = sym.alias("e1")
     e2 = (F.broadcast(sym) if bcast_edges else sym).alias("e2")
@@ -5715,10 +5777,17 @@ def ss_nsw_nn_descent_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_analytics_conf(spark)
     exact = _exact_knn16(spark, sf_dir).select("a_id", "b_id")
     n_exact = exact.count()
+    # Lazy checkpoints throughout the loop: localCheckpoint(eager=False)
+    # already truncates the SQL lineage to a LogicalRDD at call time, and
+    # the RDD materializes (and its blocks persist) inside the FIRST
+    # consuming job — which here is always the very next ledger
+    # aggregation. Fusing materialization into the ledger job halves the
+    # loop's Spark-job count (one job per round instead of
+    # checkpoint + ledger) with identical physical work.
     g_prev = (
         _knn_graph_ivf_topk(spark, sf_dir, NSW_GRAPH_K)
         .select("a_id", "b_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # One aggregation job per ledger row instead of three counts: (a_id,
     # b_id) is unique in each graph round AND in the exact graph (both
@@ -5766,7 +5835,7 @@ def ss_nsw_nn_descent_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in range(1, NN_DESCENT_MAX_ROUNDS + 1):
         g = _nn_descent_round(
             spark, sf_dir, g_prev, bcast_edges=bcast
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n, changed, hits = _ledger(g, g_prev)
         rate = 1000 * changed // n
         rows.append((r, n, changed, rate, 1000 * hits // n_exact))
