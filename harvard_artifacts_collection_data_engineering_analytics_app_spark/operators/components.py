@@ -19,9 +19,9 @@ Scale (100 TB):
 - each round is ONE shuffle: a join of the (node,label) relation against
   the bidirected edge list on the node key, then a min-agg — both hash-
   partition on the same key, so AQE coalesces them into one exchange each.
-- ``localCheckpoint(eager=True)`` after every round truncates the lineage;
-  without it the plan doubles per iteration and the driver OOMs planning
-  round ~20.
+- a lazy ``localCheckpoint`` after every round truncates the lineage
+  (the convergence aggregate materializes it in the same job); without it
+  the plan doubles per iteration and the driver OOMs planning round ~20.
 - for adversarial long-chain graphs (diameter ≫ log n, not the dedup
   shape) swap the loop body for the alternating large-star/small-star
   contraction of Kiveris et al. (MapReduce CC), which converges in
@@ -102,29 +102,44 @@ def _propagate(e: DataFrame, rounds: int) -> DataFrame | None:
     comparing one decimal(38,0) aggregate per round replaces the former
     old-vs-new shuffle join (one fewer shuffle per round; the agg is a
     single scan over the just-checkpointed labels).
+
+    Round cost shape: ``both`` is a plain union (NO dedup exchange — the
+    per-round MIN aggregation is duplicate-insensitive, so a repeated
+    edge row cannot change any label); the label side of the round join
+    is size-gated broadcast (PR_BCAST_MAX_NODES, the iterative-graph
+    discipline — post-checkpoint RDD scans carry no stats, so the
+    planner otherwise falls back to SortMergeJoin exchanges+sorts every
+    round); checkpoints are LAZY, so each round's labels materialize
+    inside the convergence aggregate — one Spark job per round, one
+    label-keyed exchange per round.
     """
-    both = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    from .graph import PR_BCAST_MAX_NODES
+
+    both = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
     labels = (
         both.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     _sig = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_sig).first()[0]
+    # one job: materializes both + labels, returns the sum AND the node
+    # count that gates the per-round broadcast
+    first = labels.agg(_sig.alias("s"), F.count(F.lit(1)).alias("n")).first()
+    prev_sum, n_nodes = first["s"], int(first["n"])
+    bcast = n_nodes <= PR_BCAST_MAX_NODES
     for _ in range(rounds):
-        neighbor_labels = both.join(
-            labels, both["a"] == labels["node"]
-        ).select(F.col("b").alias("node"), "label")
+        lab = F.broadcast(labels) if bcast else labels
+        neighbor_labels = both.join(lab, both["a"] == lab["node"]).select(
+            F.col("b").alias("node"), "label"
+        )
         labels = (
             neighbor_labels.union(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(_sig).first()[0]
         if new_sum == prev_sum:
@@ -152,7 +167,7 @@ def _star_contraction(e: DataFrame, max_iter: int) -> DataFrame:
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # isolated self-loops contribute (node, node) at the end; real edges only here
     for _ in range(max_iter):
@@ -186,7 +201,7 @@ def _star_contraction(e: DataFrame, max_iter: int) -> DataFrame:
                 F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # fused with the signature agg
         )
         # fixpoint check: order-insensitive signature of the edge SET
         # (edges are distinct, so count + xor-of-hashes identifies it;

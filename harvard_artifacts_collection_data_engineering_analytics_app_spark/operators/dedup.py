@@ -174,7 +174,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Barrier: the shingle arrays feed both self-join sides AND the size
     # lookups; one materialized pass instead of re-tokenizing per branch.
-    sh = _shingle_relation(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    sh = _shingle_relation(_docs(spark, sf_dir)).localCheckpoint(eager=False)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("sh").alias("s"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -452,7 +452,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ContextCleaner when the result goes out of scope, whereas a persisted
     # plan stays pinned in the CacheManager for the session lifetime — a
     # leak across this engine's 130+-query verify/bench sessions.
-    sig = _signature_relation(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    sig = _signature_relation(_docs(spark, sf_dir)).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
@@ -508,7 +508,7 @@ def dd_minhash_lsh_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingle_relation(_docs(spark, sf_dir))
         .withColumn("hs", shingle_base_hashes(F.col("sh")))
         .repartition("doc_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Signatures via explode + 32 codegen'd MIN aggregates rather than 32
     # interpreted transform/array_min lambdas (higher-order functions get
@@ -1243,7 +1243,7 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm.alias("norm"),
             T.word_shingles("text", 3).alias("sh"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     inv = base.select("doc_id", F.explode("sh").alias("s"))
     df_s = inv.groupBy("s").agg(F.count("*").alias("df"))
@@ -1352,7 +1352,7 @@ def dd_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(T.word_shingles("text", DECONTAM_NGRAM)).alias("g"),
         )
         .select("doc_id", "bucket", T.portable_hash60(F.col("g")).alias("gh"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tr = g.filter(F.col("bucket") < _tq.SPLIT_VAL_LT).select(
         F.col("doc_id").alias("train_doc_id"), "gh"
@@ -1436,7 +1436,7 @@ def dd_segment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    seg = d.select("doc_id", F.explode(segs).alias("h")).localCheckpoint(eager=True)
+    seg = d.select("doc_id", F.explode(segs).alias("h")).localCheckpoint(eager=False)
     dup = (
         seg.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1975,7 +1975,7 @@ def dd_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g.s").alias("s"),
             F.md5("g.s").alias("h"),
         )
-        .localCheckpoint(eager=True)  # feeds canon build AND the keep join
+        .localCheckpoint(eager=False)  # feeds canon build AND the keep join
     )
     # Canonical key is MIN over struct(doc_id, seg_no) — true lexicographic
     # (doc, position) order with no arithmetic packing, so the
@@ -2343,16 +2343,25 @@ def dd_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
             )
             .distinct()
-            .localCheckpoint(eager=True)  # feeds the count AND the verify
         )
-        found = (
-            cands.join(
-                F.broadcast(truth_pairs), ["a_id", "b_id"], "left_semi"
-            ).agg(F.count("*").alias("n_found"))
-        )
+        # Candidate volume and verified recall in ONE aggregate over one
+        # left join: truth_pairs is a distinct pair SET, so the join never
+        # duplicates rows — COUNT(*) is the candidate count and the tag
+        # sum is exactly the old left_semi count. The candidate relation
+        # is consumed once, so the per-config eager checkpoint (one extra
+        # materialization job per config) is gone.
         per_cfg.append(
-            cands.agg(F.count("*").alias("n_candidates"))
-            .crossJoin(found)
+            cands.join(
+                F.broadcast(truth_pairs.withColumn("_t", F.lit(1))),
+                ["a_id", "b_id"],
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(F.coalesce(F.col("_t"), F.lit(0)))
+                .cast("long")
+                .alias("n_found"),
+            )
             .select(
                 F.lit(b).cast("long").alias("bands"),
                 F.lit(r).cast("long").alias("rows_per_band"),
@@ -2745,6 +2754,112 @@ def dd_er_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 CAL_PPM = 1_000_000
 
 
+def _cal_sig_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh, m0..m31) in ONE Arrow pass, checkpointed: the 32
+    per-position minhashes computed by the same vectorized numpy
+    matmul-shaped kernel as _signature_relation / _sweep_signature_relation
+    (bit-identical uint64 affine math — the oracle's
+    list_min(list_transform(...)) twin), emitted as COLUMNS instead of
+    band hashes. No explode, no aggregation exchange, no second
+    materialization job — and one relation feeds the bands and both
+    report sides of the calibration queries, so each side attaches
+    signatures AND shingles in a single join (two joins total, was
+    four). The interpreted-HOF Column formulation of the same mins was
+    tried and measured ~flat: 32 `transform` lambdas per row get no
+    codegen (the dd_minhash_lsh_expr lesson)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    A = np.array([a for a, _ in _AFFINE], dtype=np.uint64)
+    B = np.array([b for _, b in _AFFINE], dtype=np.uint64)
+    ws = re.compile(r"\s+")
+
+    def compute(batches):
+        for pdf in batches:
+            ids, shs, sig_rows = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = ws.split(text.strip())
+                if len(toks) < 3:
+                    continue
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                    )
+                )
+                hs = np.fromiter(
+                    (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh),
+                    dtype=np.uint64,
+                    count=len(sh),
+                )
+                sig = (
+                    (hs[:, None] % MINHASH_MOD) * A[None, :] + B[None, :]
+                ) % MINHASH_MOD
+                ids.append(doc_id)
+                shs.append(sh)
+                sig_rows.append(sig.min(axis=0))
+            S = (
+                np.stack(sig_rows).astype(np.int64)
+                if sig_rows
+                else np.zeros((0, len(_AFFINE)), dtype=np.int64)
+            )
+            out = {"doc_id": ids, "sh": shs}
+            for i in range(NUM_HASHES):
+                out[f"m{i}"] = S[:, i]
+            yield pd.DataFrame(out)
+
+    d = _docs(spark, sf_dir)
+    n = d.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id long, sh array<string>, " + ", ".join(
+        f"m{i} long" for i in range(NUM_HASHES)
+    )
+    return (
+        d.repartition(n)
+        .select("doc_id", "text")
+        .mapInPandas(compute, schema)
+        .localCheckpoint(eager=False)
+    )
+
+
+def _cal_band_candidates(sig: DataFrame) -> DataFrame:
+    """Banded LSH candidate pairs (a_id < b_id) over the m0..m31 columns
+    of ``_cal_sig_relation`` — the shared candidate generator of both
+    calibration queries."""
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        )
+        for b in range(NUM_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    return (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("a_id"), F.col("bb.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+
+
 def _cal_oracle() -> str:
     """LSH candidates + per-position signature agreement vs exact Jaccard.
     The 32 per-position minhashes reuse the exact affine family the band
@@ -2797,83 +2912,37 @@ def dd_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     every column replays bit-for-bit in the oracle.
 
     Plan shape (100 TB): candidates come from the banded LSH join (never
-    all-pairs); the per-position signatures are the SAME 32 map-side
-    min-aggregates dd_minhash_lsh_expr documents (no extra hashing pass
-    — one relation feeds bands, estimates, and the exact verify); the
-    report join touches candidates only.
+    all-pairs); the per-position signatures are ONE map-side
+    array_min(transform(...)) projection over the shingle hashes (the
+    Column twin of the oracle's list_min(list_transform) — no explode, no
+    aggregation exchange, no second materialization job); one checkpointed
+    (doc_id, sh, m0..m31) relation feeds bands, estimates, AND the exact
+    verify, so each report side attaches signatures and shingles in a
+    single join (two joins, was four).
     """
-    d = (
-        _shingle_relation(_docs(spark, sf_dir))
-        .withColumn("hs", shingle_base_hashes(F.col("sh")))
-        .repartition("doc_id")
-        .localCheckpoint(eager=True)
-    )
-    minh = (
-        d.select("doc_id", F.explode("hs").alias("h"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    ((F.col("h") % MINHASH_MOD) * a + c) % MINHASH_MOD
-                ).alias(f"m{i}")
-                for i, (a, c) in enumerate(_AFFINE[:NUM_HASHES])
-            ]
-        )
-        .localCheckpoint(eager=True)  # feeds bands AND both estimate sides
-    )
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            )
-        )
-        for b in range(NUM_BANDS)
-    ]
-    bands = minh.select(
-        "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
-    )
-    ba, bb = bands.alias("ba"), bands.alias("bb")
-    candidates = (
-        ba.join(
-            bb,
-            (F.col("ba.band_idx") == F.col("bb.band_idx"))
-            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(
-            F.col("ba.doc_id").alias("a_id"), F.col("bb.doc_id").alias("b_id")
-        )
-        .distinct()
-    )
-    sig_a = minh.select(
+    sig = _cal_sig_relation(spark, sf_dir)
+    candidates = _cal_band_candidates(sig)
+    side_a = sig.select(
         F.col("doc_id").alias("a_id"),
+        F.col("sh").alias("sh_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
     )
-    sig_b = minh.select(
+    side_b = sig.select(
         F.col("doc_id").alias("b_id"),
+        F.col("sh").alias("sh_b"),
         *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
     )
     n_match = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(NUM_HASHES)
     ).cast("long")
-    sh_a = d.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    sh_b = d.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.nullif(
         F.size(F.array_union("sh_a", "sh_b")).cast("double"), F.lit(0.0)
     )
     return (
-        candidates.join(sig_a, "a_id")
-        .join(sig_b, "b_id")
+        candidates.join(side_a, "a_id")
+        .join(side_b, "b_id")
         .withColumn("n_match_pos", n_match)
-        .select("a_id", "b_id", "n_match_pos")
-        .join(sh_a, "a_id")
-        .join(sh_b, "b_id")
         .select(
             "a_id",
             "b_id",
@@ -2969,7 +3038,7 @@ def dd_segment_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = (
         d.select("doc_id", F.explode(seg_structs).alias("g"))
         .select("doc_id", F.col("g.seg_no").alias("seg_no"), F.col("g.h").alias("h"))
-        .localCheckpoint(eager=True)  # feeds the canon build AND the attribution join
+        .localCheckpoint(eager=False)  # feeds the canon build AND the attribution join
     )
     okey = F.struct(F.col("doc_id"), F.col("seg_no"))
     canon = (
@@ -3058,63 +3127,22 @@ def dd_bbit_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamp is integer GREATEST. Bit-replayed by the oracle.
 
     Plan shape (100 TB): identical to dd_minhash_jaccard_calibration —
-    banded candidates only, signatures are map-side min-aggregates, and
-    the b-bit columns are free (parity of columns already in flight).
+    banded candidates only, signatures are one map-side
+    array_min(transform(...)) projection (no explode/agg exchange, one
+    checkpointed relation feeds bands and both report sides, two attach
+    joins instead of four), and the b-bit columns are free (parity of
+    columns already in flight).
     """
-    d = (
-        _shingle_relation(_docs(spark, sf_dir))
-        .withColumn("hs", shingle_base_hashes(F.col("sh")))
-        .repartition("doc_id")
-        .localCheckpoint(eager=True)
-    )
-    minh = (
-        d.select("doc_id", F.explode("hs").alias("h"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    ((F.col("h") % MINHASH_MOD) * a + c) % MINHASH_MOD
-                ).alias(f"m{i}")
-                for i, (a, c) in enumerate(_AFFINE[:NUM_HASHES])
-            ]
-        )
-        .localCheckpoint(eager=True)
-    )
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            )
-        )
-        for b in range(NUM_BANDS)
-    ]
-    bands = minh.select(
-        "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
-    )
-    ba, bb = bands.alias("ba"), bands.alias("bb")
-    candidates = (
-        ba.join(
-            bb,
-            (F.col("ba.band_idx") == F.col("bb.band_idx"))
-            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(
-            F.col("ba.doc_id").alias("a_id"), F.col("bb.doc_id").alias("b_id")
-        )
-        .distinct()
-    )
-    sig_a = minh.select(
+    sig = _cal_sig_relation(spark, sf_dir)
+    candidates = _cal_band_candidates(sig)
+    side_a = sig.select(
         F.col("doc_id").alias("a_id"),
+        F.col("sh").alias("sh_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
     )
-    sig_b = minh.select(
+    side_b = sig.select(
         F.col("doc_id").alias("b_id"),
+        F.col("sh").alias("sh_b"),
         *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
     )
     n_bit = sum(
@@ -3125,14 +3153,12 @@ def dd_bbit_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(NUM_HASHES)
     ).cast("long")
-    sh_a = d.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    sh_b = d.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.nullif(
         F.size(F.array_union("sh_a", "sh_b")).cast("double"), F.lit(0.0)
     )
     return (
-        candidates.join(sig_a, "a_id")
-        .join(sig_b, "b_id")
+        candidates.join(side_a, "a_id")
+        .join(side_b, "b_id")
         .withColumn("n_bit_match", n_bit)
         .withColumn(
             "raw_bit_ppm", F.expr(f"(n_bit_match * {CAL_PPM}) DIV {NUM_HASHES}")
@@ -3145,8 +3171,6 @@ def dd_bbit_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "full_est_ppm", F.expr(f"(_n_full * {CAL_PPM}) DIV {NUM_HASHES}")
         )
-        .join(sh_a, "a_id")
-        .join(sh_b, "b_id")
         .select(
             "a_id",
             "b_id",

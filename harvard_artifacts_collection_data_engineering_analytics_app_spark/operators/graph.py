@@ -148,7 +148,7 @@ def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = raw.unionByName(rev)
     deg = e.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
-    return e.join(deg, "src").localCheckpoint(eager=True)
+    return e.join(deg, "src").localCheckpoint(eager=False)
 
 
 def _pagerank_trajectory(
@@ -200,7 +200,9 @@ def _pagerank_trajectory(
                 .alias("p")
             )
             .select(F.col("nxt").alias("src"), "p")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # lazy: fixed rounds, no driver
+            # read in the loop — the caller's single action materializes
+            # every round in dependency order (lineage still truncated)
         )
     return prev, p
 
@@ -360,7 +362,7 @@ def _tri_relations(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
             F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("v"),
             F.when(lower_first, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     wedge_ord = F.struct(
         F.col("e1.dv").alias("d"), F.col("e1.v").alias("n")
@@ -548,7 +550,7 @@ def gr_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # e feeds four consumers (sym/deg, orientation join, final edge
         # list) — materialize once per the signature-reuse rule
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sym = e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
     deg = sym.groupBy("x").agg(F.count("*").alias("d")).select(
@@ -570,7 +572,7 @@ def gr_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("v"),
             F.when(lower_first, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     wedge_ord = F.struct(
         F.col("e1.dv").alias("d"), F.col("e1.v").alias("n")
@@ -725,7 +727,7 @@ def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the static edge list feeds every peel round — materialize once
     sym = (
         e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _core_degrees(nodes: DataFrame) -> DataFrame:
@@ -737,9 +739,9 @@ def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     nodes = (
-        sym.select(F.col("x").alias("node")).distinct().localCheckpoint(eager=True)
+        sym.select(F.col("x").alias("node")).distinct().localCheckpoint(eager=False)
     )
-    prev = nodes.count()
+    prev = nodes.count()  # materializes the lazy checkpoint in the same job
     for _ in range(KC_PEELS):
         # one checkpointed relation per round carries BOTH the survivor set
         # and its degrees: when the confirming round removes nobody, these
@@ -749,7 +751,8 @@ def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             _core_degrees(nodes)
             .filter(F.col("core_deg") >= KC_K)
             .select(F.col("x").alias("node"), "core_deg")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # fused with the count below:
+            # one Spark job per peel instead of materialize + count
         )
         nodes = degs.select("node")
         cur = degs.count()
@@ -868,7 +871,7 @@ def gr_linkpred_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
         .agg(F.count("*").alias("ew"))
         # feeds sym/deg/weights AND the closing anti-join
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     e = ew.select("x", "y")
     sym = ew.unionByName(
@@ -1138,7 +1141,7 @@ def _coservice_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.unionByName(
         p.select(F.col("y").alias("x"), F.col("x").alias("y"), "w")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
 
 def _coservice_lpa(
@@ -1165,7 +1168,7 @@ def _coservice_lpa(
             scored.withColumn("rn", rn)
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # lazy: fixed rounds, one action
         )
     return edges, labels
 
@@ -1468,7 +1471,7 @@ def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     e = raw.unionByName(rev)
     deg = e.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
-    edges = e.join(deg, "src").localCheckpoint(eager=True)
+    edges = e.join(deg, "src").localCheckpoint(eager=False)
 
     ns = len(PPR_SEED_CUSTKEYS)
     base = (3 * PR_SCALE // 20) // ns
@@ -1500,6 +1503,11 @@ def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("node")
             .agg(F.sum("v").cast("long").alias("p"))
+            # EAGER on purpose: this loop broadcasts each round's rank
+            # relation into the next round, and the lazy variant (build
+            # the broadcast by computing the un-materialized round inside
+            # the exchange) measured +47% isolated at sf0.1 — the one
+            # loop where fusing jobs lost to materialize-then-broadcast.
             .localCheckpoint(eager=True)
         )
     return p.orderBy(F.desc("p"), F.asc("node")).limit(PPR_TOP)
@@ -1743,7 +1751,7 @@ def gr_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (200_000 + F.col("c_custkey") * 1_000_000).alias("child"),
             )
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by round 1's isEmpty
     )
     frontier = r.select(enc_r.alias("root"), enc_r.alias("node"))
     closure = frontier.withColumn("depth", F.lit(0))
@@ -1753,7 +1761,7 @@ def gr_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = (
             frontier.join(edges, F.col("node") == F.col("parent"))
             .select("root", F.col("child").alias("node"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # fused with isEmpty below
         )
         if frontier.isEmpty():
             break
@@ -2172,7 +2180,7 @@ def gr_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("x")
             )
             .select(F.col("nxt").alias("src"), "x")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # lazy: fixed rounds, one action
         )
     return (
         x.select(F.col("src").alias("node"), F.col("x").alias("katz"))

@@ -59,19 +59,28 @@ HH_PHI = 0.01  # heavy hitter = token with count >= phi * total_tokens
 
 
 def _local_phi_candidates(batches: Iterator) -> Iterator:
-    """mapInPandas kernel: local φ-heavy-hitters of one partition."""
+    """mapInPandas kernel: local φ-heavy-hitters of one partition.
+
+    Vectorized: per-batch value_counts (C speed) merged by a groupby-sum
+    — the former per-token Python dict loop was the partition's dominant
+    cost. Counts are exact integers, so the merge order cannot change
+    the result."""
     import pandas as pd
 
-    counts: dict[str, int] = {}
+    parts = []
     n = 0
     for pdf in batches:
-        for tok in pdf["token"]:
-            counts[tok] = counts.get(tok, 0) + 1
-            n += 1
-    cut = HH_PHI * n
-    yield pd.DataFrame(
-        {"token": [t for t, c in counts.items() if c >= cut]}
-    )
+        if len(pdf):
+            parts.append(pdf["token"].value_counts())
+            n += len(pdf)
+    if parts:
+        counts = (
+            pd.concat(parts).groupby(level=0).sum() if len(parts) > 1 else parts[0]
+        )
+        keep = counts[counts >= HH_PHI * n].index.to_list()
+    else:
+        keep = []
+    yield pd.DataFrame({"token": keep})
 
 
 @register(
@@ -98,7 +107,11 @@ def tx_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         docs.select(F.explode(T.tokens("text")).alias("token"))
         .filter(F.length("token") > 0)
-        .localCheckpoint(eager=True)  # reused: candidates, sketch, total, verify
+        # lazy: all four consumers (candidates, sketch, total, verify) are
+        # subtrees of the single final action, which materializes the
+        # token blocks once and shares them — eager added a separate
+        # materialization job for no reuse the final job doesn't get
+        .localCheckpoint(eager=False)
     )
     total = tok.agg(F.count("*").alias("n"))
     local_cand = tok.mapInPandas(
