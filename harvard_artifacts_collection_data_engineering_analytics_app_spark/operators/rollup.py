@@ -1043,10 +1043,13 @@ def ht_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape (100 TB): the pairwise relation is quadratic in the
     NUMBER OF HOURLY BUCKETS (720 points/month → 259k pairs per type),
     not in raw event volume — the hourly pre-aggregation is the
-    map-side-combined pass that absorbs the 100 TB, after which the pair
-    join is per-type bounded work (the same series-not-corpus scaling
-    argument as ht_acf). Types partition independently; for multi-year
-    spans switch to per-window Theil-Sen over sliding blocks, same plan.
+    map-side-combined pass that absorbs the 100 TB, after which the
+    pairwise slopes and the rank-median pick run as ONE numpy kernel per
+    type over only the hourly rows (guide §4.2: the former self-join +
+    full window sort shuffled the quadratic pair relation twice; now
+    nothing quadratic crosses an exchange). Types partition
+    independently; for multi-year spans switch to per-window Theil-Sen
+    over sliding blocks, same plan.
     """
     ensure_analytics_conf(spark)
     hourly = (
@@ -1061,38 +1064,65 @@ def ht_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y")
         )
     )
-    a, b = hourly.alias("a"), hourly.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.event_type") == F.col("b.event_type"))
-        & (F.col("a.h") < F.col("b.h")),
-    ).select(
-        F.col("a.event_type").alias("event_type"),
-        F.expr(
-            f"((b.y - a.y) * {TS_SLOPE_SCALE}) DIV (b.h - a.h)"
-        ).alias("slope_micro"),
-        F.col("a.h").alias("h1"),
-        F.col("b.h").alias("h2"),
-    )
-    wrank = Window.partitionBy("event_type").orderBy("slope_micro", "h1", "h2")
-    wcnt = Window.partitionBy("event_type")
-    ranked = pairs.select(
-        "event_type",
-        "slope_micro",
-        F.row_number().over(wrank).alias("rn"),
-        F.count("*").over(wcnt).alias("n_pairs"),
-    )
-    npts = hourly.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_points")
-    )
+
+    # Pairwise slopes + lower-median pick as ONE Arrow kernel per type
+    # (guide §4.2): the former self-join materialized the quadratic pair
+    # relation through an exchange and ranked it with a full window sort;
+    # here only the HOURLY rows (per-type bounded: the pair count is
+    # quadratic in hourly buckets, never in event volume — ~260k pairs
+    # per type-month) cross the Python boundary, and numpy broadcasting
+    # scores every pair in one shot. Semantics pinned to the engine/
+    # oracle pair: slope = (Δcents·1e6) DIV Δhours with DIV truncating
+    # toward ZERO (numpy's // floors toward -inf — corrected below for
+    # negative numerators; Δh is always > 0), and the median is the
+    # rank-(n+1)//2 element under the full (slope, h1, h2) tie order —
+    # np.lexsort with keys in reverse significance reproduces it exactly.
+    def ts_median(pdf):
+        import numpy as np
+        import pandas as pd
+
+        h = pdf["h"].to_numpy(dtype="int64")
+        y = pdf["y"].to_numpy(dtype="int64")
+        order = np.argsort(h)
+        h, y = h[order], y[order]
+        m = len(h)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype=object),
+                    "n_points": pd.Series(dtype="int64"),
+                    "n_pairs": pd.Series(dtype="int64"),
+                    "ts_slope_micro": pd.Series(dtype="int64"),
+                }
+            )
+        ia, ib = np.triu_indices(m, k=1)  # all i<j pairs; h sorted asc
+        num = (y[ib] - y[ia]) * TS_SLOPE_SCALE
+        den = h[ib] - h[ia]  # > 0 by construction
+        q = num // den  # floor division
+        # truncate toward zero: floor == trunc except for negative
+        # non-exact quotients, where trunc = floor + 1
+        q += (num - q * den != 0) & (num < 0)
+        n_pairs = len(q)
+        rank = (n_pairs + 1) // 2 - 1  # 0-based lower median
+        sel = np.lexsort((h[ib], h[ia], q))[rank]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_points": np.array([m], dtype="int64"),
+                "n_pairs": np.array([n_pairs], dtype="int64"),
+                "ts_slope_micro": q[sel : sel + 1],
+            }
+        )
+
+    # NULL event_type produces no output in either engine (the oracle's
+    # equi-joins drop it); filter it out rather than shipping the group.
     return (
-        ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
-        .join(npts, "event_type")
-        .select(
-            "event_type",
-            "n_points",
-            F.col("n_pairs").cast("long").alias("n_pairs"),
-            F.col("slope_micro").alias("ts_slope_micro"),
+        hourly.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .applyInPandas(
+            ts_median,
+            "event_type string, n_points long, n_pairs long, "
+            "ts_slope_micro long",
         )
         .orderBy("event_type")
     )

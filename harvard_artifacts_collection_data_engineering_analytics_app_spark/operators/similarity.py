@@ -3606,11 +3606,18 @@ def ss_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_depth.append(
             c.agg(
                 F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                F.sum(
-                    F.when(
-                        (F.col("rank") <= TOP_K) & F.col("is_brute").isNotNull(),
-                        1,
-                    ).otherwise(0)
+                # coalesce: SUM over an empty depth slice is NULL where
+                # the replaced per-depth count was 0 (round-15 advice) —
+                # int(None) below would otherwise raise
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("rank") <= TOP_K)
+                            & F.col("is_brute").isNotNull(),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("long")
                 .alias("n_hits"),
@@ -5360,6 +5367,9 @@ def _nn_descent_round(
     sf_dir: str,
     graph: DataFrame,
     bcast_edges: bool = False,
+    new_edges: DataFrame | None = None,
+    bcast_new: bool = False,
+    vec_b=None,
 ) -> DataFrame:
     """One NN-Descent expansion/score/cut (Dong et al. 2011): symmetrize
     the directed degree-16 ``graph``, expand to 2-hop candidates
@@ -5392,6 +5402,49 @@ def _nn_descent_round(
     BroadcastHashJoin instead of a statless-RDD SortMergeJoin, dropping
     two exchanges and two sorts per round. Join strategy cannot change
     the candidate set, so results are identical.
+
+    ``new_edges`` (Dong et al. 2011 §2.3, the incremental-search trick)
+    restricts the 2-hop expansion to paths that use at least one edge
+    of ``graph`` that was NOT in the previous round's graph. This is
+    EXACT, not approximate, for the converge loop's per-round cut:
+
+    - A 2-hop pair both of whose edges are old existed verbatim in the
+      previous round's symmetrized relation (old directed edges were in
+      the previous graph, and sym contains both directions), so the
+      pair was already a candidate last round and was scored then.
+    - If it was KEPT, it sits in the current ``graph`` and re-enters as
+      a direct ``sym`` candidate (the direct tier is never filtered).
+    - If it was REJECTED, it was strictly worse than the node's K-th
+      entry under the total (rounded-cosine desc, id asc) comparator;
+      each round's candidate set contains the node's previous list, so
+      the K-th entry is monotone non-decreasing in comparator order
+      across rounds and a once-rejected pair can never re-enter the cut.
+
+    Hence top-K over {direct sym} ∪ {≥1-new-edge 2-hop pairs} equals
+    top-K over the full expansion, round for round — the oracle replays
+    the full expansion and stays green. The incremental expansion is ONE
+    join (new-side as the middle-hop probe, pair normalized with
+    least/greatest): a path whose FIRST edge is new emits the pair
+    directly, one whose SECOND edge is new emits the reversed pair from
+    the mirrored new edge — both normalize to the same unordered
+    candidate, so one join covers both positions with no union and no
+    double-counted new×new leg. ``bcast_new`` gates broadcasting the
+    (much smaller) new-edge side; callers gate it on the previous
+    ledger's edges_changed count, and only take this path at all when
+    2·changed < |edges| (above that the incremental join generates MORE
+    rows than the halved full self-join — measured at sf0.1 round 2,
+    where 58% of edges change).
+
+    ``vec_b`` (optional) is a reusable SparkContext broadcast of the
+    whole vector set — (sorted int64 ids, float64 matrix) — built ONCE
+    per query by ``_nsw_vectors_broadcast`` and shared by every round:
+    the scorer then looks embeddings up inside the Arrow kernel instead
+    of paying two BroadcastHashJoin builds per round and shipping two
+    emb columns through the Python boundary per candidate. The matrix
+    rows are the identical float64 values the join path would attach,
+    and the einsum math is unchanged, so scores are bit-identical.
+    Size-gated by the caller (NSW_BCAST_MAX_VECS); None falls back to
+    the join path — the 100 TB route.
     """
     v = _vectors(spark, sf_dir)
     # Plain union, NO distinct/checkpoint: ``cand_half`` ends in its own
@@ -5406,13 +5459,42 @@ def _nn_descent_round(
     sym = graph.unionByName(
         graph.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     )
-    e1 = sym.alias("e1")
-    e2 = (F.broadcast(sym) if bcast_edges else sym).alias("e2")
-    twohop_half = e1.join(
-        e2,
-        (F.col("e1.b_id") == F.col("e2.a_id"))
-        & (F.col("e1.a_id") < F.col("e2.b_id")),
-    ).select(F.col("e1.a_id").alias("a_id"), F.col("e2.b_id").alias("b_id"))
+    hop = (F.col("e1.b_id") == F.col("e2.a_id")) & (
+        F.col("e1.a_id") < F.col("e2.b_id")
+    )
+
+    def _ends(j: DataFrame) -> DataFrame:
+        return j.select(
+            F.col("e1.a_id").alias("a_id"), F.col("e2.b_id").alias("b_id")
+        )
+
+    if new_edges is None:
+        e1 = sym.alias("e1")
+        e2 = (F.broadcast(sym) if bcast_edges else sym).alias("e2")
+        twohop_half = _ends(e1.join(e2, hop))
+    else:
+        # Incremental expansion, ONE join (see docstring): every ≥1-new
+        # path surfaces with its new edge in the FIRST position of some
+        # orientation, so probing sym with the symmetrized new edges and
+        # normalizing the pair covers both positions. distinct dedups.
+        sym_new = new_edges.unionByName(
+            new_edges.select(
+                F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")
+            )
+        )
+        nb = F.broadcast(sym_new) if bcast_new else sym_new
+        twohop_half = (
+            nb.alias("e1")
+            .join(
+                sym.alias("e2"),
+                (F.col("e1.b_id") == F.col("e2.a_id"))
+                & (F.col("e1.a_id") != F.col("e2.b_id")),
+            )
+            .select(
+                F.least(F.col("e1.a_id"), F.col("e2.b_id")).alias("a_id"),
+                F.greatest(F.col("e1.a_id"), F.col("e2.b_id")).alias("b_id"),
+            )
+        )
     cand_half = (
         sym.filter(F.col("a_id") < F.col("b_id"))
         .unionByName(twohop_half)
@@ -5459,14 +5541,57 @@ def _nn_descent_round(
                 }
             )
 
+    # Broadcast-vector variant of the scorer: embeddings come from the
+    # once-per-query TorrentBroadcast (reused across every round's jobs)
+    # via a sorted-id searchsorted lookup; the joins and the per-pair
+    # emb payload disappear. M rows are the same float64 arrays the
+    # joins would attach, the einsum is unchanged — bit-identical.
+    def row_cos_lookup(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, M = vec_b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "a_id": pd.Series(dtype="int64"),
+                        "b_id": pd.Series(dtype="int64"),
+                        "cosine_raw": pd.Series(dtype="float64"),
+                    }
+                )
+                continue
+            ids_a = pdf["a_id"].to_numpy(dtype="int64")
+            ids_b = pdf["b_id"].to_numpy(dtype="int64")
+            A = M[np.searchsorted(ids, ids_a)]
+            B = M[np.searchsorted(ids, ids_b)]
+            na = np.sqrt((A * A).sum(axis=1))
+            nb = np.sqrt((B * B).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.einsum("ij,ij->i", A, B) / (na * nb)
+            yield pd.DataFrame(
+                {
+                    "a_id": np.concatenate([ids_a, ids_b]),
+                    "b_id": np.concatenate([ids_b, ids_a]),
+                    "cosine_raw": np.concatenate([cos, cos]),
+                }
+            )
+
+    if vec_b is not None:
+        scored = cand_half.mapInPandas(
+            row_cos_lookup, "a_id long, b_id long, cosine_raw double"
+        )
+    else:
+        scored = (
+            cand_half.join(va, "a_id")
+            .join(vb, "b_id")
+            .select("a_id", "b_id", "a_emb", "b_emb")
+            .mapInPandas(row_cos, "a_id long, b_id long, cosine_raw double")
+        )
     w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
     raw = F.col("cosine_raw")
     return (
-        cand_half.join(va, "a_id")
-        .join(vb, "b_id")
-        .select("a_id", "b_id", "a_emb", "b_emb")
-        .mapInPandas(row_cos, "a_id long, b_id long, cosine_raw double")
-        .select(
+        scored.select(
             "a_id",
             "b_id",
             F.round(F.when(F.isnan(raw), None).otherwise(raw), 6).alias(
@@ -5591,7 +5716,12 @@ def ss_nsw_nn_descent_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graph (same K·n bound), gated identically.
     n_ivf = ivf.count()
     refined = _nn_descent_round(
-        spark, sf_dir, ivf, bcast_edges=n_ivf <= NSW_BCAST_MAX_EDGES
+        spark,
+        sf_dir,
+        ivf,
+        bcast_edges=n_ivf <= NSW_BCAST_MAX_EDGES,
+        # one vector broadcast for the scorer (n_ivf is exactly K·n_vecs)
+        vec_b=_nsw_vectors_broadcast(spark, sf_dir, n_ivf // NSW_GRAPH_K),
     )
     exact = _exact_knn16(spark, sf_dir).select("a_id", "b_id")
     n_exact = exact.agg(F.count("*").alias("n_exact"))
@@ -5641,6 +5771,38 @@ NN_DESCENT_STOP_MILLI = 10  # stop once <1% of directed edges changed in a round
 NSW_BCAST_MAX_EDGES = int(
     os.environ.get("SPARK_GRAFT_NSW_BCAST_MAX_EDGES", str(4_000_000))
 )
+
+# Broadcast the WHOLE vector set into the NN-Descent scorer when the
+# corpus holds at most this many vectors (~128 MB at the cap for 64-dim
+# float64). One TorrentBroadcast is built per query and reused by every
+# round's jobs — the per-round BroadcastHashJoin builds of the two
+# vector sides (rebuilt each round: broadcast exchanges are not reused
+# across jobs) and the per-candidate emb columns through the Arrow
+# boundary both disappear. Above the cap the scorer keeps the
+# vector-attach joins (the 100 TB path).
+NSW_BCAST_MAX_VECS = int(
+    os.environ.get("SPARK_GRAFT_NSW_BCAST_MAX_VECS", str(250_000))
+)
+
+
+def _nsw_vectors_broadcast(spark: SparkSession, sf_dir: str, n_vecs: int):
+    """(sorted int64 ids, float64 matrix) as a SparkContext broadcast,
+    or None above the NSW_BCAST_MAX_VECS gate. The matrix rows are the
+    exact float64 emb arrays `_vectors` serves, so the lookup scorer is
+    bit-identical to the join scorer (same einsum, same operands)."""
+    if n_vecs > NSW_BCAST_MAX_VECS:
+        return None
+    import numpy as np
+
+    rows = (
+        _vectors(spark, sf_dir)
+        .select("vec_id", "emb")
+        .toPandas()
+    )
+    order = np.argsort(rows["vec_id"].to_numpy(dtype="int64"))
+    ids = rows["vec_id"].to_numpy(dtype="int64")[order]
+    M = np.array(list(rows["emb"]), dtype="float64")[order]
+    return spark.sparkContext.broadcast((ids, M))
 
 
 def _nn_descent_converge_oracle() -> str:
@@ -5818,8 +5980,13 @@ def ss_nsw_nn_descent_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         row = tagged.agg(
             F.count(F.lit(1)).alias("n"),
-            chg.cast("long").alias("changed"),
-            F.sum(F.coalesce(F.col("_ex"), F.lit(0)))
+            # coalesce the SUMs: over an empty graph they are NULL and
+            # int(None) would raise (round-15 advice; unreachable at
+            # bench SFs — the graph always carries K·n edges)
+            F.coalesce(chg, F.lit(0)).cast("long").alias("changed"),
+            F.coalesce(
+                F.sum(F.coalesce(F.col("_ex"), F.lit(0))), F.lit(0)
+            )
             .cast("long")
             .alias("hits"),
         ).collect()[0]
@@ -5832,16 +5999,54 @@ def ss_nsw_nn_descent_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The round's directed edge count is n0 every round (the cut keeps
     # the node set and degree), so one gate decision covers the loop.
     bcast = n0 <= NSW_BCAST_MAX_EDGES
+    # One reusable vector broadcast for ALL rounds' scorers (size-gated;
+    # n_exact is exactly K·n_vecs, so the gate costs no extra job).
+    vec_b = _nsw_vectors_broadcast(spark, sf_dir, n_exact // NSW_GRAPH_K)
+    # Incremental NN-Descent (Dong et al. §2.3; proof of exactness in
+    # _nn_descent_round): round 1 must do the full expansion (every g0
+    # edge is unscored), later rounds expand only paths touching an
+    # edge that CHANGED in the previous round — the old×old pairs were
+    # already scored and can never re-enter the monotone per-node cut.
+    # new_prev is the directed new-edge set of the round just ledgered;
+    # its row count is exactly the ledger's `changed`, so the broadcast
+    # gate for the shrunken expansion comes free. Volume gate: the
+    # incremental join generates ~2·changed·2K candidate rows vs the
+    # full self-join's ~K·|edges|, so it only wins when 2·changed <
+    # |edges| (at sf0.1, round 2 changes 58% of edges — full expansion
+    # is cheaper there; rounds 3+ drop to 26/13/6/2%).
+    new_prev: DataFrame | None = None
+    changed_prev = 0
     for r in range(1, NN_DESCENT_MAX_ROUNDS + 1):
+        use_incr = new_prev is not None and 2 * changed_prev < n0
         g = _nn_descent_round(
-            spark, sf_dir, g_prev, bcast_edges=bcast
+            spark,
+            sf_dir,
+            g_prev,
+            bcast_edges=bcast,
+            new_edges=new_prev if use_incr else None,
+            bcast_new=changed_prev <= NSW_BCAST_MAX_EDGES,
+            vec_b=vec_b,
         ).localCheckpoint(eager=False)
         n, changed, hits = _ledger(g, g_prev)
         rate = 1000 * changed // n
         rows.append((r, n, changed, rate, 1000 * hits // n_exact))
-        g_prev = g
         if rate < NN_DESCENT_STOP_MILLI:
+            g_prev = g
             break
+        # The next round's expansion seed: edges of g absent from
+        # g_prev. Both sides are checkpointed; the anti join is one
+        # broadcast stage under the same gate, checkpointed lazily so
+        # its scans in the next round's joins share the blocks. Skipped
+        # when the rate says the next round will expand in full anyway.
+        if 2 * changed < n:
+            anti_prev = F.broadcast(g_prev) if bcast else g_prev
+            new_prev = g.join(
+                anti_prev, ["a_id", "b_id"], "left_anti"
+            ).localCheckpoint(eager=False)
+        else:
+            new_prev = None
+        changed_prev = changed
+        g_prev = g
     return spark.createDataFrame(
         rows,
         schema=(

@@ -105,26 +105,29 @@ _PRIORITY: tuple[str, ...] = (
     "rj_interval_overlap",
     "ht_rollup_multigrain",
     "sk_salted_group_agg",
-    # --- 3. new code: the 3 r14 ops (never recorded) + the 3 r15 ops ---
-    "ss_nsw_ivf_beam_search",
-    "ss_nsw_index_upsert",
-    "ss_nsw_nn_descent_refine",
+    # --- 3+4. round-16 window: BIASED toward the queries this round's
+    # optimization diff touched (round-15 advice #4 — the committed
+    # CORRECTNESS artifact should directly evidence the riskiest
+    # rewrites), plus the r15 heavy rewrites the r15 window never
+    # recorded (gr_personalized_pagerank, gr_katz_centrality). The r14/
+    # r15 new-code seats are all union-attested by CORRECTNESS_r15.json,
+    # so their slots are free; normal family-diverse rotation resumes
+    # next round via rotation_suggest.py.
+    "ht_theil_sen_slope",
+    "dd_er_linkage_score",
+    "dd_ngram_jaccard_prefix",
+    "dd_minhash_jaccard_calibration",
+    "dd_bbit_minhash_calibration",
     "ss_nsw_nn_descent_converge",
-    "ss_nsw_index_delete",
-    "mm_tiff_decode_stats",
-    # --- 4. rotation tail (oldest driver record first, family-diverse) ---
-    "fx_anti_join",
-    "pd_user_trend",
-    "dd_embedding_topk_pairs",
-    "tx_filter_pipeline",
-    "st_tumbling_hourly",
-    "wf_topn_per_group",
-    "aj_purchase_next_click",
-    "gr_triangles",
-    "ht_ewma_smooth",
-    # (mm_feature_extract rotated out for the r15 mm_tiff_decode_stats
-    # new-code seat — mm stays represented by both the keeper and the
-    # new op; rotation_suggest.py re-seats it next round)
+    "ss_nsw_nn_descent_refine",
+    "dd_fuzzy_name_pairs",
+    "dd_lsh_param_sweep",
+    "ss_ivf_nprobe_sweep",
+    "dd_minhash_lsh",
+    "dd_simhash_pairs",
+    "dd_incremental_minhash",
+    "gr_personalized_pagerank",
+    "gr_katz_centrality",
 )
 
 

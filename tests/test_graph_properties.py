@@ -14,6 +14,8 @@ from collections import defaultdict
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from .conftest import slow_full
+
 from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.graph import (
     HITS_ROUNDS,
     HITS_SCALE,
@@ -101,6 +103,7 @@ def _model_ppr(orders, lineitem):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(purchase_graph())
+@slow_full  # heavy model replay; see conftest (VERDICT r15 #2)
 def test_personalized_pagerank_matches_model(spark, tmp_path_factory, g):
     orders, lineitem = g
     path = str(tmp_path_factory.mktemp("ppr"))
@@ -147,6 +150,7 @@ def _model_hits(orders, lineitem):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(purchase_graph())
+@slow_full  # heavy model replay; see conftest (VERDICT r15 #2)
 def test_hits_matches_model(spark, tmp_path_factory, g):
     orders, lineitem = g
     path = str(tmp_path_factory.mktemp("hits"))

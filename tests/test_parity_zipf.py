@@ -25,7 +25,12 @@ from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries i
     registry,
 )
 
+from .conftest import slow_full
 from .oracle_harness import run_case
+
+# The whole module is the secondary-distribution replay (sf0.1-zipf,
+# several minutes of DuckDB brute-force oracles) — opt-in, see conftest.
+pytestmark = slow_full
 
 ZIPF_DIR = os.environ.get("SPARK_GRAFT_ZIPF_DIR", "/root/repo/var/sf0.1-zipf")
 

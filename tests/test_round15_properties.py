@@ -33,6 +33,36 @@ def converge_rows(spark, sf_dir):
     )
 
 
+def test_nn_descent_incremental_round_equals_full(spark, sf_dir):
+    """Round-16 optimization pin: the incremental expansion (2-hop paths
+    restricted to ≥1 new edge, Dong et al. §2.3) must produce the SAME
+    round-2 edge set as the full expansion — the exactness argument is
+    that old×old pairs were already scored and the per-node cut is
+    monotone. Asserted on the real sf0.001 IVF bootstrap, where round 1
+    changes a large fraction of edges (the hard case for the argument)."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.similarity import (
+        _knn_graph_ivf_topk,
+        _nn_descent_round,
+    )
+
+    g0 = (
+        _knn_graph_ivf_topk(spark, sf_dir, NSW_GRAPH_K)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
+    )
+    g1 = _nn_descent_round(spark, sf_dir, g0).localCheckpoint(eager=True)
+    new1 = g1.join(g0, ["a_id", "b_id"], "left_anti").localCheckpoint(
+        eager=True
+    )
+    assert new1.count() > 0  # vacuous otherwise
+    full = _nn_descent_round(spark, sf_dir, g1)
+    incr = _nn_descent_round(
+        spark, sf_dir, g1, new_edges=new1, bcast_new=True
+    )
+    assert incr.exceptAll(full).count() == 0
+    assert full.exceptAll(incr).count() == 0
+
+
 def test_nn_descent_converge_ledger_shape(converge_rows):
     """Round 0 is the IVF build; at least one refine round runs; the
     loop never exceeds the cap."""

@@ -15,6 +15,8 @@ import itertools
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from .conftest import slow_full
+
 from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.similarity import (
     KM_SCALE,
     MAXMIN_K,
@@ -72,6 +74,7 @@ def _model_islands(rows):
         max_size=40,
     )
 )
+@slow_full  # heavy model replay; see conftest (VERDICT r15 #2)
 def test_gaps_islands_matches_model(spark, tmp_path_factory, rows):
     path = str(tmp_path_factory.mktemp("gi"))
     _write_events(spark, path, rows)
@@ -127,6 +130,7 @@ def _model_maxmin(vectors):
         max_size=12,
     )
 )
+@slow_full  # heavy model replay; see conftest (VERDICT r15 #2)
 def test_maxmin_diversity_matches_model(spark, tmp_path_factory, vecs):
     path = str(tmp_path_factory.mktemp("mm"))
     rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
@@ -176,6 +180,7 @@ def _model_ks(vals):
         max_size=60,
     )
 )
+@slow_full  # heavy model replay; see conftest (VERDICT r15 #2)
 def test_ks_drift_matches_model(spark, tmp_path_factory, vals):
     from harvard_artifacts_collection_data_engineering_analytics_app_spark.queries.functions_surface import (
         fx_ks_drift,
@@ -227,6 +232,7 @@ def _model_mattr(text, w):
         max_size=6,
     )
 )
+@slow_full  # heavy model replay; see conftest (VERDICT r15 #2)
 def test_mattr_matches_brute_force_windows(spark, tmp_path_factory, docs):
     from harvard_artifacts_collection_data_engineering_analytics_app_spark.functions.text_queries import (
         MATTR_W,

@@ -15,6 +15,8 @@ import itertools
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from .conftest import slow_full
+
 from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.dedup import (
     ER_MATCH_GE,
     ER_POSSIBLE_GE,
@@ -188,6 +190,7 @@ def test_knn_graph_ivf_is_subquadratic_with_useful_recall(spark, sf_dir):
     ),
     st.randoms(use_true_random=False),
 )
+@slow_full  # heavy model replay; see conftest (VERDICT r15 #2)
 def test_er_linkage_matches_quadratic_model(
     spark, tmp_path_factory, recs, rng
 ):
@@ -250,6 +253,7 @@ def _model_equidepth(cents_list, buckets):
         max_size=60,
     )
 )
+@slow_full  # heavy model replay; see conftest (VERDICT r15 #2)
 def test_equidepth_histogram_matches_model(spark, tmp_path_factory, cents):
     """The two-level rank decomposition (value-group offsets + tie ranks)
     must equal the naive global ROW_NUMBER bucketing on tie-heavy data —
@@ -329,6 +333,7 @@ def _model_theil_sen(rows, scale):
         max_size=40,
     )
 )
+@slow_full  # heavy model replay; see conftest (VERDICT r15 #2)
 def test_theil_sen_matches_model(spark, tmp_path_factory, rows):
     """Rank-picked median pairwise slope vs a Python model, including
     NEGATIVE slopes (the truncating-division direction the fixed corpus
@@ -345,6 +350,56 @@ def test_theil_sen_matches_model(spark, tmp_path_factory, rows):
         for r in ht_theil_sen_slope(spark, path).collect()
     ]
     assert got == _model_theil_sen(rows, TS_SLOPE_SCALE)
+
+
+def test_theil_sen_arrow_kernel_fixed_cases(spark, tmp_path_factory):
+    """Fast, always-on pin for the round-16 Arrow kernel (numpy pairwise
+    slopes + lexsort median pick): one fixed dataset hitting the
+    numpy-vs-engine divergence points the hypothesis sweep (now opt-in)
+    covered — NEGATIVE non-exact quotients (numpy // floors, the engine
+    DIV truncates toward zero), slope ties broken by (h1, h2), a
+    single-point type that must emit nothing, and a two-point type."""
+    from harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.rollup import (
+        TS_SLOPE_SCALE,
+        ht_theil_sen_slope,
+    )
+
+    rows = [
+        # "down": strictly decreasing with a non-divisible step so every
+        # slope is a negative NON-exact quotient at some pair distance
+        ("down", 0, 10),
+        ("down", 1, 3),
+        ("down", 3, -8),
+        ("down", 6, -9),
+        # "tie": duplicate slope values — median pick must honor (h1, h2)
+        ("tie", 0, 0),
+        ("tie", 1, 7),
+        ("tie", 2, 14),
+        ("tie", 3, 21),
+        # degenerate group sizes
+        ("single", 5, 42),
+        ("pair", 2, -5),
+        ("pair", 9, 4),
+    ]
+    path = str(tmp_path_factory.mktemp("tsen_fixed"))
+    _write_events_values(spark, path, rows)
+    got = [
+        (r["event_type"], r["n_points"], r["n_pairs"], r["ts_slope_micro"])
+        for r in ht_theil_sen_slope(spark, path).collect()
+    ]
+    assert got == _model_theil_sen(rows, TS_SLOPE_SCALE)
+    # the model itself must see a negative non-exact quotient: trunc(q)
+    # != floor(q) for at least one "down" pair, or the case is vacuous
+    down = [
+        (h, c) for t, h, c in rows if t == "down"
+    ]
+    import itertools as _it
+
+    assert any(
+        ((y2 - y1) * TS_SLOPE_SCALE) % (h2 - h1) != 0
+        and (y2 - y1) < 0
+        for (h1, y1), (h2, y2) in _it.combinations(sorted(down), 2)
+    )
 
 
 def _write_coservice_graph(spark, path, edges):
@@ -402,6 +457,7 @@ def _model_bfs(edges, seed_mod, max_hops):
         max_size=40,
     )
 )
+@slow_full  # heavy model replay; see conftest (VERDICT r15 #2)
 def test_bfs_distance_matches_model(spark, tmp_path_factory, edges):
     """Frontier BFS vs a Python layer-by-layer model on random graphs —
     chains, cycles, and disconnected pieces the near-clique co-service
