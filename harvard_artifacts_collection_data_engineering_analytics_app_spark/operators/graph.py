@@ -1479,7 +1479,7 @@ def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(2 * k,) for k in PPR_SEED_CUSTKEYS], "node long"
     )
     p = seeds.select("node", F.lit(PR_SCALE // ns).cast("long").alias("p"))
-    for _ in range(PPR_ROUNDS):
+    for k in range(PPR_ROUNDS):
         # Broadcast the rank side: it is frontier-sized by PPR's design
         # (mass only ever reaches seed-reachable nodes), while the edge
         # list is the big side — and the post-checkpoint RDD scan carries
@@ -1505,12 +1505,16 @@ def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("node")
             .agg(F.sum("v").cast("long").alias("p"))
-            # EAGER on purpose: this loop broadcasts each round's rank
-            # relation into the next round, and the lazy variant (build
-            # the broadcast by computing the un-materialized round inside
+            # EAGER on purpose for every round that feeds the NEXT
+            # round's broadcast: the all-lazy variant (build the
+            # broadcast by computing the un-materialized round inside
             # the exchange) measured +47% isolated at sf0.1 — the one
             # loop where fusing jobs lost to materialize-then-broadcast.
-            .localCheckpoint(eager=True)
+            # The LAST round feeds only the final topK action (no
+            # broadcast build), so ITS materialization job fuses into
+            # that action for free (round 16; same numbers either way
+            # above the broadcast gate).
+            .localCheckpoint(eager=k < PPR_ROUNDS - 1)
         )
     return p.orderBy(F.desc("p"), F.asc("node")).limit(PPR_TOP)
 

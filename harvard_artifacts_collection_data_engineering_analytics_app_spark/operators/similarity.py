@@ -4580,6 +4580,205 @@ def _nsw_entry_rows(v: DataFrame, m: int, stride: int) -> DataFrame:
     )
 
 
+# --- in-kernel NSW walks (round 16) ------------------------------------------------
+#
+# The serving walks (greedy descent, ef-beam) are driver-orchestrated
+# join/window loops over a FIVE-row query relation: every hop/round costs
+# plan-fixed stage latency (window sort + 2-3 broadcast builds + anti
+# join) regardless of data volume — measured 2.0-2.7 s per query at
+# sf0.1 with ~0 bytes moved. Under the same size gates as the NN-Descent
+# vector broadcast, the whole walk now runs as ONE mapInPandas stage over
+# the query rows, against a broadcast CSR adjacency + the broadcast
+# vector matrix. Exactness: the walk's only comparison currency is the
+# 1e6-scaled BIGINT cosine; the kernel reproduces the JVM fold
+# bit-for-bit (sequential left fold over dimensions — `acc + x*y` in the
+# same order as `F.aggregate(zip_with(...))`), uses `_vectors`' own nrm
+# values from the broadcast (never recomputed), and applies the exact
+# HALF_UP decimal rounding `F.round` applies (floor/ceil + exact
+# fractional compare — numpy's round is HALF_EVEN and is not used).
+# Above the gates the join-loop implementations below stand unchanged
+# (the 100 TB path, where neither the index nor the vectors fit on one
+# node).
+
+
+def _nsw_adjacency_broadcast(spark: SparkSession, edges: DataFrame, ids):
+    """CSR adjacency over the broadcast id order: (indptr, nbrs) with
+    nbrs holding VECTOR IDS (not positions). ``edges`` is the undirected
+    (a_id, b_id) relation (already distinct)."""
+    import numpy as np
+
+    e = edges.select("a_id", "b_id").toPandas()
+    a = np.searchsorted(ids, e["a_id"].to_numpy(dtype="int64"))
+    b = e["b_id"].to_numpy(dtype="int64")
+    order = np.argsort(a, kind="stable")
+    a, b = a[order], b[order]
+    indptr = np.zeros(len(ids) + 1, dtype="int64")
+    np.add.at(indptr, a + 1, 1)
+    indptr = np.cumsum(indptr)
+    return spark.sparkContext.broadcast((indptr, b))
+
+
+def _np_cos_e6(q_emb, q_nrm, B, bn):
+    """cos_e6 of one query against a (k, dim) candidate block, replaying
+    the engine Column math operation-for-operation: sequential left fold
+    for the dot (bit-identical to F.aggregate's `acc + x*y`), divide by
+    the PRODUCT of the stored norms, scale by 1e6, HALF_UP to int64."""
+    import numpy as np
+
+    acc = np.zeros(len(B), dtype="float64")
+    for j in range(len(q_emb)):
+        acc = acc + q_emb[j] * B[:, j]
+    x = acc / (q_nrm * bn) * 1e6
+    lo = np.floor(x)
+    hi = np.ceil(x)
+    pos = lo + ((x - lo) >= 0.5)  # exact: x-floor(x) is representable
+    neg = hi - ((hi - x) >= 0.5)
+    return np.where(x >= 0, pos, neg).astype("int64")
+
+
+def _nsw_greedy_walk_kernel(vec_b, adj_b, entry_ids, steps_cap):
+    """Per-query multi-restart greedy descent, the exact state machine
+    of the join-loop implementation (strictly-improving hop on
+    (cos_e6 desc, b_id asc), stop at a local max or the cap; winner
+    tie-order (cur_e6 desc, cur_id asc, steps asc, entry_id asc))."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, M, nrm = vec_b.value
+        indptr, nbrs = adj_b.value
+
+        def neighbors(node):
+            p = int(np.searchsorted(ids, node))
+            return nbrs[indptr[p] : indptr[p + 1]]
+
+        for pdf in batches:
+            out = []
+            for q_id, q_emb, q_nrm in zip(
+                pdf["q_id"], pdf["q_emb"], pdf["q_nrm"]
+            ):
+                q_emb = np.asarray(q_emb, dtype="float64")
+                runs = []
+                for entry in entry_ids:
+                    epos = int(np.searchsorted(ids, entry))
+                    cur_id = int(entry)
+                    cur_e6 = int(
+                        _np_cos_e6(
+                            q_emb, q_nrm, M[epos : epos + 1],
+                            nrm[epos : epos + 1],
+                        )[0]
+                    )
+                    steps = 0
+                    for _ in range(steps_cap):
+                        nb = neighbors(cur_id)
+                        nb = nb[nb != q_id]
+                        if len(nb) == 0:
+                            break
+                        pos = np.searchsorted(ids, nb)
+                        ce = _np_cos_e6(q_emb, q_nrm, M[pos], nrm[pos])
+                        # best = max (ncos, -b_id) — smaller id on ties
+                        k = np.lexsort((nb, -ce))[0]
+                        if int(ce[k]) > cur_e6:
+                            cur_id, cur_e6 = int(nb[k]), int(ce[k])
+                            steps += 1
+                        else:
+                            break
+                    runs.append((cur_e6, cur_id, steps, int(entry)))
+                # (cur_e6 desc, cur_id asc, steps asc, entry_id asc)
+                best = max(
+                    runs, key=lambda r: (r[0], -r[1], -r[2], -r[3])
+                )
+                out.append((int(q_id), best[2], best[1], best[0]))
+            yield pd.DataFrame(
+                out,
+                columns=["q_id", "steps", "end_id", "end_cos_e6"],
+            ).astype("int64")
+
+    return kernel
+
+
+def _nsw_beam_walk_kernel(vec_b, adj_b, entry_ids, efs, rounds, key_m):
+    """Per-(query, ef) batch-synchronous ef-search, the exact state
+    machine of `_nsw_beam_search_over`'s join loop: per round, rank ALL
+    scored rows by key = cos_e6·KEY_M − node desc, expand the top-ef
+    not-yet-expanded, score-dedup-and-add their unseen neighbors, mark
+    the top-ef expanded."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, M, nrm = vec_b.value
+        indptr, nbrs = adj_b.value
+        epos = np.searchsorted(ids, np.asarray(entry_ids, dtype="int64"))
+
+        for pdf in batches:
+            out = []
+            for q_id, q_emb, q_nrm in zip(
+                pdf["q_id"], pdf["q_emb"], pdf["q_nrm"]
+            ):
+                q_emb = np.asarray(q_emb, dtype="float64")
+                seed_e6 = _np_cos_e6(q_emb, q_nrm, M[epos], nrm[epos])
+                for ef in efs:
+                    node_list = [int(e) for e in entry_ids]
+                    cos_list = [int(c) for c in seed_e6]
+                    expanded = [False] * len(node_list)
+                    seen = set(node_list)
+                    for _ in range(rounds):
+                        keys = [
+                            c * key_m - nd
+                            for c, nd in zip(cos_list, node_list)
+                        ]
+                        order = sorted(
+                            range(len(keys)), key=lambda i: -keys[i]
+                        )
+                        todo = [
+                            i for i in order[:ef] if not expanded[i]
+                        ]
+                        for i in order[:ef]:
+                            expanded[i] = True
+                        cand: list[int] = []
+                        for i in todo:
+                            p = int(np.searchsorted(ids, node_list[i]))
+                            nb = nbrs[indptr[p] : indptr[p + 1]]
+                            for b in nb:
+                                b = int(b)
+                                if b != q_id and b not in seen:
+                                    seen.add(b)
+                                    cand.append(b)
+                        if cand:
+                            pos = np.searchsorted(
+                                ids, np.asarray(cand, dtype="int64")
+                            )
+                            ce = _np_cos_e6(
+                                q_emb, q_nrm, M[pos], nrm[pos]
+                            )
+                            node_list.extend(cand)
+                            cos_list.extend(int(c) for c in ce)
+                            expanded.extend([False] * len(cand))
+                    keys = [
+                        c * key_m - nd
+                        for c, nd in zip(cos_list, node_list)
+                    ]
+                    k = max(range(len(keys)), key=lambda i: keys[i])
+                    out.append(
+                        (
+                            int(ef),
+                            int(q_id),
+                            node_list[k],
+                            cos_list[k],
+                            len(node_list),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["ef", "q_id", "node", "cos_e6", "n_scored"],
+            ).astype("int64")
+
+    return kernel
+
+
 @register(
     "ss_nsw_greedy_search",
     oracle=f"""
@@ -4693,6 +4892,35 @@ def ss_nsw_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entry stride: a pure function of (max id, corpus size) — driver scalars
     m, n = v.agg(F.max("vec_id"), F.count("*")).collect()[0]
     stride = max(int(n) // NSW_ENTRIES, 1)
+
+    # In-kernel walk under the broadcast gates (see the kernel section
+    # above _nsw_adjacency_broadcast): all Q×E restarts run in ONE Arrow
+    # stage instead of up-to-16 hop jobs, each with its frontier
+    # broadcast, per-walk aggregate, and convergence count. The join
+    # loop below is the above-gate (100 TB) path and the exactness
+    # reference (equality pinned by
+    # test_nsw_walks_kernel_equals_join_loop).
+    vec_b = (
+        _nsw_vectors_broadcast(spark, sf_dir, int(n))
+        if 2 * NSW_GRAPH_K * int(n) <= NSW_BCAST_MAX_EDGES
+        else None
+    )
+    if vec_b is not None:
+        entry_ids = [
+            int(r.vec_id)
+            for r in _nsw_entry_rows(v, int(m), stride).collect()
+        ]
+        adj_b = _nsw_adjacency_broadcast(
+            spark, edges_vec.select("a_id", "b_id"), vec_b.value[0]
+        )
+        winner = q.mapInPandas(
+            _nsw_greedy_walk_kernel(
+                vec_b, adj_b, entry_ids, NSW_STEPS_CAP
+            ),
+            "q_id long, steps long, end_id long, end_cos_e6 long",
+        )
+        return _nsw_greedy_report(v, q, winner)
+
     entries = _nsw_entry_rows(v, int(m), stride).select(
         F.col("vec_id").alias("entry_id"),
         F.col("vec_id").alias("cur_id"),
@@ -4790,6 +5018,14 @@ def ss_nsw_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.cur_e6").alias("end_cos_e6"),
         )
     )
+    return _nsw_greedy_report(v, q, winner)
+
+
+def _nsw_greedy_report(
+    v: DataFrame, q: DataFrame, winner: DataFrame
+) -> DataFrame:
+    """Shared report tail of both greedy paths: attach the brute-force
+    top-1 self-check (the priced ground truth) and shape the output."""
     top1 = (
         v.join(F.broadcast(q), v["vec_id"] != q["q_id"])
         .withColumn(
@@ -5004,6 +5240,35 @@ def _nsw_beam_search_over(
     )
     m, n = v.agg(F.max("vec_id"), F.count("*")).collect()[0]
     stride = max(int(n) // NSW_ENTRIES, 1)
+
+    # In-kernel walk under the broadcast gates (see the kernel section):
+    # the whole Q×|ef|×rounds search is ONE Arrow stage instead of
+    # 5 rounds × (window sort + 3 broadcast builds + anti join). The
+    # join-loop below is the above-gate (100 TB) path and the kernel's
+    # exactness reference; equality is pinned by
+    # tests/test_round15_properties.py::test_nsw_walks_kernel_equals_join_loop.
+    vec_b = (
+        _nsw_vectors_broadcast(spark, sf_dir, int(n))
+        if 2 * NSW_GRAPH_K * int(n) <= NSW_BCAST_MAX_EDGES
+        else None
+    )
+    if vec_b is not None:
+        entry_ids = [
+            int(r.vec_id)
+            for r in _nsw_entry_rows(v, int(m), stride).collect()
+        ]
+        adj_b = _nsw_adjacency_broadcast(
+            spark, edges_vec.select("a_id", "b_id"), vec_b.value[0]
+        )
+        final = q.mapInPandas(
+            _nsw_beam_walk_kernel(
+                vec_b, adj_b, entry_ids, NSW_BEAM_EF,
+                NSW_BEAM_ROUNDS, _NSW_KEY_M,
+            ),
+            "ef long, q_id long, node long, cos_e6 long, n_scored long",
+        )
+        return _nsw_beam_report(v, q, final)
+
     entries = _nsw_entry_rows(v, int(m), stride).select(
         F.col("vec_id").alias("node"),
         F.col("emb").alias("e_emb"),
@@ -5086,6 +5351,12 @@ def _nsw_beam_search_over(
         )
         .filter(F.col("rn") == 1)
     )
+    return _nsw_beam_report(v, q, final)
+
+
+def _nsw_beam_report(v: DataFrame, q: DataFrame, final: DataFrame) -> DataFrame:
+    """Shared report tail of both beam paths: attach the brute-force
+    top-1 self-check (the priced ground truth) and shape the output."""
     top1 = (
         v.join(F.broadcast(q), v["vec_id"] != q["q_id"])
         .withColumn(
@@ -5550,7 +5821,7 @@ def _nn_descent_round(
         import numpy as np
         import pandas as pd
 
-        ids, M = vec_b.value
+        ids, M = vec_b.value[0], vec_b.value[1]
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame(
@@ -5786,23 +6057,26 @@ NSW_BCAST_MAX_VECS = int(
 
 
 def _nsw_vectors_broadcast(spark: SparkSession, sf_dir: str, n_vecs: int):
-    """(sorted int64 ids, float64 matrix) as a SparkContext broadcast,
-    or None above the NSW_BCAST_MAX_VECS gate. The matrix rows are the
-    exact float64 emb arrays `_vectors` serves, so the lookup scorer is
-    bit-identical to the join scorer (same einsum, same operands)."""
+    """(sorted int64 ids, float64 matrix, float64 norms) as a
+    SparkContext broadcast, or None above the NSW_BCAST_MAX_VECS gate.
+    The matrix rows are the exact float64 emb arrays `_vectors` serves
+    and the norms are `_vectors`' own nrm column (the JVM fold's
+    values, NOT recomputed), so every lookup consumer operates on
+    bit-identical operands to its join-path twin."""
     if n_vecs > NSW_BCAST_MAX_VECS:
         return None
     import numpy as np
 
     rows = (
         _vectors(spark, sf_dir)
-        .select("vec_id", "emb")
+        .select("vec_id", "emb", "nrm")
         .toPandas()
     )
     order = np.argsort(rows["vec_id"].to_numpy(dtype="int64"))
     ids = rows["vec_id"].to_numpy(dtype="int64")[order]
     M = np.array(list(rows["emb"]), dtype="float64")[order]
-    return spark.sparkContext.broadcast((ids, M))
+    nrm = rows["nrm"].to_numpy(dtype="float64")[order]
+    return spark.sparkContext.broadcast((ids, M, nrm))
 
 
 def _nn_descent_converge_oracle() -> str:

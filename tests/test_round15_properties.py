@@ -63,6 +63,32 @@ def test_nn_descent_incremental_round_equals_full(spark, sf_dir):
     assert full.exceptAll(incr).count() == 0
 
 
+def test_nsw_walks_kernel_equals_join_loop(spark, sf_dir, monkeypatch):
+    """Round-16 optimization pin: the in-kernel NSW walks (greedy + the
+    two ef-beam variants) must produce row-identical output to the
+    join-loop implementations they replace under the broadcast gate —
+    the join loop is forced by zeroing the gate."""
+    import harvard_artifacts_collection_data_engineering_analytics_app_spark.operators.similarity as S
+
+    names = (
+        "ss_nsw_greedy_search",
+        "ss_nsw_beam_search",
+        "ss_nsw_ivf_beam_search",
+    )
+    specs = all_specs()
+    kernel_rows = {
+        n: [tuple(r) for r in specs[n].builder(spark, sf_dir).collect()]
+        for n in names
+    }
+    monkeypatch.setattr(S, "NSW_BCAST_MAX_EDGES", 0)
+    loop_rows = {
+        n: [tuple(r) for r in specs[n].builder(spark, sf_dir).collect()]
+        for n in names
+    }
+    for n in names:
+        assert kernel_rows[n] == loop_rows[n], n
+
+
 def test_nn_descent_converge_ledger_shape(converge_rows):
     """Round 0 is the IVF build; at least one refine round runs; the
     loop never exceeds the cap."""
